@@ -1,0 +1,303 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** API-search parameters — reference `SearchRequest`
+  * (/root/reference/api_backend/file_indexer_api/models.py:24-50). */
+case class SearchRequest(
+    filenamePattern: Option[String] = None,
+    checksum: Option[String] = None,
+    pathPattern: Option[String] = None,
+    hasChecksum: Option[Boolean] = None,
+    minSize: Option[Long] = None,
+    maxSize: Option[Long] = None,
+    modifiedAfter: Option[String] = None,  // 'yyyy-MM-dd HH:mm:ss'
+    modifiedBefore: Option[String] = None,
+    limit: Int = 100,
+    offset: Int = 0)
+
+/** The reference's entire relational query surface (SURVEY.md §2 B–E),
+  * re-expressed as composable DataFrame transforms over any DataFrame
+  * with the `files` schema (path, filename, checksum nullable,
+  * modification_datetime, file_size).
+  *
+  * Scale design:
+  *  - every operator is a declarative plan — filters/projections push
+  *    into the parquet scan, aggregations get map-side partial
+  *    combine, and whole-stage codegen covers the hot paths;
+  *  - duplicate detection is a single hash-aggregate (window or
+  *    groupBy on `checksum`) — NOT the reference's self-join
+  *    (indexer.py:751-794), which would double-scan and double-shuffle
+  *    at 100 TB;
+  *  - join-backs broadcast the (paginated, bounded) group side so the
+  *    big fact side never shuffles;
+  *  - all outputs carry a total ordering (trailing PK sort keys) as
+  *    the reference does (database.py:287,338) — required by the
+  *    oracle harness and by stable pagination.
+  */
+object FileQueries {
+
+  /** B1 — multi-criteria conjunctive search
+    * (indexer.py:697-749: dynamic WHERE, ORDER BY path, filename). */
+  def searchFiles(
+      files: DataFrame,
+      filenamePattern: Option[String] = None,
+      checksum: Option[String] = None,
+      pathPattern: Option[String] = None,
+      hasChecksum: Option[Boolean] = None): DataFrame = {
+    val preds: Seq[Column] =
+      filenamePattern.map(p => col("filename").like(p)).toSeq ++
+      checksum.map(c => col("checksum") === c).toSeq ++
+      pathPattern.map(p => col("path").like(p)).toSeq ++
+      hasChecksum.map(h => if (h) col("checksum").isNotNull else col("checksum").isNull).toSeq
+    preds.foldLeft(files)((df, p) => df.filter(p))
+      .orderBy(col("path"), col("filename"))
+  }
+
+  /** B2 — API search: B1 + size/mtime ranges + pagination
+    * (database.py:56-142; ORDER BY modification_datetime DESC, path,
+    * filename; LIMIT/OFFSET). */
+  def searchApi(files: DataFrame, req: SearchRequest): DataFrame = {
+    val preds: Seq[Column] =
+      req.filenamePattern.map(p => col("filename").like(p)).toSeq ++
+      req.checksum.map(c => col("checksum") === c).toSeq ++
+      req.pathPattern.map(p => col("path").like(p)).toSeq ++
+      req.hasChecksum.map(h => if (h) col("checksum").isNotNull else col("checksum").isNull).toSeq ++
+      req.minSize.map(s => col("file_size") >= s).toSeq ++
+      req.maxSize.map(s => col("file_size") <= s).toSeq ++
+      req.modifiedAfter.map(t => col("modification_datetime") >= to_timestamp(lit(t))).toSeq ++
+      req.modifiedBefore.map(t => col("modification_datetime") <= to_timestamp(lit(t))).toSeq
+    preds.foldLeft(files)((df, p) => df.filter(p))
+      .orderBy(col("modification_datetime").desc, col("path"), col("filename"))
+      .offset(req.offset).limit(req.limit)
+  }
+
+  /** B3/B4 — Go case-insensitive substring search
+    * (file_indexer_go/db/database.go:116-147: filename ILIKE OR path
+    * ILIKE, ORDER BY filename). filename alone is not unique in
+    * general → tie-break with path. */
+  def substringSearch(files: DataFrame, q: String): DataFrame = {
+    val needle = s"%$q%"
+    files.filter(col("filename").ilike(needle) || col("path").ilike(needle))
+      .orderBy(col("filename"), col("path"))
+  }
+
+  /** B5 — point lookup by PK (database.go:183-196, indexer.py:618-625). */
+  def pointLookup(files: DataFrame, path: String, filename: String): DataFrame =
+    files.filter(col("path") === path && col("filename") === filename)
+
+  /** B6 — list all, ORDER BY filename (database.go:150-180). */
+  def listAll(files: DataFrame): DataFrame =
+    files.orderBy(col("filename"), col("path"))
+
+  /** B7 — null-checksum scan per size group (indexer.py:1534-1541). */
+  def nullChecksumBySize(files: DataFrame, size: Long): DataFrame =
+    files.filter(col("file_size") === size && col("checksum").isNull)
+      .orderBy(col("path"), col("filename"))
+
+  /** B8 — bulk existence probe (indexer.py:228-266). The reference
+    * builds a row-value IN list per 1000-file batch; in Spark the
+    * batch is a DataFrame and the probe IS a semi join (broadcast the
+    * small batch side — never shuffle the index for it). */
+  def existingProbe(index: DataFrame, batch: DataFrame): DataFrame =
+    index.join(broadcast(batch.select("path", "filename")),
+        Seq("path", "filename"), "left_semi")
+      .orderBy(col("path"), col("filename"))
+
+  /** C1 — duplicate finder (indexer.py:751-794). The reference
+    * self-joins `files` on checksum with rowid inequality; that is a
+    * full O(n²-ish) shuffle at scale. One window count over a single
+    * shuffle-by-checksum gives identical semantics ("row belongs to a
+    * checksum group of size > 1"). */
+  def duplicates(files: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("checksum"))
+    files.filter(col("checksum").isNotNull)
+      .withColumn("group_size", count(lit(1)).over(w))
+      .filter(col("group_size") > 1)
+      .orderBy(col("checksum"), col("path"), col("filename"))
+  }
+
+  /** C2/D11 — duplicate groups, API path (database.py:294-343):
+    * aggregate → HAVING count >= minGroupSize → page → join back for
+    * members. The paginated group side is bounded by `limit` (≤1000 in
+    * the reference, models.py:83-85) → broadcast it; the fact side
+    * never re-shuffles. wasted_space = file_size * (file_count - 1)
+    * (database.py:363-371). */
+  def duplicateGroups(files: DataFrame, minGroupSize: Int = 2,
+      limit: Int = 100, offset: Int = 0): DataFrame = {
+    val hashed = files.filter(col("checksum").isNotNull)
+    val groups = hashed
+      .groupBy(col("checksum"), col("file_size"))
+      .agg(count(lit(1)).as("file_count"))
+      .filter(col("file_count") >= minGroupSize)
+      .orderBy(col("file_count").desc, col("file_size").desc, col("checksum"))
+      .offset(offset).limit(limit)
+    hashed.join(broadcast(groups), Seq("checksum", "file_size"))
+      .withColumn("wasted_space", col("file_size") * (col("file_count") - 1))
+      .orderBy(col("file_count").desc, col("file_size").desc,
+        col("checksum"), col("path"), col("filename"))
+  }
+
+  /** C2 group-level rows only (the DuplicateGroup summaries,
+    * database.py:347-379). */
+  def duplicateGroupSummaries(files: DataFrame, minGroupSize: Int = 2): DataFrame =
+    files.filter(col("checksum").isNotNull)
+      .groupBy(col("checksum"), col("file_size"))
+      .agg(count(lit(1)).as("file_count"))
+      .filter(col("file_count") >= minGroupSize)
+      .withColumn("wasted_space", col("file_size") * (col("file_count") - 1))
+      .orderBy(col("file_count").desc, col("file_size").desc, col("checksum"))
+
+  /** C3 — pattern → checksum expansion (database.py:225-292):
+    * "duplicates of files matching the pattern, database-wide".
+    * Distinct matching checksums (small) → broadcast semi join. */
+  def patternDuplicates(files: DataFrame,
+      filenamePattern: Option[String], pathPattern: Option[String],
+      minGroupSize: Int = 2): DataFrame = {
+    val preds: Seq[Column] =
+      filenamePattern.map(p => col("filename").like(p)).toSeq ++
+      pathPattern.map(p => col("path").like(p)).toSeq
+    val keys = preds.foldLeft(files.filter(col("checksum").isNotNull))(
+      (df, p) => df.filter(p)).select("checksum").distinct()
+    val expanded = files.join(broadcast(keys), Seq("checksum"), "left_semi")
+    duplicateGroups(expanded, minGroupSize, limit = 1000, offset = 0)
+  }
+
+  /** C4 — cleanup semantics as a relational op (indexer.py:1028-1291):
+    * rows of `index` whose (path, filename) no longer appear in
+    * `live` are the deletions — a left anti join. */
+  def cleanupCandidates(index: DataFrame, live: DataFrame): DataFrame =
+    index.join(live.select("path", "filename"), Seq("path", "filename"), "left_anti")
+      .orderBy(col("path"), col("filename"))
+
+  /** D1 — CLI stats (indexer.py:847-913). Single pass, single row.
+    * CLI semantics: duplicate_files = with_checksum − unique_checksums
+    * (extras only, indexer.py:884-887). */
+  def statsCli(files: DataFrame): DataFrame =
+    files.agg(
+      count(lit(1)).as("total_files"),
+      coalesce(sum(col("file_size")), lit(0L)).as("total_size"),
+      count(col("checksum")).as("files_with_checksum"),
+      (count(lit(1)) - count(col("checksum"))).as("files_without_checksum"),
+      countDistinct(col("checksum")).as("unique_checksums"),
+      (count(col("checksum")) - countDistinct(col("checksum"))).as("duplicate_files"))
+
+  /** D2/D4 — API stats (database.py:395-457): one-pass global
+    * aggregates + distinct directory count. avg as exact integer sum
+    * / count (deterministic across engines). */
+  def statsApi(files: DataFrame): DataFrame =
+    files.agg(
+      count(lit(1)).as("total_files"),
+      coalesce(sum(col("file_size")), lit(0L)).as("total_size"),
+      count(col("checksum")).as("files_with_checksum"),
+      (count(lit(1)) - count(col("checksum"))).as("files_without_checksum"),
+      (coalesce(sum(col("file_size")), lit(0L)).cast("double") / count(lit(1))).as("avg_file_size"),
+      max(col("file_size")).as("max_file_size"),
+      min(col("file_size")).as("min_file_size"),
+      max(col("modification_datetime")).as("newest_file"),
+      min(col("modification_datetime")).as("oldest_file"),
+      countDistinct(col("path")).as("total_directories"))
+
+  /** D3 — duplicate-group stats, API semantics (database.py:419-431):
+    * duplicate_files counts ALL members of >1 groups (vs CLI's
+    * extras-only — both kept, see statsCli). */
+  def duplicateStats(files: DataFrame): DataFrame =
+    files.filter(col("checksum").isNotNull)
+      .groupBy(col("checksum")).agg(count(lit(1)).as("file_count"))
+      .filter(col("file_count") > 1)
+      .agg(count(lit(1)).as("duplicate_groups"),
+        coalesce(sum(col("file_count")), lit(0L)).as("duplicate_files"))
+
+  /** D5 — size-collision detector, the two-phase prefilter
+    * (indexer.py:1487-1510; semantics pinned by
+    * tests/test_script_checksum_validation.py:80-115): sizes with >1
+    * file AND ≥1 missing checksum; optionally skip empty files. This
+    * is THE reference optimization to preserve: only these sizes ever
+    * get hashed (~95% fewer hashes, README.md:209-213). */
+  def sizeCollisions(files: DataFrame, skipEmpty: Boolean = true): DataFrame = {
+    val base = if (skipEmpty) files.filter(col("file_size") > 0) else files
+    base.groupBy(col("file_size"))
+      .agg(count(lit(1)).as("file_count"),
+        sum(when(col("checksum").isNull, 1L).otherwise(0L)).as("files_without_checksum"))
+      .filter(col("file_count") > 1 && col("files_without_checksum") > 0)
+      .orderBy(col("file_size"))
+  }
+
+  /** D6 — size histogram over derived buckets (database.py:465-491). */
+  def sizeHistogram(files: DataFrame): DataFrame = {
+    val bucket = when(col("file_size") === 0, "0 bytes")
+      .when(col("file_size") < 1024L, "< 1KB")
+      .when(col("file_size") < 1048576L, "1KB - 1MB")
+      .when(col("file_size") < 1073741824L, "1MB - 1GB")
+      .otherwise("> 1GB")
+    val order = when(col("file_size") === 0, 0)
+      .when(col("file_size") < 1024L, 1)
+      .when(col("file_size") < 1048576L, 2)
+      .when(col("file_size") < 1073741824L, 3)
+      .otherwise(4)
+    files.withColumn("size_range", bucket).withColumn("sort_order", order)
+      .groupBy(col("size_range"), col("sort_order"))
+      .agg(count(lit(1)).as("file_count"),
+        coalesce(sum(col("file_size")), lit(0L)).as("total_size"))
+      .orderBy(col("sort_order"))
+  }
+
+  /** Extension, Python-API semantics: LAST dot, lowercased, keeps the
+    * leading dot; '(no extension)' for dotless names
+    * (database.py:494-514). */
+  def extLastDot: Column =
+    when(col("filename").contains("."),
+      lower(concat(lit("."), substring_index(col("filename"), ".", -1))))
+      .otherwise(lit("(no extension)"))
+
+  /** D7 — extension stats + top-k (database.py:494-514). The
+    * reference orders by count DESC LIMIT 20 with no tie-break; we add
+    * the extension itself for determinism. */
+  def extensionStats(files: DataFrame, limit: Int = 20): DataFrame =
+    files.withColumn("extension", extLastDot)
+      .groupBy(col("extension"))
+      .agg(count(lit(1)).as("file_count"),
+        coalesce(sum(col("file_size")), lit(0L)).as("total_size"),
+        (coalesce(sum(col("file_size")), lit(0L)).cast("double") / count(lit(1))).as("avg_size"))
+      .orderBy(col("file_count").desc, col("extension"))
+      .limit(limit)
+
+  /** D9 — Go extension distribution: FIRST dot ('archive.tar.gz' →
+    * '.tar.gz'), '' for dotless (database.go:235-263). */
+  def extensionStatsFirstDot(files: DataFrame): DataFrame =
+    files.withColumn("extension",
+        when(col("filename").contains("."),
+          expr("substring(filename, instr(filename, '.'))"))
+          .otherwise(lit("")))
+      .groupBy(col("extension"))
+      .agg(count(lit(1)).as("file_count"))
+      .orderBy(col("file_count").desc, col("extension"))
+
+  /** D8 + B9 — monthly modification timeline, last 12 months before
+    * `asOf` (database.py:517-526; the reference uses CURRENT_DATE — we
+    * take an explicit anchor for determinism). Month emitted as a
+    * 'yyyy-MM-dd' string — DATE round-trips as date vs midnight
+    * timestamp across engines' parquet readers. */
+  def timeline(files: DataFrame, asOf: String): DataFrame =
+    files.filter(col("modification_datetime") >=
+        add_months(to_timestamp(lit(asOf)), -12))
+      .groupBy(date_format(date_trunc("month", col("modification_datetime")), "yyyy-MM-dd").as("month"))
+      .agg(count(lit(1)).as("file_count"),
+        coalesce(sum(col("file_size")), lit(0L)).as("total_size"))
+      .orderBy(col("month"))
+
+  /** A9/G6 — upsert = union + last-writer-wins dedup on the PK
+    * (db/database.go:98-113 `ON CONFLICT DO UPDATE`; SURVEY §1.4).
+    * Priority is an explicit integer (higher wins) instead of the
+    * reference's wall-clock indexed_at, for determinism. */
+  def upsert(current: DataFrame, incoming: DataFrame): DataFrame = {
+    val tagged = current.withColumn("_src", lit(0))
+      .unionByName(incoming.withColumn("_src", lit(1)))
+    val w = Window.partitionBy(col("path"), col("filename"))
+      .orderBy(col("_src").desc)
+    tagged.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn", "_src")
+  }
+}

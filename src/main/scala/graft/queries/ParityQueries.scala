@@ -1,0 +1,269 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.{FilesCte, Tables}
+
+/** Concrete, parameterized instances of every SURVEY.md §2 operator,
+  * paired 1:1 with DuckDB oracle SQL over the same parquet testdata.
+  * Every query has a total output ordering (oracle hash compare).
+  * Naming convention: `fi_*` = file-indexer parity surface.
+  */
+object ParityQueries {
+  import FileQueries._
+
+  private def files(s: SparkSession, d: String): DataFrame = Tables.files(s, d)
+
+  /** Deterministic anchor replacing the reference's CURRENT_DATE
+    * (api_backend database.py:523) — data spans 1995-01..2001-08. */
+  private val TimelineAsOf = "2001-08-01 00:00:00"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B1 — multi-criteria search (indexer.py:697-749)
+    "fi_search_filename" -> ((s, d) =>
+      searchFiles(files(s, d), filenamePattern = Some("%7.txt"),
+        pathPattern = Some("/data/d1%"), hasChecksum = Some(true))),
+    // B5 — point lookup (filename is unique in the synthesized view)
+    "fi_point_lookup" -> ((s, d) =>
+      searchFiles(files(s, d), filenamePattern = Some("order_101.log"))),
+    // B2 — API search with ranges + pagination (database.py:56-142)
+    "fi_search_api" -> ((s, d) =>
+      searchApi(files(s, d), SearchRequest(
+        minSize = Some(1000000L), maxSize = Some(900000000L),
+        modifiedAfter = Some("1996-01-01 00:00:00"),
+        modifiedBefore = Some("2000-12-31 23:59:59"),
+        limit = 100, offset = 50))),
+    // B3/B4 — Go case-insensitive substring search (database.go:116-147)
+    "fi_search_substring" -> ((s, d) =>
+      substringSearch(files(s, d), "ORDER_11")),
+    // B6 — list all (database.go:150-180)
+    "fi_list_all" -> ((s, d) => listAll(files(s, d))),
+    // B7 — null-checksum scan per size group (indexer.py:1534-1541);
+    // 610929 = 33^3 * 17 (bucket 33)
+    "fi_null_checksum_by_size" -> ((s, d) =>
+      nullChecksumBySize(files(s, d), 610929L)),
+    // B8 — bulk existence probe as broadcast semi join (indexer.py:228-266)
+    "fi_existing_probe" -> ((s, d) => {
+      val f = files(s, d)
+      existingProbe(f, f.filter(col("filename").like("%.log")))
+    }),
+    // C1 — duplicate finder, window form (indexer.py:751-794)
+    "fi_duplicates" -> ((s, d) => duplicates(files(s, d))),
+    // C2/D11 — duplicate groups + members + wasted_space (database.py:294-379)
+    "fi_duplicate_groups" -> ((s, d) =>
+      duplicateGroups(files(s, d), minGroupSize = 2, limit = 100, offset = 0)),
+    // C2 group summaries only
+    "fi_duplicate_group_summaries" -> ((s, d) =>
+      duplicateGroupSummaries(files(s, d), minGroupSize = 3)),
+    // C3 — pattern → checksum expansion (database.py:225-292)
+    "fi_pattern_duplicates" -> ((s, d) =>
+      patternDuplicates(files(s, d), Some("%.txt"), None)),
+    // C4 — cleanup anti join (indexer.py:1028-1291)
+    "fi_cleanup_candidates" -> ((s, d) => {
+      val f = files(s, d)
+      val live = f.filter(col("path") =!= "/data/d7" && !col("filename").like("%99%"))
+      cleanupCandidates(f, live)
+    }),
+    // D1 — CLI stats (indexer.py:847-913)
+    "fi_stats_cli" -> ((s, d) => statsCli(files(s, d))),
+    // D2/D4 — API stats (database.py:395-457)
+    "fi_stats_api" -> ((s, d) => statsApi(files(s, d))),
+    // D3 — duplicate-group stats, API semantics (database.py:419-431)
+    "fi_duplicate_stats" -> ((s, d) => duplicateStats(files(s, d))),
+    // D5 — size-collision prefilter (indexer.py:1487-1510)
+    "fi_size_collisions" -> ((s, d) => sizeCollisions(files(s, d), skipEmpty = true)),
+    // D6 — size histogram (database.py:465-491)
+    "fi_size_histogram" -> ((s, d) => sizeHistogram(files(s, d))),
+    // D7 — extension stats, last-dot + top-20 (database.py:494-514)
+    "fi_extensions" -> ((s, d) => extensionStats(files(s, d))),
+    // D9 — Go extension distribution, first-dot (database.go:235-263)
+    "fi_extensions_first_dot" -> ((s, d) => extensionStatsFirstDot(files(s, d))),
+    // D8/B9 — monthly timeline, trailing 12 months (database.py:517-526)
+    "fi_timeline" -> ((s, d) => timeline(files(s, d), TimelineAsOf)),
+    // A9 — upsert (union + last-writer-wins dedup; database.go:98-113)
+    "fi_upsert" -> ((s, d) => {
+      val f = files(s, d)
+      val incoming = f.filter(col("filename").like("%7.dat")).select(
+        col("path"), col("filename"),
+        lit(null).cast("string").as("checksum"),
+        (col("file_size") + 1000L).as("file_size"),
+        col("modification_datetime"))
+      upsert(f, incoming)
+        .select("path", "filename", "checksum", "file_size", "modification_datetime")
+        .orderBy(col("path"), col("filename"))
+    })
+  )
+
+  private def w(select: String): String = FilesCte.wrap(select)
+
+  val oracle: Map[String, String] = Map(
+    "fi_search_filename" -> w(
+      """SELECT * FROM files
+        |WHERE filename LIKE '%7.txt' AND path LIKE '/data/d1%' AND checksum IS NOT NULL
+        |ORDER BY path, filename""".stripMargin),
+    "fi_point_lookup" -> w(
+      """SELECT * FROM files WHERE filename LIKE 'order_101.log'
+        |ORDER BY path, filename""".stripMargin),
+    "fi_search_api" -> w(
+      """SELECT * FROM files
+        |WHERE file_size >= 1000000 AND file_size <= 900000000
+        |  AND modification_datetime >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND modification_datetime <= TIMESTAMP '2000-12-31 23:59:59'
+        |ORDER BY modification_datetime DESC, path, filename
+        |LIMIT 100 OFFSET 50""".stripMargin),
+    "fi_search_substring" -> w(
+      """SELECT * FROM files
+        |WHERE filename ILIKE '%ORDER_11%' OR path ILIKE '%ORDER_11%'
+        |ORDER BY filename, path""".stripMargin),
+    "fi_list_all" -> w(
+      "SELECT * FROM files ORDER BY filename, path"),
+    "fi_null_checksum_by_size" -> w(
+      """SELECT * FROM files WHERE file_size = 610929 AND checksum IS NULL
+        |ORDER BY path, filename""".stripMargin),
+    "fi_existing_probe" -> w(
+      """SELECT f.* FROM files f
+        |WHERE EXISTS (SELECT 1 FROM files b
+        |  WHERE b.filename LIKE '%.log' AND b.path = f.path AND b.filename = f.filename)
+        |ORDER BY f.path, f.filename""".stripMargin),
+    "fi_duplicates" -> w(
+      """SELECT path, filename, checksum, file_size, modification_datetime, group_size
+        |FROM (SELECT *, COUNT(*) OVER (PARTITION BY checksum) AS group_size
+        |      FROM files WHERE checksum IS NOT NULL) t
+        |WHERE group_size > 1
+        |ORDER BY checksum, path, filename""".stripMargin),
+    "fi_duplicate_groups" -> w(
+      """, g AS (
+        |  SELECT checksum, file_size, COUNT(*) AS file_count
+        |  FROM files WHERE checksum IS NOT NULL
+        |  GROUP BY checksum, file_size
+        |  HAVING COUNT(*) >= 2
+        |  ORDER BY file_count DESC, file_size DESC, checksum
+        |  LIMIT 100 OFFSET 0)
+        |SELECT f.checksum, f.file_size, f.path, f.filename, f.modification_datetime,
+        |       g.file_count, f.file_size * (g.file_count - 1) AS wasted_space
+        |FROM files f JOIN g ON f.checksum = g.checksum AND f.file_size = g.file_size
+        |ORDER BY g.file_count DESC, f.file_size DESC, f.checksum, f.path, f.filename""".stripMargin),
+    "fi_duplicate_group_summaries" -> w(
+      """SELECT checksum, file_size, COUNT(*) AS file_count,
+        |       file_size * (COUNT(*) - 1) AS wasted_space
+        |FROM files WHERE checksum IS NOT NULL
+        |GROUP BY checksum, file_size
+        |HAVING COUNT(*) >= 3
+        |ORDER BY file_count DESC, file_size DESC, checksum""".stripMargin),
+    "fi_pattern_duplicates" -> w(
+      """, e AS (
+        |  SELECT f.* FROM files f
+        |  WHERE f.checksum IN (SELECT DISTINCT checksum FROM files
+        |                       WHERE checksum IS NOT NULL AND filename LIKE '%.txt')),
+        |g AS (
+        |  SELECT checksum, file_size, COUNT(*) AS file_count
+        |  FROM e GROUP BY checksum, file_size
+        |  HAVING COUNT(*) >= 2
+        |  ORDER BY file_count DESC, file_size DESC, checksum
+        |  LIMIT 1000 OFFSET 0)
+        |SELECT e.checksum, e.file_size, e.path, e.filename, e.modification_datetime,
+        |       g.file_count, e.file_size * (g.file_count - 1) AS wasted_space
+        |FROM e JOIN g ON e.checksum = g.checksum AND e.file_size = g.file_size
+        |ORDER BY g.file_count DESC, e.file_size DESC, e.checksum, e.path, e.filename""".stripMargin),
+    "fi_cleanup_candidates" -> w(
+      """SELECT f.* FROM files f
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM files l
+        |  WHERE l.path <> '/data/d7' AND NOT (l.filename LIKE '%99%')
+        |    AND l.path = f.path AND l.filename = f.filename)
+        |ORDER BY f.path, f.filename""".stripMargin),
+    "fi_stats_cli" -> w(
+      """SELECT COUNT(*) AS total_files,
+        |  CAST(COALESCE(SUM(file_size), 0) AS BIGINT) AS total_size,
+        |  COUNT(checksum) AS files_with_checksum,
+        |  COUNT(*) - COUNT(checksum) AS files_without_checksum,
+        |  COUNT(DISTINCT checksum) AS unique_checksums,
+        |  COUNT(checksum) - COUNT(DISTINCT checksum) AS duplicate_files
+        |FROM files""".stripMargin),
+    "fi_stats_api" -> w(
+      """SELECT COUNT(*) AS total_files,
+        |  CAST(COALESCE(SUM(file_size), 0) AS BIGINT) AS total_size,
+        |  COUNT(checksum) AS files_with_checksum,
+        |  COUNT(*) - COUNT(checksum) AS files_without_checksum,
+        |  CAST(COALESCE(SUM(file_size), 0) AS DOUBLE) / COUNT(*) AS avg_file_size,
+        |  MAX(file_size) AS max_file_size,
+        |  MIN(file_size) AS min_file_size,
+        |  MAX(modification_datetime) AS newest_file,
+        |  MIN(modification_datetime) AS oldest_file,
+        |  COUNT(DISTINCT path) AS total_directories
+        |FROM files""".stripMargin),
+    "fi_duplicate_stats" -> w(
+      """, g AS (
+        |  SELECT checksum, COUNT(*) AS file_count
+        |  FROM files WHERE checksum IS NOT NULL
+        |  GROUP BY checksum HAVING COUNT(*) > 1)
+        |SELECT COUNT(*) AS duplicate_groups,
+        |       CAST(COALESCE(SUM(file_count), 0) AS BIGINT) AS duplicate_files
+        |FROM g""".stripMargin),
+    "fi_size_collisions" -> w(
+      """SELECT file_size, COUNT(*) AS file_count,
+        |  CAST(SUM(CASE WHEN checksum IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS files_without_checksum
+        |FROM files WHERE file_size > 0
+        |GROUP BY file_size
+        |HAVING COUNT(*) > 1 AND SUM(CASE WHEN checksum IS NULL THEN 1 ELSE 0 END) > 0
+        |ORDER BY file_size""".stripMargin),
+    "fi_size_histogram" -> w(
+      """SELECT
+        |  CASE WHEN file_size = 0 THEN '0 bytes'
+        |       WHEN file_size < 1024 THEN '< 1KB'
+        |       WHEN file_size < 1048576 THEN '1KB - 1MB'
+        |       WHEN file_size < 1073741824 THEN '1MB - 1GB'
+        |       ELSE '> 1GB' END AS size_range,
+        |  CASE WHEN file_size = 0 THEN 0
+        |       WHEN file_size < 1024 THEN 1
+        |       WHEN file_size < 1048576 THEN 2
+        |       WHEN file_size < 1073741824 THEN 3
+        |       ELSE 4 END AS sort_order,
+        |  COUNT(*) AS file_count,
+        |  CAST(COALESCE(SUM(file_size), 0) AS BIGINT) AS total_size
+        |FROM files GROUP BY 1, 2 ORDER BY sort_order""".stripMargin),
+    "fi_extensions" -> w(
+      """SELECT
+        |  CASE WHEN filename LIKE '%.%'
+        |       THEN lower('.' || split_part(filename, '.', -1))
+        |       ELSE '(no extension)' END AS extension,
+        |  COUNT(*) AS file_count,
+        |  CAST(COALESCE(SUM(file_size), 0) AS BIGINT) AS total_size,
+        |  CAST(COALESCE(SUM(file_size), 0) AS DOUBLE) / COUNT(*) AS avg_size
+        |FROM files GROUP BY 1
+        |ORDER BY file_count DESC, extension
+        |LIMIT 20""".stripMargin),
+    "fi_extensions_first_dot" -> w(
+      """SELECT
+        |  CASE WHEN filename LIKE '%.%'
+        |       THEN substring(filename, strpos(filename, '.'))
+        |       ELSE '' END AS extension,
+        |  COUNT(*) AS file_count
+        |FROM files GROUP BY 1
+        |ORDER BY file_count DESC, extension""".stripMargin),
+    "fi_timeline" -> w(
+      s"""SELECT CAST(CAST(date_trunc('month', modification_datetime) AS DATE) AS VARCHAR) AS month,
+        |  COUNT(*) AS file_count,
+        |  CAST(COALESCE(SUM(file_size), 0) AS BIGINT) AS total_size
+        |FROM files
+        |WHERE modification_datetime >= TIMESTAMP '$TimelineAsOf' - INTERVAL 12 MONTH
+        |GROUP BY 1 ORDER BY month""".stripMargin),
+    "fi_upsert" -> w(
+      """, inc AS (
+        |  SELECT path, filename, CAST(NULL AS VARCHAR) AS checksum,
+        |         file_size + 1000 AS file_size, modification_datetime
+        |  FROM files WHERE filename LIKE '%7.dat'),
+        |u AS (
+        |  SELECT path, filename, checksum, file_size, modification_datetime, 0 AS _src FROM files
+        |  UNION ALL
+        |  SELECT path, filename, checksum, file_size, modification_datetime, 1 AS _src FROM inc),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY path, filename ORDER BY _src DESC) AS _rn
+        |  FROM u)
+        |SELECT path, filename, checksum, file_size, modification_datetime
+        |FROM r WHERE _rn = 1
+        |ORDER BY path, filename""".stripMargin)
+  )
+}

@@ -1,0 +1,105 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver testdata tables plus the synthesized `files`
+  * view that maps the reference's single-table data model
+  * (/root/reference/file_indexer/indexer.py:89-110 — `files(path,
+  * filename, checksum, modification_datetime, file_size)`) onto the
+  * deterministic parquet testdata, so every operator in SURVEY.md §2
+  * has an exact DuckDB-oracle twin.
+  *
+  * Scale note: every loader is a plain parquet scan — Catalyst pushes
+  * filters/projections into the scan, so downstream operators decide
+  * the I/O. The `files` view is a narrow projection of `orders`
+  * (5 columns), no shuffle, fully codegen'd.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register all tables (and the files view) as temp views so the full
+    * SQL surface (reference H7, Go `-sql` passthrough,
+    * file_indexer_go/db/database.go:269-317) is available via
+    * `spark.sql(...)`. */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    files(spark, dir).createOrReplaceTempView("files")
+  }
+
+  /** Synthetic `files` index table derived deterministically from
+    * `orders`. Mirrored 1:1 by [[FilesCte.sql]] for the DuckDB oracle —
+    * keep the two in lockstep.
+    *
+    *  - bucket = o_orderkey % 401 drives checksum AND file_size, so
+    *    rows sharing a checksum also share a size (true-duplicate
+    *    semantics the reference's (checksum, file_size) grouping
+    *    relies on, api_backend database.py:294-343).
+    *  - o_orderkey % 11 == 0 rows get NULL checksum (two-phase
+    *    "not yet hashed" state, indexer.py:94).
+    *  - bucket == 0 rows are empty files (size 0, NULL checksum —
+    *    skip_empty_files semantics, indexer.py:158-175).
+    *  - file_size = bucket^3 * 17 spans 0 bytes .. >1 GiB so all five
+    *    histogram buckets (database.py:471-487) are populated.
+    *  - extensions cycle .txt/.log/.tar.gz/(none)/.dat to exercise the
+    *    last-dot (Python API, database.py:499) vs first-dot (Go,
+    *    database.go:238) divergence.
+    */
+  def files(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val bucket = col("o_orderkey") % 401L
+    val extCase = when(col("o_orderkey") % 5L === 0L, lit(".txt"))
+      .when(col("o_orderkey") % 5L === 1L, lit(".log"))
+      .when(col("o_orderkey") % 5L === 2L, lit(".tar.gz"))
+      .when(col("o_orderkey") % 5L === 3L, lit(""))
+      .otherwise(lit(".dat"))
+    o.select(
+      concat(lit("/data/d"), (col("o_custkey") % 97L).cast("string")).as("path"),
+      concat(lit("order_"), col("o_orderkey").cast("string"), extCase).as("filename"),
+      when(col("o_orderkey") % 11L === 0L || bucket === 0L, lit(null).cast("string"))
+        .otherwise(md5(concat(lit("f"), bucket.cast("string")))).as("checksum"),
+      when(bucket === 0L, lit(0L))
+        .otherwise(bucket * bucket * bucket * lit(17L)).as("file_size"),
+      col("o_orderdate").as("modification_datetime"))
+  }
+}
+
+/** The DuckDB-SQL twin of [[Tables.files]], inlined into every oracle
+  * query. Any change here must be mirrored in the Scala view above. */
+object FilesCte {
+  val sql: String =
+    """WITH files AS (
+      |  SELECT
+      |    '/data/d' || CAST(o_custkey % 97 AS VARCHAR) AS path,
+      |    'order_' || CAST(o_orderkey AS VARCHAR) ||
+      |      (CASE CAST(o_orderkey % 5 AS INT)
+      |        WHEN 0 THEN '.txt' WHEN 1 THEN '.log' WHEN 2 THEN '.tar.gz'
+      |        WHEN 3 THEN '' ELSE '.dat' END) AS filename,
+      |    CASE WHEN o_orderkey % 11 = 0 OR o_orderkey % 401 = 0 THEN NULL
+      |         ELSE md5('f' || CAST(o_orderkey % 401 AS VARCHAR)) END AS checksum,
+      |    CASE WHEN o_orderkey % 401 = 0 THEN CAST(0 AS BIGINT)
+      |         ELSE (o_orderkey % 401) * (o_orderkey % 401) * (o_orderkey % 401) * 17
+      |         END AS file_size,
+      |    o_orderdate AS modification_datetime
+      |  FROM orders
+      |)""".stripMargin
+
+  /** Wrap a SELECT that references `files` with the CTE. */
+  def wrap(select: String): String = sql + "\n" + select
+}
