@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{FileQueries, ParityQueries}
+import graft.queries.{FileQueries, ParityQueries, PipelineQueries}
 import graft.tables.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -17,12 +17,13 @@ object SparkEntry {
       Tables.files(spark, "/root/testdata/sf0.001"),
       minGroupSize = 2, limit = 100, offset = 0)
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator: SURVEY.md §2 inventory (fi_*)
+    * plus the training-data-pipeline surface (ta_/dd_/ss_/mm_*). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries
+    ParityQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    ParityQueries.oracle
+    ParityQueries.oracle ++ PipelineQueries.oracle
 }

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline,
+  * over the `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * All operators are single-pass narrow transforms (no shuffle except
+  * the final presentation sort) built from codegen'd Catalyst
+  * expressions — at 100 TB each is a map over the scan with columns
+  * pruned to (doc_id, text[, lang, n_chars]).
+  */
+object TextAnalysis {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Token counting: whitespace tokens, distinct tokens, mean token
+    * length derived exactly from integer counts (n_chars minus the
+    * n_tokens-1 separators, over n_tokens).
+    *
+    * Determinism note (applies to every double in this file): values
+    * are emitted UNrounded. Both engines evaluate the identical
+    * left-associative IEEE-754 expression over the same integers, so
+    * the doubles are bit-identical; `round()` would *add* cross-engine
+    * risk (each engine rounds doubles differently near ties). */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+      ((col("n_chars") - size(toks) + lit(1)).cast("double") / size(toks))
+        .as("avg_token_len"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length score (saturating at 400 chars),
+    * stopword ratio, vocabulary-diversity ratio, and a weighted
+    * composite — the usual cheap pre-filter signals used before
+    * admitting a document to a training corpus. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val n    = size(toks)
+    val stop = size(filter(toks, t => t.isin("the", "a")))
+    val dist = size(array_distinct(toks))
+    val lenScore      = least(col("n_chars").cast("double") / 400.0, lit(1.0).cast("double"))
+    val stopRatio     = stop.cast("double") / n
+    val distinctRatio = dist.cast("double") / n
+    docs.select(
+      col("doc_id"),
+      lenScore.as("len_score"),
+      stopRatio.as("stopword_ratio"),
+      distinctRatio.as("distinct_ratio"),
+      (lenScore * 0.4 + (lit(1.0).cast("double") - stopRatio) * 0.3 + distinctRatio * 0.3)
+        .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Occurrences of a character bigram, via length delta after
+    * removing it (non-overlapping, left-to-right — same semantics in
+    * every engine). Exact integer-derived double. */
+  private def bigramCount(bg: String): Column =
+    (length(col("text")) - length(expr(s"replace(text, '$bg', '')"))) / 2
+
+  /** Language-ID n-gram heuristic: score three character-bigram
+    * profiles and take the argmax (fixed tie-break order en > de >
+    * fr). A real pipeline would use a trained model; the *shape* —
+    * one narrow projection per doc, no shuffle — is the point. */
+  def langId(docs: DataFrame): DataFrame = {
+    val sEn = bigramCount("th") + bigramCount("he")
+    val sDe = bigramCount("er") + bigramCount("in")
+    val sFr = bigramCount("le") + bigramCount("ta")
+    docs.select(
+      col("doc_id"), col("lang"),
+      sEn.as("score_en"), sDe.as("score_de"), sFr.as("score_fr"),
+      when(sEn >= sDe && sEn >= sFr, "en")
+        .when(sDe >= sFr, "de")
+        .otherwise("fr").as("predicted_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: full-text hash, prefix hash (first 8
+    * tokens), and a winnowing-style rolling fingerprint = the
+    * lexicographic minimum of the hashes of all character 5-grams.
+    * The min-of-hashes form needs no numeric hash — portable and
+    * deterministic everywhere. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(col("text")).as("fp_full"),
+      md5(array_join(slice(toks, 1, 8), " ")).as("fp_prefix"),
+      expr("array_min(transform(sequence(1, greatest(length(text)-4, 1)), i -> md5(substr(text, i, 5))))")
+        .as("fp_winnow"))
+      .orderBy("doc_id")
+}
