@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document-deduplication operators for a large-scale training-data
+  * pipeline, over the `documents` table (doc_id, text, ...).
+  *
+  * Scale design (the reason each operator is shaped the way it is):
+  *
+  *  - [[exact]] is one hash-aggregate — map-side partial combine, one
+  *    shuffle on the content hash, no joins.
+  *  - [[jaccardPairs]] NEVER enumerates all O(n²) pairs: it builds an
+  *    inverted shingle index and self-joins it, so only pairs that
+  *    actually share a shingle are materialized. The shuffle key is
+  *    the shingle, and with natural text the posting lists are short;
+  *    a document-frequency cap on hot shingles is the standard lever
+  *    if a corpus has stop-shingles.
+  *  - [[minhashLsh]] is the sub-quadratic path: fixed-size signatures
+  *    (k md5-min-hashes, computed in one narrow pass), banded into
+  *    buckets; only bucket-mates become candidates, and only
+  *    candidates fetch shingle sets for exact Jaccard verification.
+  *  - [[simhashPairs]] blocks by 8-bit signature chunks (pigeonhole:
+  *    hamming ≤ 3 over 4 chunks ⇒ at least one chunk equal), so the
+  *    join fan-out is bounded by bucket size, not corpus size.
+  *
+  * Oracle-parity rules: all hashing is md5 hex strings (identical
+  * across engines, lexicographically min-able); doubles are built from
+  * identical left-associative expressions; every output has a unique
+  * (doc_a, doc_b) or fp ordering.
+  */
+object Dedup {
+
+  /** Tokens plus DISTINCT word n-gram shingles (the shingle *set*). */
+  def withShingles(docs: DataFrame, n: Int): DataFrame =
+    docs.withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles", array_distinct(expr(
+        s"transform(sequence(1, greatest(size(toks) - ${n - 1}, 1)), " +
+          s"i -> array_join(slice(toks, i, $n), ' '))")))
+
+  /** Exact dedup: one group per distinct content hash with the kept
+    * representative (min doc_id) and the copy count. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy(col("fp"))
+
+  /** Exact n-gram Jaccard near-dup pairs via an inverted shingle
+    * index: explode → self-join on shingle → pair-count = |A∩B| →
+    * |A∪B| from per-doc set sizes. */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = withShingles(docs, n).select(col("doc_id"), col("shingles"))
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val common = inv.as("a").join(inv.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash + banded LSH near-dup detection, with exact-Jaccard
+    * verification of the candidates.
+    *
+    * Signature: minhash_i = min over shingles of md5("i|" + shingle)
+    * (md5 hex min ≡ a random permutation min, portable everywhere).
+    * Bands of r = numHashes/bands rows; band key = md5 of the joined
+    * band rows. Docs sharing any band bucket become candidate pairs;
+    * candidates are verified with exact Jaccard ≥ threshold. */
+  def minhashLsh(docs: DataFrame, n: Int = 3, numHashes: Int = 12,
+      bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val sh = withShingles(docs, n).select(col("doc_id"), col("shingles"))
+    val mhCols = (0 until numHashes).map(i =>
+      array_min(transform(col("shingles"), s => md5(concat(lit(s"$i|"), s)))).as(s"mh$i"))
+    val sig = sh.select(col("doc_id") +: mhCols: _*)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", (b * r until (b + 1) * r).map(i => col(s"mh$i")): _*)).as("bkey"))
+    }
+    val buckets = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.toDF("doc_a", "sh_a"), "doc_a")
+      .join(sh.toDF("doc_b", "sh_b"), "doc_b")
+      .withColumn("n_common",
+        size(expr("filter(sh_a, x -> array_contains(sh_b, x))")).cast("long"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 32-bit SimHash per document: bit j is the sign of the per-token
+    * vote sum, where token t votes +1 on bit j iff hex nibble j of
+    * md5(t) is ≥ '8' (its high bit), else −1. sign ≥ 0 ⇔
+    * 2·(count of +1 votes) ≥ n_tokens — integer-only, portable. */
+  def withSimhash(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", split(col("text"), " "))
+      .withColumn("tokmd5", expr("transform(toks, t -> md5(t))"))
+      .withColumn("simhash",
+        (0 until 32).map { j =>
+          when(size(expr(s"filter(tokmd5, h -> substring(h, ${j + 1}, 1) >= '8')")) * 2
+              >= size(col("tokmd5")), lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _))
+
+  /** Per-doc SimHash signatures (the reusable corpus artifact). */
+  def simhash(docs: DataFrame): DataFrame =
+    withSimhash(docs).select(col("doc_id"), col("simhash")).orderBy("doc_id")
+
+  /** SimHash near-dup pairs with hamming ≤ maxHamming (≤ 3), blocked
+    * by the four 8-bit signature chunks: any pair within hamming 3
+    * must agree on at least one chunk, so only chunk-bucket-mates are
+    * ever compared. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk blocking only guarantees recall for hamming <= 3")
+    val s = withSimhash(docs).select(col("doc_id"), col("simhash"))
+    val chunks = s.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          expr(s"shiftright(simhash, ${8 * c}) & 255").as("cval"))): _*)).as("ck"))
+      .select(col("doc_id"), col("simhash"),
+        col("ck.chunk").as("chunk"), col("ck.cval").as("cval"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Deterministic random-hyperplane LSH configuration shared by the
+  * Spark operators and the DuckDB oracle-SQL generator.
+  *
+  * Hyperplane coordinates are small INTEGERS from a fixed LCG, inlined
+  * as literals on both engines: integer literals parse identically
+  * everywhere (no decimal→binary rounding concerns), and
+  * `double * int` promotes exactly, so the sign of each projection —
+  * and therefore every bucket key — is bit-identical across engines.
+  */
+object LshPlanes {
+  val numTables = 4
+  val bitsPerTable = 5
+  val dims = 64
+
+  /** planes(table)(bit) = 64 integer coords in [-3, 3]. */
+  val planes: Seq[Seq[Seq[Int]]] = {
+    var x = 42L
+    def next(): Long = { x = (x * 1103515245L + 12345L) & 0x7fffffffL; x }
+    Seq.fill(numTables)(Seq.fill(bitsPerTable)(Seq.fill(dims)((next() % 7L).toInt - 3)))
+  }
+
+  /** SQL for one sign bit: '1'/'0' char of sign(v · plane).
+    * `base` is the engine's array index base (Spark 0, DuckDB 1). */
+  def bitSql(vecCol: String, plane: Seq[Int], base: Int): String = {
+    val dot = plane.zipWithIndex
+      .map { case (w, i) => s"CAST($vecCol[${i + base}] AS DOUBLE) * ($w)" }
+      .mkString(" + ")
+    s"CASE WHEN $dot >= 0 THEN '1' ELSE '0' END"
+  }
+
+  /** SQL for one table's bucket key: the concatenated bit chars. */
+  def keySql(vecCol: String, table: Int, base: Int, concatFn: Seq[String] => String): String =
+    concatFn(planes(table).map(p => bitSql(vecCol, p, base)))
+
+  def sparkConcat(parts: Seq[String]): String = parts.mkString("concat(", ", ", ")")
+  def duckConcat(parts: Seq[String]): String = parts.mkString("(", " || ", ")")
+}
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Scale design:
+  *  - [[cosinePairs]] / [[topkBrute]] are the exact baselines: a
+  *    nested-loop join where the bounded side (the query set) is
+  *    broadcast, so the big side streams through executors exactly
+  *    once with no shuffle. Cost is O(|queries| · n) — correct tool
+  *    when the query set is small or as the verification oracle.
+  *  - [[topkLsh]] is the scale path: per-vector bucket keys from
+  *    `numTables` independent random-hyperplane tables (a narrow,
+  *    codegen'd projection), then an equi-join on (table, bucket) —
+  *    only bucket-mates are scored. At 100 TB this turns the O(n·m)
+  *    scan into a shuffle on bucket keys with bounded fan-out;
+  *    recall is tuned by (tables × bits), not rewritten code.
+  *
+  * All cosines are computed as dot(v,w) / (‖v‖·‖w‖) with sequential
+  * left-fold sums (VectorOps) — bit-identical to the oracle's
+  * generated 64-term expressions.
+  */
+object Similarity {
+
+  /** vec_id, embedding, v = exact double cast, nrm = L2 norm. */
+  def prepared(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"))
+      .withColumn("v", VectorOps.toDouble(col("embedding")))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+
+  /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with
+    * cosine ≥ threshold. Exact brute-force baseline. */
+  def cosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val e = prepared(emb).select("vec_id", "v", "nrm")
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (VectorOps.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Brute-force cosine top-k for the query set {vec_id % queryMod = 0}:
+    * broadcast the small query side, stream the corpus once, window
+    * top-k per query (ties broken by cand_id). */
+  def topkBrute(emb: DataFrame, queryMod: Long = 50L, k: Int = 10): DataFrame = {
+    val e = prepared(emb).select("vec_id", "v", "nrm")
+    val q = e.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))
+    broadcast(q).join(e, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        (VectorOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** LSH-bucketed approximate top-k: candidates = vectors sharing any
+    * of the query's bucket keys; exact cosine re-rank of candidates
+    * only. */
+  def topkLsh(emb: DataFrame, queryMod: Long = 50L, k: Int = 5): DataFrame = {
+    import LshPlanes._
+    val bucketStructs = (0 until numTables).map { t =>
+      struct(lit(t).as("tbl"),
+        expr(keySql("embedding", t, base = 0, sparkConcat)).as("bkey"))
+    }
+    val buckets = emb.select(col("vec_id"), explode(array(bucketStructs: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkey").as("bkey"))
+    val qb = buckets.filter(col("vec_id") % queryMod === 0)
+      .toDF("query_id", "tbl", "bkey")
+    val cand = broadcast(qb)
+      .join(buckets.toDF("cand_id", "tbl", "bkey"), Seq("tbl", "bkey"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id").distinct()
+    val e = prepared(emb).select("vec_id", "v", "nrm")
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))
+    cand
+      .join(e.toDF("query_id", "qv", "qn"), "query_id")
+      .join(e.toDF("cand_id", "cv", "cn"), "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        (VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy("query_id", "rnk")
+  }
+}

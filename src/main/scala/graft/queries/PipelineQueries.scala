@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.TextAnalysis
+import graft.operators.{Dedup, LshPlanes, Similarity, TextAnalysis}
 import graft.tables.Tables
 
 /** Training-data-pipeline operators (text analysis, dedup, similarity
@@ -21,8 +21,26 @@ import graft.tables.Tables
   */
 object PipelineQueries {
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup — one hash-aggregate on the content hash.
+    "dd_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
+    // Exact 3-gram Jaccard pairs via inverted shingle index (no O(n²)).
+    "dd_ngram_jaccard" -> ((s, d) => Dedup.jaccardPairs(docs(s, d), n = 3, threshold = 0.5)),
+    // MinHash + banded LSH candidates, exact-Jaccard verified.
+    "dd_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLsh(docs(s, d), n = 3, numHashes = 12, bands = 4, threshold = 0.5)),
+    // Per-doc 32-bit SimHash signatures.
+    "dd_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
+    // SimHash near-dup pairs, hamming ≤ 3, 8-bit-chunk blocked.
+    "dd_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(docs(s, d), maxHamming = 3)),
+    // Embedding-cosine near-dup pairs (exact brute-force baseline).
+    "ss_cosine_pairs" -> ((s, d) => Similarity.cosinePairs(emb(s, d), threshold = 0.4)),
+    // Brute-force cosine top-10 for queries {vec_id % 50 = 0}.
+    "ss_topk_brute" -> ((s, d) => Similarity.topkBrute(emb(s, d), queryMod = 50L, k = 10)),
+    // LSH-bucketed approximate top-5 (same query set).
+    "ss_topk_lsh" -> ((s, d) => Similarity.topkLsh(emb(s, d), queryMod = 50L, k = 5)),
     // Token counting — whitespace tokens, distinct tokens, mean length.
     "ta_token_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))),
     // Quality scoring — length / stopword / vocabulary-diversity signals.
@@ -35,7 +53,127 @@ object PipelineQueries {
 
   private val T = "string_split(text, ' ')"
 
+  /** DuckDB twin of Dedup.withShingles: distinct word n-gram shingles. */
+  private def shinglesSql(n: Int): String =
+    s"list_distinct(list_transform(generate_series(1, greatest(len($T) - ${n - 1}, 1)), " +
+      s"i -> array_to_string(list_slice($T, i, i + ${n - 1}), ' ')))"
+
+  /** DuckDB twin of Dedup.withSimhash's 32-bit signature sum. */
+  private val simhashSql: String = (0 until 32).map { j =>
+    s"CASE WHEN len(list_filter(tokmd5, h -> substr(h, ${j + 1}, 1) >= '8')) * 2 " +
+      s">= len(tokmd5) THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+  }.mkString(" + ")
+
+  /** DuckDB twin of VectorOps.dot: 64-term left-associative sum
+    * (1-based array indexing). */
+  private def dotSql(a: String, b: String): String =
+    (1 to 64).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
+
+  /** DuckDB twin of VectorOps.norm. */
+  private def normSql(v: String): String = s"sqrt(${dotSql(v, v)})"
+
   val oracle: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "dd_ngram_jaccard" ->
+      s"""WITH sh AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM documents),
+         |sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh FROM sh),
+         |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_common,
+         |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+         |FROM common JOIN sizes sa ON common.doc_a = sa.doc_id
+         |            JOIN sizes sb ON common.doc_b = sb.doc_id
+         |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_minhash_lsh" -> {
+      val mhs = (0 until 12).map(i =>
+        s"list_min(list_transform(shingles, s -> md5('$i|' || s))) AS mh$i").mkString(",\n  ")
+      val bandSelects = (0 until 4).map { b =>
+        val cols = (b * 3 until b * 3 + 3).map(i => s"mh$i").mkString(", ")
+        s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cols)) AS bkey FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH sh AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM documents),
+         |sig AS (SELECT doc_id,
+         |  $mhs
+         |FROM sh),
+         |buckets AS (
+         |  $bandSelects),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |v AS (SELECT doc_a, doc_b,
+         |    CAST(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS BIGINT) AS n_common,
+         |    len(sa.shingles) AS la, len(sb.shingles) AS lb
+         |  FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id
+         |            JOIN sh sb ON cand.doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(n_common AS DOUBLE) / (la + lb - n_common) AS jaccard
+         |FROM v WHERE CAST(n_common AS DOUBLE) / (la + lb - n_common) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "dd_simhash" ->
+      s"""WITH tm AS (SELECT doc_id, list_transform($T, t -> md5(t)) AS tokmd5 FROM documents)
+         |SELECT doc_id, $simhashSql AS simhash
+         |FROM tm ORDER BY doc_id""".stripMargin,
+    "dd_simhash_pairs" -> {
+      val chunkSelects = (0 until 4).map(c =>
+        s"SELECT doc_id, simhash, $c AS chunk, (simhash >> ${8 * c}) & 255 AS cval FROM s")
+        .mkString("\n  UNION ALL ")
+      s"""WITH tm AS (SELECT doc_id, list_transform($T, t -> md5(t)) AS tokmd5 FROM documents),
+         |s AS (SELECT doc_id, $simhashSql AS simhash FROM tm),
+         |chunks AS (
+         |  $chunkSelects),
+         |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |  FROM chunks a JOIN chunks b
+         |    ON a.chunk = b.chunk AND a.cval = b.cval AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "ss_cosine_pairs" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings)
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    (${dotSql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cosine
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    "ss_topk_brute" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    (${dotSql("q.embedding", "c.embedding")}) / (q.nrm * c.nrm) AS cosine
+         |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+         |r AS (SELECT query_id, cand_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rnk
+         |  FROM scored)
+         |SELECT query_id, cand_id, cosine, rnk FROM r WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
+    "ss_topk_lsh" -> {
+      import LshPlanes._
+      val bucketSelects = (0 until numTables).map(t =>
+        s"SELECT vec_id, $t AS tbl, ${keySql("embedding", t, base = 1, duckConcat)} AS bkey FROM embeddings")
+        .mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+         |buckets AS (
+         |  $bucketSelects),
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS cand_id
+         |  FROM buckets q JOIN buckets b ON q.tbl = b.tbl AND q.bkey = b.bkey
+         |  WHERE q.vec_id % 50 = 0 AND q.vec_id <> b.vec_id),
+         |scored AS (SELECT query_id, cand_id,
+         |    (${dotSql("ea.embedding", "eb.embedding")}) / (ea.nrm * eb.nrm) AS cosine
+         |  FROM cand JOIN e ea ON cand.query_id = ea.vec_id
+         |            JOIN e eb ON cand.cand_id = eb.vec_id),
+         |r AS (SELECT query_id, cand_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rnk
+         |  FROM scored)
+         |SELECT query_id, cand_id, cosine, rnk FROM r WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin
+    },
     "ta_token_stats" ->
       s"""SELECT doc_id,
          |  CAST(len($T) AS BIGINT) AS n_tokens,
