@@ -1,0 +1,159 @@
+package graft.fs
+
+import java.nio.file.attribute.BasicFileAttributes
+import java.nio.file.{Files, LinkOption, Path, Paths}
+import java.sql.Timestamp
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.util.LongAccumulator
+
+/** One scanned regular file's metadata (content is never read here).
+  * Mirrors the reference's per-file record minus the checksum, which a
+  * later stage fills in (/root/reference/file_indexer/indexer.py:283-289). */
+case class ScannedFile(
+    path: String,
+    filename: String,
+    modificationDatetime: Timestamp,
+    fileSize: Long)
+
+/** Counters matching the reference's session counters
+  * (/root/reference/file_indexer/indexer.py:79-87), backed by Spark
+  * accumulators so executor-side skips are visible on the driver. */
+final class ScanStats(spark: SparkSession) extends Serializable {
+  val ignoredSymlinks: LongAccumulator = spark.sparkContext.longAccumulator("ignoredSymlinks")
+  val ignoredSpecialFiles: LongAccumulator = spark.sparkContext.longAccumulator("ignoredSpecialFiles")
+  val permissionErrors: LongAccumulator = spark.sparkContext.longAccumulator("permissionErrors")
+  val skippedFiles: LongAccumulator = spark.sparkContext.longAccumulator("skippedFiles")
+}
+
+/** Distributed filesystem scan (reference A1–A4:
+  * `scan_directory_generator` /root/reference/file_indexer/indexer.py:184-220
+  * and the Go walker file_indexer_go/indexer/indexer.go:57-229).
+  *
+  * Design for scale: the driver only seeds *directories*; executors walk
+  * their assigned subtrees and stat files locally, so a 10^9-file tree
+  * never materializes on the driver. Listing one level of top-level
+  * subdirectories on the driver gives enough seeds to spread across
+  * executors; each seed expands recursively executor-side.
+  *
+  * Per-file error tolerance is the reference's contract: a permission
+  * error never fails the scan, it increments a counter and the file is
+  * skipped (indexer.py:41-48, 343-351).
+  */
+object FsScan {
+
+  /** Should this dirent become an index row? Regular files only —
+    * symlinks and special files (pipes, sockets, devices) are counted
+    * and skipped, matching `_should_process_file`
+    * (/root/reference/file_indexer/indexer.py:112-156). */
+  private def classify(p: Path, stats: ScanStats): Option[BasicFileAttributes] = {
+    try {
+      val attrs = Files.readAttributes(p, classOf[BasicFileAttributes], LinkOption.NOFOLLOW_LINKS)
+      if (attrs.isSymbolicLink) { stats.ignoredSymlinks.add(1); None }
+      else if (!attrs.isRegularFile) { stats.ignoredSpecialFiles.add(1); None }
+      else Some(attrs)
+    } catch {
+      case _: SecurityException | _: java.nio.file.AccessDeniedException =>
+        stats.permissionErrors.add(1); None
+      case _: java.io.IOException =>
+        stats.permissionErrors.add(1); None
+    }
+  }
+
+  private def toRecord(p: Path, attrs: BasicFileAttributes): ScannedFile =
+    ScannedFile(
+      path = Option(p.getParent).map(_.toString).getOrElse(""),
+      filename = p.getFileName.toString,
+      modificationDatetime = new Timestamp(attrs.lastModifiedTime.toMillis),
+      fileSize = attrs.size)
+
+  /** Walk one directory subtree iteratively (no recursion-depth limit,
+    * memory bounded by the directory stack), yielding regular files. */
+  private def walkSubtree(root: String, stats: ScanStats): Iterator[ScannedFile] = {
+    val out = ArrayBuffer.empty[ScannedFile]
+    val stack = scala.collection.mutable.Stack(Paths.get(root))
+    while (stack.nonEmpty) {
+      val dir = stack.pop()
+      try {
+        val ds = Files.newDirectoryStream(dir)
+        try {
+          ds.forEach { p =>
+            classify(p, stats) match {
+              case Some(attrs) if attrs.isRegularFile => out += toRecord(p, attrs)
+              case _ =>
+                // Only descend into real directories, never through symlinks.
+                if (Files.isDirectory(p, LinkOption.NOFOLLOW_LINKS)) stack.push(p)
+            }
+          }
+        } finally ds.close()
+      } catch {
+        case _: Exception => stats.permissionErrors.add(1)
+      }
+    }
+    out.iterator
+  }
+
+  /** Seed list: the root plus its immediate subdirectories, so Spark
+    * can parallelize the walk across executors. A deeper seeding pass
+    * would be used for very flat-rooted trees; one level suffices for
+    * typical layouts (and degrades gracefully to a single task). */
+  private def seeds(directoryPath: String): Seq[String] = {
+    val root = Paths.get(directoryPath)
+    val subdirs = ArrayBuffer.empty[String]
+    try {
+      val ds = Files.newDirectoryStream(root)
+      try ds.forEach { p =>
+        if (Files.isDirectory(p, LinkOption.NOFOLLOW_LINKS)) subdirs += p.toString
+      } finally ds.close()
+    } catch { case _: Exception => () }
+    directoryPath +: subdirs.toSeq
+  }
+
+  /** Recursive scan: Dataset of file metadata for every regular file
+    * under `directoryPath`. The root seed itself is walked
+    * non-recursively (its subdirs are separate seeds) to avoid double
+    * counting. */
+  def scan(spark: SparkSession, directoryPath: String, recursive: Boolean = true,
+      stats: Option[ScanStats] = None): Dataset[ScannedFile] = {
+    import spark.implicits._
+    val st = stats.getOrElse(new ScanStats(spark))
+    if (!recursive) {
+      val ss = Seq(directoryPath)
+      spark.createDataset(ss).flatMap(d => listOne(d, st))
+    } else {
+      val ss = seeds(directoryPath)
+      val root = directoryPath
+      spark.createDataset(ss).repartition(ss.size.min(64)).flatMap { d =>
+        if (d == root) listOne(d, st) // files directly in the root
+        else walkSubtree(d, st)       // each subtree walked executor-side
+      }
+    }
+  }
+
+  /** [[scan]] with the index table's snake_case column names
+    * (path, filename, modification_datetime, file_size) — the
+    * canonical shape the checksum stage and store operate on. */
+  def scanDF(spark: SparkSession, directoryPath: String, recursive: Boolean = true,
+      stats: Option[ScanStats] = None): org.apache.spark.sql.DataFrame =
+    scan(spark, directoryPath, recursive, stats).toDF()
+      .withColumnRenamed("modificationDatetime", "modification_datetime")
+      .withColumnRenamed("fileSize", "file_size")
+
+  /** Non-recursive listing of one directory (reference
+    * `Path.iterdir` branch, indexer.py:215-218). */
+  private def listOne(dir: String, stats: ScanStats): Iterator[ScannedFile] = {
+    val out = ArrayBuffer.empty[ScannedFile]
+    try {
+      val ds = Files.newDirectoryStream(Paths.get(dir))
+      try ds.forEach { p =>
+        classify(p, stats) match {
+          case Some(attrs) if attrs.isRegularFile => out += toRecord(p, attrs)
+          case _ => ()
+        }
+      } finally ds.close()
+    } catch { case _: Exception => stats.permissionErrors.add(1) }
+    out.iterator
+  }
+}

@@ -1,0 +1,80 @@
+package graft.fs
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Persistent index = a parquet snapshot directory with an atomic-swap
+  * write protocol (the Spark replacement for the reference's single
+  * DuckDB file, /root/reference/file_indexer/indexer.py:71,89-110, and
+  * its BEGIN/COMMIT transactions, indexer.py:419-446 → SURVEY.md G6).
+  *
+  * Write protocol: write to `<root>/.tmp-<nonce>`, then atomically
+  * rename over `<root>/current`. Readers always see either the old or
+  * the new complete snapshot — the reference's read-only API connection
+  * (api_backend database.py:37-43) maps to reading the last published
+  * snapshot. At cluster scale the same protocol works over any
+  * filesystem with atomic dir rename, or a manifest-pointer file on
+  * object stores.
+  *
+  * PRIMARY KEY (path, filename) is enforced by construction: every
+  * publish dedups with last-writer-wins on `indexed_at`
+  * (row_number over (path, filename) — SURVEY.md §1.4).
+  */
+object IndexStore {
+
+  val schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("filename", StringType, nullable = false),
+    StructField("checksum", StringType, nullable = true),
+    StructField("modification_datetime", TimestampType, nullable = false),
+    StructField("file_size", LongType, nullable = false),
+    StructField("indexed_at", TimestampType, nullable = false)))
+
+  private def currentDir(root: String) = s"$root/current"
+
+  def exists(root: String): Boolean = Files.exists(Paths.get(currentDir(root)))
+
+  /** Load the published snapshot; empty DF with the index schema when
+    * no snapshot exists yet. */
+  def load(spark: SparkSession, root: String): DataFrame =
+    if (exists(root)) spark.read.parquet(currentDir(root))
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Last-writer-wins dedup on the (path, filename) primary key. */
+  def dedupLastWins(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("path", "filename").orderBy(col("indexed_at").desc)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Publish a new snapshot atomically (write tmp, swap, clean old). */
+  def publish(df: DataFrame, root: String): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val tmp = s"$root/.tmp-${System.nanoTime()}"
+    dedupLastWins(df)
+      .select("path", "filename", "checksum", "modification_datetime", "file_size", "indexed_at")
+      .write.mode("overwrite").parquet(tmp)
+    val cur = Paths.get(currentDir(root))
+    val old = Paths.get(s"$root/.old-${System.nanoTime()}")
+    if (Files.exists(cur)) Files.move(cur, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), cur, StandardCopyOption.ATOMIC_MOVE)
+    if (Files.exists(old)) deleteRecursively(old)
+  }
+
+  /** Upsert rows into the snapshot (reference A8/A9: bulk insert
+    * indexer.py:411-448; Go ON CONFLICT DO UPDATE database.go:98-113):
+    * union + last-writer-wins + swap. */
+  def upsert(spark: SparkSession, root: String, rows: DataFrame): Unit =
+    publish(load(spark, root).unionByName(rows.select(schema.fieldNames.map(col): _*)), root)
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val ds = Files.newDirectoryStream(p)
+      try ds.forEach(deleteRecursively) finally ds.close()
+    }
+    Files.deleteIfExists(p)
+  }
+}

@@ -1,0 +1,192 @@
+package graft.fs
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.FileQueries
+
+/** Integration tests over a real tmpdir file tree, mirroring the
+  * reference's fixture (/root/reference/tests/test_indexer.py:37-55):
+  * duplicate pair + unique file + empty file + file in a subdir. */
+class FsPipelineSpec extends SparkSpec {
+
+  /** Build the reference-style mini tree; returns (root, indexRoot). */
+  private def mkTree(): (Path, Path) = {
+    val root = Files.createTempDirectory("graft-fsspec")
+    def w(rel: String, content: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, content.getBytes(StandardCharsets.UTF_8))
+    }
+    w("file1.txt", "duplicate content")
+    w("file2.txt", "duplicate content")   // same bytes as file1 → same checksum
+    w("unique.log", "unique content here")
+    w("empty.dat", "")
+    w("sub/nested.txt", "nested content")
+    w("sub/deeper/deep.txt", "duplicate content") // third copy, different dir
+    val indexRoot = Files.createTempDirectory("graft-index")
+    (root, indexRoot)
+  }
+
+  test("fullIndex: scans, hashes, publishes; empty file gets NULL checksum") {
+    val (root, idx) = mkTree()
+    val stats = Indexer.fullIndex(spark, root.toString, idx.toString)
+    assert(stats.scanned == 6)
+    val df = IndexStore.load(spark, idx.toString).cache()
+    assert(df.count() == 6)
+    // empty file indexed but not hashed (indexer.py:158-163)
+    assert(df.filter(col("filename") === "empty.dat" && col("checksum").isNull).count() == 1)
+    // identical content → identical checksum across directories
+    val dupSums = df.filter(col("filename").isin("file1.txt", "file2.txt", "deep.txt"))
+      .select("checksum").distinct().collect()
+    assert(dupSums.length == 1 && dupSums.head.getString(0) != null)
+    // sha-256 of "duplicate content" is stable
+    assert(dupSums.head.getString(0).matches("[0-9a-f]{64}"))
+    df.unpersist()
+  }
+
+  test("duplicate detection on a freshly built index") {
+    val (root, idx) = mkTree()
+    Indexer.fullIndex(spark, root.toString, idx.toString)
+    val dups = FileQueries.duplicates(IndexStore.load(spark, idx.toString))
+    val names = dups.select("filename").collect().map(_.getString(0)).sorted
+    assert(names.toSeq == Seq("deep.txt", "file1.txt", "file2.txt"))
+    assert(dups.select("group_size").distinct().collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("two-phase: phase 1 hashes nothing; phase 2 hashes only size collisions") {
+    val (root, idx) = mkTree()
+    val (p1, hashed) = Indexer.twoPhaseIndex(spark, root.toString, idx.toString)
+    assert(p1.scanned == 6 && p1.checksummed == 0)
+    val df = IndexStore.load(spark, idx.toString).cache()
+    // Only the three "duplicate content" files share a size → only they
+    // get hashed (the ~95%-reduction prefilter, indexer.py:1487-1559).
+    assert(hashed == 3)
+    assert(df.filter(col("checksum").isNotNull).count() == 3)
+    assert(df.filter(col("filename") === "unique.log" && col("checksum").isNull).count() == 1)
+    // and the hashed ones agree
+    assert(df.filter(col("checksum").isNotNull).select("checksum").distinct().count() == 1)
+    df.unpersist()
+  }
+
+  test("two-phase finds the same duplicates as full indexing") {
+    val (root, idx1) = mkTree()
+    val (root2, idx2) = mkTree()
+    Indexer.fullIndex(spark, root.toString, idx1.toString)
+    Indexer.twoPhaseIndex(spark, root2.toString, idx2.toString)
+    def dupNames(idx: Path) =
+      FileQueries.duplicates(IndexStore.load(spark, idx.toString))
+        .select("filename").collect().map(_.getString(0)).sorted.toSeq
+    assert(dupNames(idx1) == dupNames(idx2))
+  }
+
+  test("incremental re-index: unchanged files reuse checksums, changes re-hash") {
+    val (root, idx) = mkTree()
+    Indexer.fullIndex(spark, root.toString, idx.toString)
+    val before = IndexStore.load(spark, idx.toString)
+      .select("filename", "checksum", "indexed_at").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getTimestamp(2))).toMap
+
+    // modify one file, add one file
+    Files.write(root.resolve("unique.log"), "changed!".getBytes(StandardCharsets.UTF_8))
+    Files.write(root.resolve("new.txt"), "brand new".getBytes(StandardCharsets.UTF_8))
+    // make mtime change visible even on coarse-granularity filesystems
+    Files.setLastModifiedTime(root.resolve("unique.log"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
+
+    val stats = Indexer.incrementalIndex(spark, root.toString, idx.toString)
+    assert(stats.inserted == 1, s"inserted=${stats.inserted}")
+    assert(stats.updated == 1, s"updated=${stats.updated}")
+    assert(stats.unchanged == 5, s"unchanged=${stats.unchanged}")
+
+    val after = IndexStore.load(spark, idx.toString)
+    assert(after.count() == 7)
+    val afterMap = after.select("filename", "checksum", "indexed_at").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getTimestamp(2))).toMap
+    // unchanged file kept its original indexed_at (checksum reuse, no rewrite)
+    assert(afterMap("file1.txt") == before("file1.txt"))
+    // changed file got a new checksum
+    assert(afterMap("unique.log")._1 != before("unique.log")._1)
+    assert(afterMap.contains("new.txt"))
+  }
+
+  test("cleanupDeletedFiles: dead directory kills children via one check; live dirs per-file") {
+    val (root, idx) = mkTree()
+    Indexer.fullIndex(spark, root.toString, idx.toString)
+    // delete one file and one whole subtree
+    Files.delete(root.resolve("file2.txt"))
+    Files.delete(root.resolve("sub/deeper/deep.txt"))
+    Files.delete(root.resolve("sub/deeper"))
+    val stats = Indexer.cleanupDeletedFiles(spark, idx.toString)
+    assert(stats.totalChecked == 6)
+    assert(stats.deletedFiles == 2)
+    assert(stats.deletedDirectories == 1)
+    val left = IndexStore.load(spark, idx.toString).select("filename")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(left == Seq("empty.dat", "file1.txt", "nested.txt", "unique.log"))
+  }
+
+  test("cleanupEmptyDirectories removes rows for vanished dirs only") {
+    val (root, idx) = mkTree()
+    Indexer.fullIndex(spark, root.toString, idx.toString)
+    Files.delete(root.resolve("sub/deeper/deep.txt"))
+    Files.delete(root.resolve("sub/deeper"))
+    val stats = Indexer.cleanupEmptyDirectories(spark, idx.toString)
+    assert(stats.deletedDirectories == 1)
+    assert(stats.deletedFiles == 1)
+    assert(IndexStore.load(spark, idx.toString).count() == 5)
+  }
+
+  test("scan skips symlinks; non-recursive lists only the top level") {
+    val (root, _) = mkTree()
+    Files.createSymbolicLink(root.resolve("link.txt"), root.resolve("file1.txt"))
+    val stats = new ScanStats(spark)
+    val rec = FsScan.scan(spark, root.toString, recursive = true, Some(stats)).collect()
+    assert(rec.length == 6) // symlink excluded
+    assert(stats.ignoredSymlinks.value == 1)
+    val flat = FsScan.scan(spark, root.toString, recursive = false).collect()
+    assert(flat.map(_.filename).sorted.toSeq ==
+      Seq("empty.dat", "file1.txt", "file2.txt", "unique.log"))
+  }
+
+  test("checksum stage: streaming hash matches MessageDigest over whole content") {
+    val (root, _) = mkTree()
+    val expected = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("duplicate content".getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    assert(ChecksumStage.hashFile(root.resolve("file1.txt").toString).contains(expected))
+    // unreadable file → None, not an exception
+    assert(ChecksumStage.hashFile(root.resolve("does-not-exist").toString).isEmpty)
+  }
+
+  test("size cap semantics: maxChecksumSize caps, 0 = unlimited, <0 = none") {
+    val (root, _) = mkTree()
+    val scanned = FsScan.scanDF(spark, root.toString)
+    def nHashed(cap: Long) =
+      ChecksumStage.withChecksums(spark, scanned, cap)
+        .filter(col("checksum").isNotNull).count()
+    assert(nHashed(-1L) == 0)          // phase-1 sentinel
+    assert(nHashed(0L) == 5)           // unlimited: everything but empty
+    assert(nHashed(15L) == 1)          // only nested.txt (14 bytes) fits the cap
+    assert(nHashed(1000L) == 5)
+  }
+
+  test("IndexStore.upsert is last-writer-wins on (path, filename)") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft-upsert")
+    val t0 = new java.sql.Timestamp(1000000L)
+    val t1 = new java.sql.Timestamp(2000000L)
+    val a = Seq(("/d", "f.txt", "aaa", t0, 10L, t0)).toDF(
+      "path", "filename", "checksum", "modification_datetime", "file_size", "indexed_at")
+    IndexStore.publish(a, idx.toString)
+    val b = Seq(("/d", "f.txt", "bbb", t1, 20L, t1)).toDF(
+      "path", "filename", "checksum", "modification_datetime", "file_size", "indexed_at")
+    IndexStore.upsert(spark, idx.toString, b)
+    val rows = IndexStore.load(spark, idx.toString).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("checksum") == "bbb")
+  }
+}

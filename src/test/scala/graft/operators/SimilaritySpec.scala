@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.VectorOps
+
+/** Semantics tests for vector ops + similarity search on tiny crafted
+  * embeddings with known cosines. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 64-dim vectors: e1 = e2 (cos 1), e3 orthogonal to both, e50 = query id.
+  private def vec(hot: Int*): Array[Float] = {
+    val a = Array.fill(64)(0.0f); hot.foreach(i => a(i) = 1.0f); a
+  }
+  private lazy val emb: DataFrame = Seq(
+    (0L, vec(0, 1), 0),   // query (0 % 50 == 0)
+    (1L, vec(0, 1), 0),   // identical to query
+    (2L, vec(0), 0),      // cos = 1/sqrt(2) ≈ 0.7071
+    (3L, vec(5, 6), 0),   // orthogonal
+    (4L, vec(1, 0), 0)    // same as query again
+  ).toDF("vec_id", "embedding", "label")
+
+  test("VectorOps dot/norm/cosine basics") {
+    val df = Seq((vec(0, 1), vec(0, 1))).toDF("a", "b")
+      .select(
+        VectorOps.dot(VectorOps.toDouble(col("a")), VectorOps.toDouble(col("b"))).as("d"),
+        VectorOps.norm(VectorOps.toDouble(col("a"))).as("n"))
+    val r = df.collect().head
+    assert(r.getDouble(0) == 2.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(2)) < 1e-12)
+  }
+
+  test("cosinePairs finds all high-cosine pairs exactly once, a < b") {
+    val pairs = Similarity.cosinePairs(emb, threshold = 0.99).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (0L, 4L), (1L, 4L)))
+  }
+
+  test("topkBrute ranks by cosine desc with cand_id tie-break, excludes self") {
+    val top = Similarity.topkBrute(emb, queryMod = 50L, k = 3).collect()
+    assert(top.forall(_.getAs[Long]("query_id") == 0L))
+    val ranked = top.map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("cand_id")))
+    // cos: id1 = 1.0, id4 = 1.0 (tie → lower id first), id2 ≈ 0.707
+    assert(ranked.toSeq == Seq((1, 1L), (2, 4L), (3, 2L)))
+  }
+
+  test("topkLsh: identical vectors share every bucket, so exact dup is always found") {
+    val top = Similarity.topkLsh(emb, queryMod = 50L, k = 3).collect()
+    val cands = top.map(_.getAs[Long]("cand_id")).toSet
+    assert(cands.contains(1L) && cands.contains(4L))
+    // LSH returns a subset of brute-force candidates, re-ranked exactly
+    val brute = Similarity.topkBrute(emb, 50L, 5).collect()
+      .map(r => r.getAs[Long]("cand_id") -> r.getAs[Double]("cosine")).toMap
+    top.foreach { r =>
+      assert(math.abs(brute(r.getAs[Long]("cand_id")) - r.getAs[Double]("cosine")) < 1e-12)
+    }
+  }
+}
