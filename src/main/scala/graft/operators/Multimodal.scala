@@ -1,0 +1,120 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One media row: an opaque binary payload + typed metadata. */
+case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+
+/** Decoded (stub) media metadata. */
+case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Long,
+    magic: String, width: Int, height: Int, n_frames: Int)
+
+/** One sampled frame. */
+case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Int, frame_md5: String)
+
+/** Multimodal-column operators for a training-data pipeline: treat
+  * image/audio/video as opaque `binary` columns with typed metadata,
+  * processed by batch-shaped `mapPartitions` stages (the JVM analogue
+  * of an Arrow-batched Python UDF: one iterator in, one iterator out,
+  * vectorizable per partition, no per-row UDF dispatch).
+  *
+  * REAL here: the Spark-side plumbing — binary column handling, typed
+  * Datasets + Encoders, partition-batch iteration, schema, and the
+  * frame-explosion shape (one input row → many output rows without
+  * materializing all frames in memory).
+  *
+  * STUBBED here (marked `STUB`): the actual codec. This container has
+  * no image/audio libraries, so [[StubCodec]] replaces libjpeg/ffmpeg
+  * with a deterministic pure function of the bytes. Swapping in a real
+  * decoder changes ONLY StubCodec — every plan shape stays identical.
+  */
+object Multimodal {
+
+  /** STUB codec: deterministic fake decode, a pure function of the
+    * payload so the DuckDB oracle can mirror it exactly. A real
+    * implementation would call the native decoder here (and only
+    * here). */
+  object StubCodec {
+    val FrameBytes = 16 // fake fixed-size "frame" for frame sampling
+
+    def md5hex(bytes: Array[Byte]): String =
+      MessageDigest.getInstance("MD5").digest(bytes).map("%02x".format(_)).mkString
+
+    /** Fake dimensions derived from the byte length (integer-only —
+      * identical arithmetic in any engine). */
+    def decode(payload: Array[Byte]): (String, Int, Int, Int) = {
+      val n = payload.length
+      val magic = md5hex(payload).substring(0, 8)           // "format sniff"
+      val width = 64 + n % 193
+      val height = 64 + (n * 7) % 129
+      val nFrames = math.max(n / FrameBytes, 1)
+      (magic, width, height, nFrames)
+    }
+  }
+
+  /** Synthesize the media table from `documents`: payload = UTF-8 bytes
+    * of the text (a stand-in for real image/audio bytes), media_type
+    * cycles image/audio/video. Mirrored 1:1 by the oracle's
+    * `encode(text)`. */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("media_type"),
+      encode(col("text"), "UTF-8").cast("binary").as("payload"))
+
+  /** Decode / feature-extract stage: batch-shaped mapPartitions over
+    * the binary column; only metadata (not payload) survives into the
+    * output, so downstream stages shuffle kilobytes, not media bytes. */
+  def decodeMetadata(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload").as[MediaRow]
+      .mapPartitions { batch =>
+        // one decoder instance per partition, reused across the batch —
+        // the plumbing a real (expensive-to-init) codec needs
+        batch.map { row =>
+          val (magic, w, h, f) = StubCodec.decode(row.payload)
+          MediaMeta(row.doc_id, row.media_type, row.payload.length.toLong, magic, w, h, f)
+        }
+      }
+  }
+
+  /** Frame sampling: every `step`-th fixed-size frame of each payload,
+    * emitted lazily (iterator flatMap — a 2-hour video never
+    * materializes all frames at once). */
+  def sampleFrames(spark: SparkSession, media: DataFrame, step: Int = 4): Dataset[Frame] = {
+    import spark.implicits._
+    val fb = StubCodec.FrameBytes
+    media.select("doc_id", "media_type", "payload").as[MediaRow]
+      .mapPartitions { batch =>
+        batch.flatMap { row =>
+          val nFrames = math.max(row.payload.length / fb, 1)
+          Iterator.range(0, nFrames, step).map { i =>
+            val from = i * fb
+            val until = math.min(from + fb, row.payload.length)
+            val slice = java.util.Arrays.copyOfRange(row.payload, from, math.max(until, from))
+            Frame(row.doc_id, i, slice.length, StubCodec.md5hex(slice))
+          }
+        }
+      }
+  }
+
+  /** Resize stub: pure metadata transform of the decoded dims (the
+    * real op would re-encode payload; the *plan* — narrow map after
+    * decode, no shuffle — is what matters). */
+  def resizeMeta(meta: Dataset[MediaMeta], maxSide: Int = 128): DataFrame =
+    meta.toDF().withColumn("scale_num",
+        when(greatest(col("width"), col("height")) > maxSide, lit(maxSide))
+          .otherwise(greatest(col("width"), col("height"))))
+      .withColumn("out_width",
+        floor((col("width") * col("scale_num")) / greatest(col("width"), col("height"))))
+      .withColumn("out_height",
+        floor((col("height") * col("scale_num")) / greatest(col("width"), col("height"))))
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+        col("out_width").cast("long").as("out_width"),
+        col("out_height").cast("long").as("out_height"))
+}

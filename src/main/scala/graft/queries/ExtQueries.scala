@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Multimodal
+import graft.streaming.Events
+import graft.tables.{FilesCte, Tables}
+
+/** Event-analytics (`ev_*`), multimodal (`mm_*`), and SQL-passthrough
+  * (`fi_sql`) query instances with DuckDB oracles.
+  *
+  * ev_*: exact cross-engine arithmetic via decimal sums (double sums
+  * are partial-order-dependent) and microsecond-integer time math.
+  *
+  * mm_*: the Spark side runs the REAL plumbing — binary payload
+  * column, typed mapPartitions decode (Multimodal.StubCodec), lazy
+  * frame explosion. The oracle mirrors the stub codec as pure SQL over
+  * the same bytes (documents.text is ASCII, so byte arithmetic ==
+  * char arithmetic and DuckDB's VARCHAR md5 matches byte-slice md5).
+  */
+object ExtQueries {
+  private def events(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
+  private def media(s: SparkSession, d: String): DataFrame =
+    Multimodal.mediaTable(Tables.documents(s, d))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_tumbling_hourly" -> ((s, d) => Events.tumblingHourly(events(s, d))),
+    "ev_sessions" -> ((s, d) => Events.sessionize(events(s, d), gapMinutes = 30)),
+    "ev_rolling_hour" -> ((s, d) => Events.rollingHourByUser(events(s, d))),
+    "ev_top_users" -> ((s, d) => Events.topUsers(events(s, d), k = 10)),
+    "mm_metadata" -> ((s, d) =>
+      Multimodal.decodeMetadata(s, media(s, d)).toDF().orderBy("doc_id")),
+    "mm_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(s, media(s, d), step = 4).toDF()
+        .orderBy("doc_id", "frame_idx")),
+    "mm_resize" -> ((s, d) =>
+      Multimodal.resizeMeta(Multimodal.decodeMetadata(s, media(s, d)), maxSide = 128)
+        .orderBy("doc_id")),
+    // H7 — raw SQL passthrough (Go -sql, file_indexer_go/db/database.go:269-317):
+    // the engine exposes full SQL over registered views.
+    "fi_sql" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT path, COUNT(*) AS n, CAST(SUM(file_size) AS BIGINT) AS bytes
+              |FROM files WHERE checksum IS NOT NULL
+              |GROUP BY path HAVING COUNT(*) > 5
+              |ORDER BY n DESC, path""".stripMargin)
+    })
+  )
+
+  private val mediaTypeSql =
+    "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
+
+  val oracle: Map[String, String] = Map(
+    "ev_tumbling_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, COUNT(*) AS n_events,
+        |  SUM(CAST(value AS DECIMAL(18,6))) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "ev_sessions" ->
+      """WITH m AS (
+        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |    WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000 THEN 1
+        |    ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM m)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  SUM(CAST(value AS DECIMAL(18,6))) AS total_value
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+    "ev_rolling_hour" ->
+      """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  COUNT(*) OVER w AS events_last_hour,
+        |  SUM(CAST(value AS DECIMAL(18,6))) OVER w AS value_last_hour
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "ev_top_users" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  SUM(CAST(value AS DECIMAL(18,6))) AS total_value
+        |FROM events GROUP BY user_id
+        |ORDER BY total_value DESC, user_id LIMIT 10""".stripMargin,
+    "mm_metadata" ->
+      s"""SELECT doc_id, $mediaTypeSql AS media_type,
+         |  CAST(length(text) AS BIGINT) AS n_bytes,
+         |  substr(md5(text), 1, 8) AS magic,
+         |  CAST(64 + length(text) % 193 AS INT) AS width,
+         |  CAST(64 + (length(text) * 7) % 129 AS INT) AS height,
+         |  CAST(greatest(length(text) // 16, 1) AS INT) AS n_frames
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(unnest(generate_series(0,
+        |      greatest(length(text) // 16, 1) - 1, 4)) AS INT) AS frame_idx,
+        |    text
+        |  FROM documents)
+        |SELECT doc_id, frame_idx,
+        |  CAST(length(substr(text, frame_idx * 16 + 1, 16)) AS INT) AS frame_bytes,
+        |  md5(substr(text, frame_idx * 16 + 1, 16)) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_resize" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, $mediaTypeSql AS media_type,
+         |    CAST(64 + length(text) % 193 AS INT) AS width,
+         |    CAST(64 + (length(text) * 7) % 129 AS INT) AS height
+         |  FROM documents),
+         |s AS (
+         |  SELECT *, CASE WHEN greatest(width, height) > 128 THEN 128
+         |    ELSE greatest(width, height) END AS scale_num FROM m)
+         |SELECT doc_id, media_type, width, height,
+         |  CAST(floor(CAST(width * scale_num AS DOUBLE) / greatest(width, height)) AS BIGINT) AS out_width,
+         |  CAST(floor(CAST(height * scale_num AS DOUBLE) / greatest(width, height)) AS BIGINT) AS out_height
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "fi_sql" -> FilesCte.wrap(
+      """SELECT path, COUNT(*) AS n, CAST(SUM(file_size) AS BIGINT) AS bytes
+        |FROM files WHERE checksum IS NOT NULL
+        |GROUP BY path HAVING COUNT(*) > 5
+        |ORDER BY n DESC, path""".stripMargin)
+  )
+}

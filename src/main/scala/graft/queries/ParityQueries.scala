@@ -22,7 +22,7 @@ object ParityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B1 — multi-criteria search (indexer.py:697-749)
     "fi_search_filename" -> ((s, d) =>
-      searchFiles(files(s, d), filenamePattern = Some("%7.txt"),
+      searchFiles(files(s, d), filenamePattern = Some("%5.txt"),
         pathPattern = Some("/data/d1%"), hasChecksum = Some(true))),
     // B5 — point lookup (filename is unique in the synthesized view)
     "fi_point_lookup" -> ((s, d) =>
@@ -100,7 +100,7 @@ object ParityQueries {
   val oracle: Map[String, String] = Map(
     "fi_search_filename" -> w(
       """SELECT * FROM files
-        |WHERE filename LIKE '%7.txt' AND path LIKE '/data/d1%' AND checksum IS NOT NULL
+        |WHERE filename LIKE '%5.txt' AND path LIKE '/data/d1%' AND checksum IS NOT NULL
         |ORDER BY path, filename""".stripMargin),
     "fi_point_lookup" -> w(
       """SELECT * FROM files WHERE filename LIKE 'order_101.log'

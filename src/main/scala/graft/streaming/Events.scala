@@ -1,0 +1,163 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** One emitted (closed or in-progress) session from the streaming
+  * sessionizer. Top-level: Spark's state/row encoders codegen against
+  * these and need stable, outer-pointer-free classes. */
+case class SessionUpdate(userId: Long, nEvents: Long, totalValue: Double,
+    sessionStart: java.sql.Timestamp, sessionEnd: java.sql.Timestamp, closed: Boolean)
+
+/** Keyed per-user session state (O(1) per user). */
+case class SessionState(nEvents: Long, totalValue: Double,
+    start: java.sql.Timestamp, last: java.sql.Timestamp)
+
+/** Event analytics over the `events` table (event_id, ts, user_id,
+  * event_type, value, props), in two forms:
+  *
+  *  1. BATCH operators (oracle-checked) — the exact computation, used
+  *     for backfill and as the semantic ground truth;
+  *  2. STREAMING operators — the same aggregations as unbounded
+  *     Structured Streaming plans with watermarks and, for
+  *     sessionization, explicit keyed state via
+  *     `flatMapGroupsWithState`.
+  *
+  * The reference has no streaming at all (SURVEY.md §2-I) — this is
+  * the scale-path extension: at 100 TB/day, the tumbling/session
+  * aggregates run incrementally with bounded state instead of
+  * re-scanning history.
+  */
+object Events {
+
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  // ---------------------------------------------------------------- batch
+
+  /** `value` as exact decimal — double sums are order-dependent across
+    * engines/partitionings; decimal sums are associative and therefore
+    * deterministic at any parallelism (this is also the right call at
+    * 100 TB: partial-aggregate order is never reproducible there). */
+  private def valueDec = col("value").cast("decimal(18,6)")
+
+  /** Hourly tumbling counts per event type. date_trunc (not window())
+    * keys the group — identical semantics, cross-engine comparable. */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events.groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(valueDec).as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Gap-based sessionization (30-min inactivity): lag + running sum
+    * assigns session ordinals per user, then session-level rollup.
+    * One shuffle on user_id; the two windows share the partitioning. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // microsecond-exact gap test — both engines compare the same integers
+    val newSession = when(
+      unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+        > gapMinutes * 60L * 1000000L, 1L).otherwise(lit(0L))
+    val marked = events.withColumn("is_new",
+        when(lag(col("ts"), 1).over(byUser).isNull, 1L).otherwise(newSession))
+      .withColumn("session_seq", sum(col("is_new")).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        sum(valueDec).as("total_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** Per-event trailing-hour activity via a RANGE window over event
+    * time (seconds) per user — the batch twin of a sliding-window
+    * stream aggregate. */
+  def rollingHourByUser(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    events.select(col("event_id"), col("user_id"), col("ts"),
+        count(lit(1)).over(w).as("events_last_hour"),
+        sum(valueDec).over(w).as("value_last_hour"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("events_last_hour"), col("value_last_hour"))
+      .orderBy("event_id")
+  }
+
+  /** Top-k users by total value (deterministic tie-break on user_id). */
+  def topUsers(events: DataFrame, k: Int = 10): DataFrame =
+    events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum(valueDec).as("total_value"))
+      .orderBy(col("total_value").desc, col("user_id"))
+      .limit(k)
+
+  // ------------------------------------------------------------ streaming
+
+  /** Unbounded source over a directory of parquet event files. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Streaming twin of [[tumblingHourly]]: 1-hour tumbling windows
+    * with a 2-hour watermark bounding state. Append-mode compatible. */
+  def streamingTumblingHourly(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Streaming sessionization with explicit keyed state: events group
+    * by user; a session closes after `gapMinutes` of event-time
+    * inactivity (watermark-driven timeout). State per user is O(1) —
+    * the streaming answer to [[sessionize]]'s full-history windows. */
+  def streamingSessions(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 30): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+    events.withWatermark("ts", "2 hours")
+      .selectExpr("user_id", "ts", "value")
+      .as[(Long, Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionUpdate(userId, s.nEvents, s.totalValue, s.start, s.last, closed = true))
+          } else {
+            val sorted = rows.toSeq.sortBy(_._2.getTime)
+            var closedSessions = List.empty[SessionUpdate]
+            var cur = state.getOption
+            sorted.foreach { case (_, ts, v) =>
+              cur match {
+                case Some(s) if ts.getTime - s.last.getTime <= gapMs =>
+                  cur = Some(s.copy(nEvents = s.nEvents + 1,
+                    totalValue = s.totalValue + v, last = ts))
+                case Some(s) =>
+                  closedSessions ::= SessionUpdate(userId, s.nEvents, s.totalValue,
+                    s.start, s.last, closed = true)
+                  cur = Some(SessionState(1, v, ts, ts))
+                case None =>
+                  cur = Some(SessionState(1, v, ts, ts))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last.getTime + gapMs)
+            }
+            closedSessions.reverseIterator
+          }
+      }
+  }
+}

@@ -30,7 +30,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark's reader
+    * rejects outright; read nanos as long and convert with integer
+    * `div` (a double division would lose precision above 2^53 ns).
+    * The testdata has no sub-microsecond values, and DuckDB's reader
+    * coerces the same column to micros, so the two engines see
+    * identical timestamps. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
@@ -39,7 +49,10 @@ object Tables {
     * file_indexer_go/db/database.go:269-317) is available via
     * `spark.sql(...)`. */
   def registerAll(spark: SparkSession, dir: String): Unit = {
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
     files(spark, dir).createOrReplaceTempView("files")
   }
 

@@ -1,0 +1,59 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs: DataFrame = Seq(
+    (0L, "a" * 40, "en", "s", 40L),
+    (1L, "short", "en", "s", 5L),
+    (2L, "b" * 33, "en", "s", 33L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("mediaTable: payload is exact UTF-8 bytes; media_type cycles") {
+    val rows = Multimodal.mediaTable(docs).orderBy("doc_id").collect()
+    assert(rows.map(_.getAs[String]("media_type")).toSeq == Seq("image", "audio", "video"))
+    assert(rows(0).getAs[Array[Byte]]("payload").sameElements(
+      ("a" * 40).getBytes(StandardCharsets.UTF_8)))
+  }
+
+  test("decodeMetadata: stub codec dims are a pure function of byte length") {
+    val m = Multimodal.decodeMetadata(spark, Multimodal.mediaTable(docs))
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(m(0L).n_bytes == 40 && m(0L).width == 64 + 40 % 193)
+    assert(m(0L).n_frames == 2) // 40 / 16
+    assert(m(1L).n_frames == 1) // max(5/16, 1)
+    assert(m(0L).magic.matches("[0-9a-f]{8}"))
+  }
+
+  test("sampleFrames: every 4th 16-byte frame, lazy explosion, md5 per slice") {
+    val f = Multimodal.sampleFrames(spark, Multimodal.mediaTable(docs), step = 4)
+      .collect().groupBy(_.doc_id)
+    // doc 0: 2 frames → sampled idx 0 only (step 4)
+    assert(f(0L).map(_.frame_idx).toSeq == Seq(0))
+    assert(f(0L).head.frame_bytes == 16)
+    val expected = Multimodal.StubCodec.md5hex(("a" * 16).getBytes)
+    assert(f(0L).head.frame_md5 == expected)
+    // doc 1 (5 bytes): one short frame
+    assert(f(1L).head.frame_bytes == 5)
+    // doc 2 (33 bytes): 2 full frames → idx 0
+    assert(f(2L).map(_.frame_idx).toSeq == Seq(0))
+  }
+
+  test("resizeMeta caps the long side at maxSide, preserving aspect ratio") {
+    val r = Multimodal.resizeMeta(
+      Multimodal.decodeMetadata(spark, Multimodal.mediaTable(docs)), maxSide = 128)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    r.values.foreach { row =>
+      assert(row.getAs[Long]("out_width") <= 128 && row.getAs[Long]("out_height") <= 128)
+    }
+    // doc 0: w=104, h=64+280%129=64+22=86 → max 104 ≤ 128 → unscaled
+    assert(r(0L).getAs[Long]("out_width") == 104)
+  }
+}
