@@ -31,9 +31,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Small-file scans arrive as 1–2 partitions; the hashing stages are
+    * CPU-bound per row, so spread them across every core first. (At
+    * 100 TB the scan itself yields thousands of splits and this is a
+    * no-op-sized rebalance; on a laptop-sized file it is the
+    * difference between 1 and 32 busy cores.) */
+  private[graft] def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Tokens plus DISTINCT word n-gram shingles (the shingle *set*). */
   def withShingles(docs: DataFrame, n: Int): DataFrame =
-    docs.withColumn("toks", split(col("text"), " "))
+    spread(docs).withColumn("toks", split(col("text"), " "))
       .withColumn("shingles", array_distinct(expr(
         s"transform(sequence(1, greatest(size(toks) - ${n - 1}, 1)), " +
           s"i -> array_join(slice(toks, i, $n), ' '))")))
@@ -50,7 +58,9 @@ object Dedup {
     * index: explode → self-join on shingle → pair-count = |A∩B| →
     * |A∪B| from per-doc set sizes. */
   def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = withShingles(docs, n).select(col("doc_id"), col("shingles"))
+    // the shingle-set table feeds three plan branches (sizes, inverted
+    // index, and nothing else recomputes it) — cache the one pass
+    val sh = withShingles(docs, n).select(col("doc_id"), col("shingles")).cache()
     val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val common = inv.as("a").join(inv.as("b"),
@@ -79,10 +89,18 @@ object Dedup {
       bands: Int = 4, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val sh = withShingles(docs, n).select(col("doc_id"), col("shingles"))
-    val mhCols = (0 until numHashes).map(i =>
-      array_min(transform(col("shingles"), s => md5(concat(lit(s"$i|"), s)))).as(s"mh$i"))
-    val sig = sh.select(col("doc_id") +: mhCols: _*)
+    // reused by the signature pass and twice by candidate verification
+    val sh = withShingles(docs, n).select(col("doc_id"), col("shingles")).cache()
+    // all k minhashes in one native pass over the shingle set
+    // (graft.functions.MinHashesExpr) — same values as k separate
+    // array_min(transform(..., md5)) projections
+    val mh = {
+      import org.apache.spark.sql.GraftSqlBridge
+      GraftSqlBridge.column(graft.functions.MinHashesExpr(
+        GraftSqlBridge.expression(col("shingles")), numHashes))
+    }
+    val sig = sh.select(col("doc_id"), mh.as("mh"))
+      .select(col("doc_id") +: (0 until numHashes).map(i => col("mh")(i).as(s"mh$i")): _*)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|", (b * r until (b + 1) * r).map(i => col(s"mh$i")): _*)).as("bkey"))
@@ -112,13 +130,16 @@ object Dedup {
     * md5(t) is ≥ '8' (its high bit), else −1. sign ≥ 0 ⇔
     * 2·(count of +1 votes) ≥ n_tokens — integer-only, portable. */
   def withSimhash(docs: DataFrame): DataFrame =
-    docs.withColumn("toks", split(col("text"), " "))
+    spread(docs).withColumn("toks", split(col("text"), " "))
       .withColumn("tokmd5", expr("transform(toks, t -> md5(t))"))
-      .withColumn("simhash",
-        (0 until 32).map { j =>
-          when(size(expr(s"filter(tokmd5, h -> substring(h, ${j + 1}, 1) >= '8')")) * 2
-              >= size(col("tokmd5")), lit(1L << j)).otherwise(lit(0L))
-        }.reduce(_ + _))
+      .withColumn("simhash", {
+        import org.apache.spark.sql.GraftSqlBridge
+        // native one-pass expression (graft.functions.SimHashExpr);
+        // semantically identical to 32 filter()+substring passes but
+        // ~10× cheaper — see the expression's scaladoc
+        GraftSqlBridge.column(graft.functions.SimHashExpr(
+          GraftSqlBridge.expression(col("tokmd5"))))
+      })
 
   /** Per-doc SimHash signatures (the reusable corpus artifact). */
   def simhash(docs: DataFrame): DataFrame =
@@ -130,7 +151,8 @@ object Dedup {
     * ever compared. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk blocking only guarantees recall for hamming <= 3")
-    val s = withSimhash(docs).select(col("doc_id"), col("simhash"))
+    // the signature table joins itself — one computation, two consumers
+    val s = withSimhash(docs).select(col("doc_id"), col("simhash")).cache()
     val chunks = s.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),

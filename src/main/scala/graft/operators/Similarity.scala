@@ -40,6 +40,20 @@ object LshPlanes {
   def keySql(vecCol: String, table: Int, base: Int, concatFn: Seq[String] => String): String =
     concatFn(planes(table).map(p => bitSql(vecCol, p, base)))
 
+  /** Spark Column form of one table's bucket key: plane = a foldable
+    * literal array, projected with the native dot expression. Same
+    * left-fold arithmetic as [[keySql]]'s inline sum (bit-identical
+    * signs), but codegen is a tiny loop instead of a 1280-term
+    * expression tree — the giant tree made janino compilation, not
+    * data, the dominant cost of ss_topk_lsh. */
+  def keyCol(v: org.apache.spark.sql.Column, table: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorOps
+    concat(planes(table).map { p =>
+      when(VectorOps.dot(v, typedLit(p.map(_.toDouble))) >= 0, "1").otherwise("0")
+    }: _*)
+  }
+
   def sparkConcat(parts: Seq[String]): String = parts.mkString("concat(", ", ", ")")
   def duckConcat(parts: Seq[String]): String = parts.mkString("(", " || ", ")")
 }
@@ -104,18 +118,22 @@ object Similarity {
   def topkLsh(emb: DataFrame, queryMod: Long = 50L, k: Int = 5): DataFrame = {
     import LshPlanes._
     val bucketStructs = (0 until numTables).map { t =>
-      struct(lit(t).as("tbl"),
-        expr(keySql("embedding", t, base = 0, sparkConcat)).as("bkey"))
+      struct(lit(t).as("tbl"), keyCol(VectorOps.toDouble(col("embedding")), t).as("bkey"))
     }
+    // The bucket table and normalized vectors are the reusable "LSH
+    // index" artifacts: narrow (id, tbl, bkey) / (id, v, nrm) rows,
+    // each consumed by 2+ plan branches — cache instead of recomputing
+    // per branch (at scale these would be persisted index tables).
     val buckets = emb.select(col("vec_id"), explode(array(bucketStructs: _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkey").as("bkey"))
+      .cache()
     val qb = buckets.filter(col("vec_id") % queryMod === 0)
       .toDF("query_id", "tbl", "bkey")
     val cand = broadcast(qb)
       .join(buckets.toDF("cand_id", "tbl", "bkey"), Seq("tbl", "bkey"))
       .filter(col("query_id") =!= col("cand_id"))
       .select("query_id", "cand_id").distinct()
-    val e = prepared(emb).select("vec_id", "v", "nrm")
+    val e = prepared(emb).select("vec_id", "v", "nrm").cache()
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))
     cand
       .join(e.toDF("query_id", "qv", "qn"), "query_id")

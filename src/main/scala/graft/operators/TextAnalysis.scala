@@ -82,12 +82,22 @@ object TextAnalysis {
     * lexicographic minimum of the hashes of all character 5-grams.
     * The min-of-hashes form needs no numeric hash — portable and
     * deterministic everywhere. */
-  def fingerprints(docs: DataFrame): DataFrame =
-    docs.select(
+  def fingerprints(docs: DataFrame): DataFrame = {
+    // native rolling-min fingerprint (graft.functions.WinnowMinExpr):
+    // same value as array_min(transform(sequence(...), i ->
+    // md5(substr(text, i, 5)))) without materializing the gram array
+    val winnow = {
+      import org.apache.spark.sql.GraftSqlBridge
+      GraftSqlBridge.column(graft.functions.WinnowMinExpr(
+        GraftSqlBridge.expression(col("text")), 5))
+    }
+    // rolling-hash stage is CPU-bound: spread a small-file scan's 1-2
+    // partitions across all cores first (no-op at real scan widths)
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism).select(
       col("doc_id"),
       md5(col("text")).as("fp_full"),
       md5(array_join(slice(toks, 1, 8), " ")).as("fp_prefix"),
-      expr("array_min(transform(sequence(1, greatest(length(text)-4, 1)), i -> md5(substr(text, i, 5))))")
-        .as("fp_winnow"))
+      winnow.as("fp_winnow"))
       .orderBy("doc_id")
+  }
 }

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The native expressions must be value-identical to the portable HOF
+  * formulations they replace (which are also the DuckDB oracle's
+  * formulations) — checked here on adversarial-ish inputs. */
+class NativeExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def nat(c: org.apache.spark.sql.Column) = c
+  private def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    GraftSqlBridge.column(e)
+
+  test("DotProductExpr == aggregate(zip_with(...)) left fold, bit-identical") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)((Array.fill(64)(rnd.nextDouble() * 2 - 1),
+      Array.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val native = colOf(DotProductExpr(
+      GraftSqlBridge.expression(col("a")), GraftSqlBridge.expression(col("b"))))
+    val diffs = df.select((hof === native).as("eq")).collect()
+    assert(diffs.forall(_.getBoolean(0)))
+  }
+
+  test("SimHashExpr == 32 filter/substring passes") {
+    val docs = Seq("the quick brown fox", "a", "x y z x y z", "einzelnes wort hier")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .withColumn("tokmd5", expr("transform(split(text, ' '), t -> md5(t))"))
+    val hof = (0 until 32).map { j =>
+      when(size(expr(s"filter(tokmd5, h -> substring(h, ${j + 1}, 1) >= '8')")) * 2
+          >= size(col("tokmd5")), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val native = colOf(SimHashExpr(GraftSqlBridge.expression(col("tokmd5"))))
+    assert(docs.select((hof === native).as("eq")).collect().forall(_.getBoolean(0)))
+  }
+
+  test("MinHashesExpr == per-i array_min(transform(md5(i| + s)))") {
+    val df = Seq(
+      Seq("apple pie", "banana", "cherry tart"),
+      Seq("solo"),
+      Seq("z", "zz", "zzz", "a b c")
+    ).zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "shingles")
+    val k = 12
+    val native = colOf(MinHashesExpr(GraftSqlBridge.expression(col("shingles")), k))
+    val hofCols = (0 until k).map(i =>
+      array_min(transform(col("shingles"), s => md5(concat(lit(s"$i|"), s)))))
+    val eq = (0 until k).map(i => native(i) === hofCols(i)).reduce(_ && _)
+    assert(df.select(eq.as("eq")).collect().forall(_.getBoolean(0)))
+  }
+
+  test("WinnowMinExpr == array_min over md5 of all 5-grams, incl. short strings") {
+    val df = Seq("abcd", "a", "hello world this is long enough", "ééé unicode ça va")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val hof = expr(
+      "array_min(transform(sequence(1, greatest(length(text)-4, 1)), i -> md5(substr(text, i, 5))))")
+    val native = colOf(WinnowMinExpr(GraftSqlBridge.expression(col("text")), 5))
+    assert(df.select((hof === native).as("eq")).collect().forall(_.getBoolean(0)))
+  }
+}
