@@ -77,6 +77,19 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BPE-style pre-tokenization counts: alpha runs, digit runs, and
+    * other non-space symbols — the regex pre-split every BPE/GPT-ish
+    * tokenizer applies before merges, so these counts are the cheap
+    * upper bound on subword token counts used for corpus budgeting. */
+  def regexTokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long").as("n_alpha_runs"),
+      size(expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("long").as("n_digit_runs"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long")
+        .as("n_pieces"))
+      .orderBy("doc_id")
+
   /** Document fingerprinting: full-text hash, prefix hash (first 8
     * tokens), and a winnowing-style rolling fingerprint = the
     * lexicographic minimum of the hashes of all character 5-grams.

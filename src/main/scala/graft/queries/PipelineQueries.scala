@@ -37,12 +37,24 @@ object PipelineQueries {
     "dd_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(docs(s, d), maxHamming = 3)),
     // Embedding-cosine near-dup pairs (exact brute-force baseline).
     "ss_cosine_pairs" -> ((s, d) => Similarity.cosinePairs(emb(s, d), threshold = 0.4)),
+    // Embedding-cosine near-duplicate DOCUMENT pairs: docs joined to
+    // their embedding rows, then high-threshold cosine pairing — the
+    // "semantic dedup" stage of a training-data pipeline.
+    "dd_embedding" -> ((s, d) => {
+      val e = emb(s, d).join(docs(s, d).select(org.apache.spark.sql.functions.col("doc_id")),
+        org.apache.spark.sql.functions.col("vec_id") === org.apache.spark.sql.functions.col("doc_id"))
+        .select("vec_id", "embedding")
+      Similarity.cosinePairs(e, threshold = 0.3)
+        .toDF("doc_a", "doc_b", "cosine")
+    }),
     // Brute-force cosine top-10 for queries {vec_id % 50 = 0}.
     "ss_topk_brute" -> ((s, d) => Similarity.topkBrute(emb(s, d), queryMod = 50L, k = 10)),
     // LSH-bucketed approximate top-5 (same query set).
     "ss_topk_lsh" -> ((s, d) => Similarity.topkLsh(emb(s, d), queryMod = 50L, k = 5)),
     // Token counting — whitespace tokens, distinct tokens, mean length.
     "ta_token_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))),
+    // BPE-ish regex pre-tokenization counts.
+    "ta_regex_tokens" -> ((s, d) => TextAnalysis.regexTokenStats(docs(s, d))),
     // Quality scoring — length / stopword / vocabulary-diversity signals.
     "ta_quality" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d))),
     // Language-ID n-gram heuristic — argmax of char-bigram profiles.
@@ -142,6 +154,15 @@ object PipelineQueries {
          |    (${dotSql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cosine
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    "dd_embedding" ->
+      s"""WITH j AS (SELECT vec_id, embedding FROM embeddings
+         |  JOIN documents ON vec_id = doc_id),
+         |e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM j)
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         |    (${dotSql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cosine
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |WHERE cosine >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
     "ss_topk_brute" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
          |scored AS (
@@ -180,6 +201,12 @@ object PipelineQueries {
          |  CAST(len(list_distinct($T)) AS BIGINT) AS n_distinct_tokens,
          |  CAST(n_chars - len($T) + 1 AS DOUBLE) / len($T) AS avg_token_len
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_regex_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_runs,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_pieces
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "ta_quality" ->
       s"""SELECT doc_id,
          |  least(CAST(n_chars AS DOUBLE) / 400.0, CAST(1.0 AS DOUBLE)) AS len_score,
