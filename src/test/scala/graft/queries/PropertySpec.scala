@@ -1,0 +1,67 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.operators.Dedup
+
+/** ScalaCheck-driven invariants over randomized inputs (seeded
+  * generators, executed through the shared Spark session). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val fileRow = for {
+    path <- Gen.oneOf("/a", "/b", "/c")
+    name <- Gen.chooseNum(0, 30).map(i => s"f$i.dat")
+    sum <- Gen.option(Gen.oneOf("s1", "s2", "s3"))
+    size <- Gen.chooseNum(0L, 5000L)
+  } yield (path, name, sum.orNull, new Timestamp(1700000000000L + size), size)
+
+  test("property: upsert is idempotent and preserves the PK invariant") {
+    check(Prop.forAll(Gen.listOfN(40, fileRow)) { rows =>
+      val df = rows.toDF("path", "filename", "checksum", "modification_datetime", "file_size")
+      val once = FileQueries.upsert(df, df.limit(10))
+      val twice = FileQueries.upsert(once, df.limit(10))
+      val pkDistinct = once.select("path", "filename").distinct().count()
+      once.count() == pkDistinct && twice.count() == once.count()
+    })
+  }
+
+  test("property: CLI duplicate_files == with_checksum - unique; API counts all members") {
+    check(Prop.forAll(Gen.listOfN(40, fileRow)) { rows =>
+      val df = rows.toDF("path", "filename", "checksum", "modification_datetime", "file_size")
+      val cli = FileQueries.statsCli(df).collect().head
+      val okCli = cli.getAs[Long]("duplicate_files") ==
+        cli.getAs[Long]("files_with_checksum") - cli.getAs[Long]("unique_checksums")
+      val api = FileQueries.duplicateStats(df).collect().head
+      // every member of a >1 group counts; extras = members - groups
+      val okRel = api.getAs[Long]("duplicate_files") >= api.getAs[Long]("duplicate_groups") &&
+        (api.getAs[Long]("duplicate_files") == 0L || api.getAs[Long]("duplicate_groups") > 0L)
+      okCli && okRel
+    })
+  }
+
+  private val docGen = for {
+    n <- Gen.chooseNum(1, 12)
+    toks <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+  } yield toks.mkString(" ")
+
+  test("property: jaccard is within (0,1], symmetric pairs a<b, 1.0 iff identical shingle sets") {
+    check(Prop.forAll(Gen.listOfN(8, docGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val pairs = Dedup.jaccardPairs(docs, n = 2, threshold = 0.01).collect()
+      pairs.forall { r =>
+        val (a, b, j) = (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))
+        a < b && j > 0.0 && j <= 1.0
+      }
+    })
+  }
+}
