@@ -65,6 +65,16 @@ object ParityQueries {
       val live = f.filter(col("path") =!= "/data/d7" && !col("filename").like("%99%"))
       cleanupCandidates(f, live)
     }),
+    // D12 — response-level totals over the returned page only
+    // (routers.py:132-134): group rows of ONE page, then count/sum.
+    "fi_page_totals" -> ((s, d) => {
+      val page = duplicateGroupSummaries(files(s, d), minGroupSize = 2)
+        .limit(50)
+      page.agg(
+        count(lit(1)).as("groups_in_page"),
+        coalesce(sum(col("file_count")), lit(0L)).as("files_in_page"),
+        coalesce(sum(col("wasted_space")), lit(0L)).as("wasted_in_page"))
+    }),
     // D1 — CLI stats (indexer.py:847-913)
     "fi_stats_cli" -> ((s, d) => statsCli(files(s, d))),
     // D2/D4 — API stats (database.py:395-457)
@@ -173,6 +183,19 @@ object ParityQueries {
         |  WHERE l.path <> '/data/d7' AND NOT (l.filename LIKE '%99%')
         |    AND l.path = f.path AND l.filename = f.filename)
         |ORDER BY f.path, f.filename""".stripMargin),
+    "fi_page_totals" -> w(
+      """, g AS (
+        |  SELECT checksum, file_size, COUNT(*) AS file_count,
+        |         file_size * (COUNT(*) - 1) AS wasted_space
+        |  FROM files WHERE checksum IS NOT NULL
+        |  GROUP BY checksum, file_size
+        |  HAVING COUNT(*) >= 2
+        |  ORDER BY file_count DESC, file_size DESC, checksum
+        |  LIMIT 50)
+        |SELECT COUNT(*) AS groups_in_page,
+        |  CAST(COALESCE(SUM(file_count), 0) AS BIGINT) AS files_in_page,
+        |  CAST(COALESCE(SUM(wasted_space), 0) AS BIGINT) AS wasted_in_page
+        |FROM g""".stripMargin),
     "fi_stats_cli" -> w(
       """SELECT COUNT(*) AS total_files,
         |  CAST(COALESCE(SUM(file_size), 0) AS BIGINT) AS total_size,
