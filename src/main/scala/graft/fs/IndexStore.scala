@@ -50,13 +50,24 @@ object IndexStore {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
-  /** Publish a new snapshot atomically (write tmp, swap, clean old). */
-  def publish(df: DataFrame, root: String): Unit = {
+  /** Publish a new snapshot atomically (write tmp, swap, clean old).
+    *
+    * Layout for scale: rows are hash-clustered by `path` and sorted by
+    * (path, filename) within each file, so parquet min/max stats make
+    * directory-predicate scans (`path = ?`, `path LIKE '/x/%'`) prune
+    * whole files, and the PK sort doubles as the B2/B1 result order.
+    * `numFiles > 0` pins the file count (cluster deployments size this
+    * to executors × cores); 0 keeps the incoming partitioning. */
+  def publish(df: DataFrame, root: String, numFiles: Int = 0): Unit = {
     Files.createDirectories(Paths.get(root))
     val tmp = s"$root/.tmp-${System.nanoTime()}"
-    dedupLastWins(df)
+    val deduped = dedupLastWins(df)
       .select("path", "filename", "checksum", "modification_datetime", "file_size", "indexed_at")
-      .write.mode("overwrite").parquet(tmp)
+    val laidOut =
+      if (numFiles > 0) deduped.repartition(numFiles, col("path"))
+        .sortWithinPartitions("path", "filename")
+      else deduped
+    laidOut.write.mode("overwrite").parquet(tmp)
     val cur = Paths.get(currentDir(root))
     val old = Paths.get(s"$root/.old-${System.nanoTime()}")
     if (Files.exists(cur)) Files.move(cur, old, StandardCopyOption.ATOMIC_MOVE)

@@ -54,6 +54,8 @@ object Tables {
       df.createOrReplaceTempView(n)
     }
     files(spark, dir).createOrReplaceTempView("files")
+    // the graft_* native functions are part of the SQL surface too
+    org.apache.spark.sql.GraftSqlBridge.registerGraftFunctions(spark)
   }
 
   /** Synthetic `files` index table derived deterministically from

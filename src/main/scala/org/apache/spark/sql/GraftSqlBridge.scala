@@ -11,4 +11,25 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register the graft_* SQL functions on a LIVE session (the
+    * `withExtensions`/`spark.sql.extensions` route in
+    * [[graft.functions.GraftExtensions]] only applies at session build
+    * time; this helper covers sessions the library didn't create). */
+  def registerGraftFunctions(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def lit(e: Expression, what: String): Int = e match {
+      case catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+    reg.createOrReplaceTempFunction("graft_dot",
+      exprs => graft.functions.DotProductExpr(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      exprs => graft.functions.SimHashExpr(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_minhashes",
+      exprs => graft.functions.MinHashesExpr(exprs(0), lit(exprs(1), "k")), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_winnow_min",
+      exprs => graft.functions.WinnowMinExpr(exprs(0), lit(exprs(1), "k")), "scala_udf")
+  }
 }
