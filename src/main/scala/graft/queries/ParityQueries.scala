@@ -65,6 +65,19 @@ object ParityQueries {
       val live = f.filter(col("path") =!= "/data/d7" && !col("filename").like("%99%"))
       cleanupCandidates(f, live)
     }),
+    // Quantiles of the size distribution (engine extension): Spark's
+    // exact `percentile` and DuckDB's `quantile_cont` share linear
+    // interpolation — bit-identical on integer inputs.
+    "fi_size_percentiles" -> ((s, d) =>
+      files(s, d).agg(
+        expr("percentile(file_size, array(0.25D, 0.5D, 0.75D, 0.9D))").as("size_quartiles"),
+        expr("percentile(file_size, 0.37D)").as("size_p37"))),
+    // Approximate distinct counts (HLL) — the 100 TB path for D4-style
+    // cardinalities. No DuckDB oracle (different sketch) → rows-only.
+    "fi_stats_approx" -> ((s, d) =>
+      files(s, d).agg(
+        approx_count_distinct(col("checksum")).as("approx_checksums"),
+        approx_count_distinct(col("path")).as("approx_dirs"))),
     // D12 — response-level totals over the returned page only
     // (routers.py:132-134): group rows of ONE page, then count/sum.
     "fi_page_totals" -> ((s, d) => {
@@ -183,6 +196,10 @@ object ParityQueries {
         |  WHERE l.path <> '/data/d7' AND NOT (l.filename LIKE '%99%')
         |    AND l.path = f.path AND l.filename = f.filename)
         |ORDER BY f.path, f.filename""".stripMargin),
+    "fi_size_percentiles" -> w(
+      """SELECT quantile_cont(file_size, [0.25, 0.5, 0.75, 0.9]) AS size_quartiles,
+        |  quantile_cont(file_size, 0.37) AS size_p37
+        |FROM files""".stripMargin),
     "fi_page_totals" -> w(
       """, g AS (
         |  SELECT checksum, file_size, COUNT(*) AS file_count,

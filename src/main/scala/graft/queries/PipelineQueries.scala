@@ -51,6 +51,11 @@ object PipelineQueries {
     "ss_topk_brute" -> ((s, d) => Similarity.topkBrute(emb(s, d), queryMod = 50L, k = 10)),
     // LSH-bucketed approximate top-5 (same query set).
     "ss_topk_lsh" -> ((s, d) => Similarity.topkLsh(emb(s, d), queryMod = 50L, k = 5)),
+    // IVF approximate top-5 (k-means cells, nProbe=4 of 16). No DuckDB
+    // oracle (approximate; centroid training isn't SQL) → rows-only
+    // check; recall is spec-tested against brute force in IvfSpec.
+    "ss_topk_ivf" -> ((s, d) =>
+      graft.operators.Ivf.topkIvf(emb(s, d), queryMod = 50L, k = 5)),
     // Token counting — whitespace tokens, distinct tokens, mean length.
     "ta_token_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))),
     // BPE-ish regex pre-tokenization counts.
