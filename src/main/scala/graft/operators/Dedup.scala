@@ -125,6 +125,51 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Near-dup cluster assembly: connected components over a pair list
+    * (doc_a < doc_b), labeling every member with the cluster's minimum
+    * doc_id — the step that turns pairwise similarity into dedup
+    * groups ("keep min, drop the rest").
+    *
+    * Algorithm: iterative min-label propagation (the simple form of
+    * large/small-star). Each round, every vertex takes the min label
+    * in its closed neighborhood; converged when no label changes.
+    * Near-dup clusters have tiny diameters, so rounds ≈ 2-4; each
+    * round is one join + one aggregate on (edge) — at 100 TB this is
+    * the standard CC-on-Spark shape, and the driver only sees one
+    * boolean (changed?) per round. */
+  def clusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val fwd = pairs.select(col("doc_a").as("v"), col("doc_b").as("u"))
+    // localCheckpoint (not cache): iterative self-referencing lineage
+    // grows exponentially without truncation — per-round checkpointing
+    // is the standard shape for CC/PageRank-style loops (on a cluster:
+    // reliable checkpoint dir instead of local blocks)
+    val edges = fwd.unionByName(fwd.select(col("u").as("v"), col("v").as("u")))
+      .localCheckpoint()
+    var labels = edges.select(col("v")).distinct()
+      .withColumn("label", col("v")).localCheckpoint()
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("v", "u"), "u")
+        .groupBy("v").agg(min(col("label")).as("nmin"))
+      val stepped = labels.join(neighborMin, Seq("v"), "left")
+        .select(col("v"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // path halving: jump to the label's own label — turns
+      // diameter-many rounds into O(log diameter)
+      val next = stepped
+        .join(stepped.select(col("v").as("label"), col("label").as("ll")), Seq("label"), "left")
+        .select(col("v"), least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "v")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      round += 1
+    }
+    labels.select(col("v").as("doc_id"), col("label").as("cluster"))
+      .orderBy("doc_id")
+  }
+
   /** 32-bit SimHash per document: bit j is the sign of the per-token
     * vote sum, where token t votes +1 on bit j iff hex nibble j of
     * md5(t) is ≥ '8' (its high bit), else −1. sign ≥ 0 ⇔

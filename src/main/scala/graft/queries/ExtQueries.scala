@@ -28,6 +28,7 @@ object ExtQueries {
     "ev_sessions" -> ((s, d) => Events.sessionize(events(s, d), gapMinutes = 30)),
     "ev_rolling_hour" -> ((s, d) => Events.rollingHourByUser(events(s, d))),
     "ev_top_users" -> ((s, d) => Events.topUsers(events(s, d), k = 10)),
+    "ev_funnel" -> ((s, d) => Events.funnel(events(s, d), withinMinutes = 10)),
     "mm_metadata" -> ((s, d) =>
       Multimodal.decodeMetadata(s, media(s, d)).toDF().orderBy("doc_id")),
     "mm_frames" -> ((s, d) =>
@@ -85,6 +86,19 @@ object ExtQueries {
         |  SUM(CAST(value AS DECIMAL(18,6))) AS total_value
         |FROM events GROUP BY user_id
         |ORDER BY total_value DESC, user_id LIMIT 10""".stripMargin,
+    "ev_funnel" ->
+      """WITH m AS (
+        |  SELECT user_id, event_type, event_id,
+        |    lead(event_type) OVER w AS next_type,
+        |    lead(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, COUNT(*) AS n_views,
+        |  CAST(SUM(CASE WHEN next_type = 'click' AND gap_us <= 10 * 60 * 1000000
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+        |FROM m WHERE event_type = 'view'
+        |GROUP BY user_id HAVING SUM(CASE WHEN next_type = 'click'
+        |  AND gap_us <= 10 * 60 * 1000000 THEN 1 ELSE 0 END) > 0
+        |ORDER BY user_id""".stripMargin,
     "mm_metadata" ->
       s"""SELECT doc_id, $mediaTypeSql AS media_type,
          |  CAST(length(text) AS BIGINT) AS n_bytes,

@@ -33,6 +33,10 @@ object PipelineQueries {
       Dedup.minhashLsh(docs(s, d), n = 3, numHashes = 12, bands = 4, threshold = 0.5)),
     // Per-doc 32-bit SimHash signatures.
     "dd_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
+    // Near-dup clusters: connected components over the jaccard pairs
+    // (min-label propagation; oracle = DuckDB recursive CTE).
+    "dd_clusters" -> ((s, d) =>
+      Dedup.clusters(Dedup.jaccardPairs(docs(s, d), n = 3, threshold = 0.5))),
     // SimHash near-dup pairs, hamming ≤ 3, 8-bit-chunk blocked.
     "dd_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(docs(s, d), maxHamming = 3)),
     // Embedding-cosine near-dup pairs (exact brute-force baseline).
@@ -133,6 +137,26 @@ object PipelineQueries {
          |FROM v WHERE CAST(n_common AS DOUBLE) / (la + lb - n_common) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+    "dd_clusters" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM documents),
+         |sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh FROM sh),
+         |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |p AS (
+         |  SELECT doc_a, doc_b FROM common
+         |  JOIN sizes sa ON common.doc_a = sa.doc_id
+         |  JOIN sizes sb ON common.doc_b = sb.doc_id
+         |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5),
+         |e AS (SELECT doc_a AS v, doc_b AS u FROM p
+         |      UNION ALL SELECT doc_b AS v, doc_a AS u FROM p),
+         |r(v, u) AS (
+         |  SELECT DISTINCT v, v AS u FROM e
+         |  UNION
+         |  SELECT r.v, e.u FROM r JOIN e ON r.u = e.v)
+         |SELECT v AS doc_id, min(u) AS cluster FROM r GROUP BY v ORDER BY doc_id""".stripMargin,
     "dd_simhash" ->
       s"""WITH tm AS (SELECT doc_id, list_transform($T, t -> md5(t)) AS tokmd5 FROM documents)
          |SELECT doc_id, $simhashSql AS simhash

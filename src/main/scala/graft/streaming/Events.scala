@@ -94,6 +94,24 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Funnel step detection: per user, 'view' events whose immediately
+    * next event is a 'click' within `withinMinutes` — lead() over the
+    * per-user event sequence, one shuffle on user_id. */
+  def funnel(events: DataFrame, withinMinutes: Int = 10): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val marked = events
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("gap_us", lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+    marked.filter(col("event_type") === "view")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_views"),
+        sum(when(col("next_type") === "click" &&
+          col("gap_us") <= withinMinutes * 60L * 1000000L, 1L).otherwise(0L))
+          .as("n_converted"))
+      .filter(col("n_converted") > 0)
+      .orderBy("user_id")
+  }
+
   /** Top-k users by total value (deterministic tie-break on user_id). */
   def topUsers(events: DataFrame, k: Int = 10): DataFrame =
     events.groupBy("user_id")

@@ -1,0 +1,33 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("clusters: min-label propagation finds connected components") {
+    // components: {1,2,3,4} (chain), {7,9}, singleton edges only
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L))
+      .toDF("doc_a", "doc_b")
+    val c = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("clusters: converges on a long chain (diameter > 2 rounds)") {
+    val chain = (1L to 30L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("doc_a", "doc_b")
+    val c = Dedup.clusters(chain).collect().map(_.getLong(1)).toSet
+    assert(c == Set(1L)) // everything collapses to the chain head
+  }
+
+  test("clusters over jaccard pairs labels exact duplicates together") {
+    val docs = Seq(
+      (1L, "aa bb cc dd"), (2L, "aa bb cc dd"), (3L, "aa bb cc dd"),
+      (4L, "totally different text here"), (5L, "unrelated again stuff")
+    ).toDF("doc_id", "text")
+    val c = Dedup.clusters(Dedup.jaccardPairs(docs, 3, 0.9)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L)) // 4, 5 have no pairs
+  }
+}
