@@ -79,7 +79,8 @@ object IndexStore {
     * indexer.py:411-448; Go ON CONFLICT DO UPDATE database.go:98-113):
     * union + last-writer-wins + swap. */
   def upsert(spark: SparkSession, root: String, rows: DataFrame): Unit =
-    publish(load(spark, root).unionByName(rows.select(schema.fieldNames.map(col): _*)), root)
+    publish(load(spark, root).unionByName(
+      rows.select(schema.fieldNames.toIndexedSeq.map(col): _*)), root)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (Files.isDirectory(p)) {

@@ -125,6 +125,25 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The dedup END PRODUCT: doc_ids that survive exact dedup (keep the
+    * min doc_id per content hash) followed by near-dup dedup (keep the
+    * cluster representative = min doc_id of each jaccard-connected
+    * component). This is the "which rows enter the training corpus"
+    * answer a pipeline actually consumes. */
+  def keepList(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col("text")))
+    val exactKept = docs
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keep_id"))
+      .drop("keep_id")
+    val labels = clusters(jaccardPairs(exactKept, n, threshold))
+    val drops = labels.filter(col("doc_id") =!= col("cluster")).select("doc_id")
+    exactKept.select("doc_id")
+      .join(drops, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   /** Near-dup cluster assembly: connected components over a pair list
     * (doc_a < doc_b), labeling every member with the cluster's minimum
     * doc_id — the step that turns pairwise similarity into dedup

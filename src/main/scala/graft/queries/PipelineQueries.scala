@@ -37,6 +37,8 @@ object PipelineQueries {
     // (min-label propagation; oracle = DuckDB recursive CTE).
     "dd_clusters" -> ((s, d) =>
       Dedup.clusters(Dedup.jaccardPairs(docs(s, d), n = 3, threshold = 0.5))),
+    // The corpus keep-list after exact + near-dup dedup.
+    "dd_keep_list" -> ((s, d) => Dedup.keepList(docs(s, d))),
     // SimHash near-dup pairs, hamming ≤ 3, 8-bit-chunk blocked.
     "dd_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(docs(s, d), maxHamming = 3)),
     // Embedding-cosine near-dup pairs (exact brute-force baseline).
@@ -157,6 +159,35 @@ object PipelineQueries {
          |  UNION
          |  SELECT r.v, e.u FROM r JOIN e ON r.u = e.v)
          |SELECT v AS doc_id, min(u) AS cluster FROM r GROUP BY v ORDER BY doc_id""".stripMargin,
+    "dd_keep_list" ->
+      s"""WITH RECURSIVE ek AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+         |    FROM documents)
+         |  WHERE doc_id = keep_id),
+         |sh AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM ek),
+         |sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh FROM sh),
+         |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |p AS (
+         |  SELECT doc_a, doc_b FROM common
+         |  JOIN sizes sa ON common.doc_a = sa.doc_id
+         |  JOIN sizes sb ON common.doc_b = sb.doc_id
+         |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5),
+         |e AS (SELECT doc_a AS v, doc_b AS u FROM p
+         |      UNION ALL SELECT doc_b AS v, doc_a AS u FROM p),
+         |r(v, u) AS (
+         |  SELECT DISTINCT v, v AS u FROM e
+         |  UNION
+         |  SELECT r.v, e.u FROM r JOIN e ON r.u = e.v),
+         |lab AS (SELECT v, min(u) AS cluster FROM r GROUP BY v)
+         |SELECT ek.doc_id FROM ek
+         |WHERE NOT EXISTS (SELECT 1 FROM lab
+         |  WHERE lab.v = ek.doc_id AND lab.cluster <> ek.doc_id)
+         |ORDER BY ek.doc_id""".stripMargin,
     "dd_simhash" ->
       s"""WITH tm AS (SELECT doc_id, list_transform($T, t -> md5(t)) AS tokmd5 FROM documents)
          |SELECT doc_id, $simhashSql AS simhash

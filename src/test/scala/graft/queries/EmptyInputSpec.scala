@@ -1,0 +1,59 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.fs.{Indexer, IndexStore}
+
+/** Empty-relation semantics: the reference COALESCEs empty aggregates
+  * to zeros (database.py:404) and tolerates empty/missing indexes —
+  * so must every operator here. */
+class EmptyInputSpec extends SparkSpec {
+
+  private lazy val empty: DataFrame = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(
+      StructField("path", StringType), StructField("filename", StringType),
+      StructField("checksum", StringType),
+      StructField("modification_datetime", TimestampType),
+      StructField("file_size", LongType))))
+
+  test("stats on an empty index: zeros, not nulls") {
+    val cli = FileQueries.statsCli(empty).collect().head
+    assert(cli.getAs[Long]("total_files") == 0L)
+    assert(cli.getAs[Long]("total_size") == 0L)
+    assert(cli.getAs[Long]("duplicate_files") == 0L)
+    val dup = FileQueries.duplicateStats(empty).collect().head
+    assert(dup.getAs[Long]("duplicate_groups") == 0L)
+    assert(dup.getAs[Long]("duplicate_files") == 0L)
+  }
+
+  test("queries on an empty index return empty, not errors") {
+    assert(FileQueries.duplicates(empty).count() == 0)
+    assert(FileQueries.duplicateGroups(empty).count() == 0)
+    assert(FileQueries.sizeHistogram(empty).count() == 0)
+    assert(FileQueries.extensionStats(empty).count() == 0)
+    assert(FileQueries.searchFiles(empty, Some("%x%")).count() == 0)
+  }
+
+  test("incremental index against a missing snapshot behaves as first full index") {
+    val root = Files.createTempDirectory("graft-empty-inc")
+    Files.write(root.resolve("only.txt"), "content".getBytes)
+    val idx = Files.createTempDirectory("graft-empty-idx").toString
+    // no prior snapshot: everything is an insert
+    val st = Indexer.incrementalIndex(spark, root.toString, idx)
+    assert(st.inserted == 1 && st.updated == 0 && st.unchanged == 0)
+    assert(IndexStore.load(spark, idx).count() == 1)
+  }
+
+  test("cleanup on an empty snapshot is a no-op") {
+    val idx = Files.createTempDirectory("graft-empty-clean").toString
+    IndexStore.publish(empty.withColumn("indexed_at",
+      org.apache.spark.sql.functions.current_timestamp()), idx)
+    val st = Indexer.cleanupDeletedFiles(spark, idx)
+    assert(st.totalChecked == 0 && st.deletedFiles == 0)
+  }
+}
