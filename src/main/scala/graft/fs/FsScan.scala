@@ -116,20 +116,28 @@ object FsScan {
     * non-recursively (its subdirs are separate seeds) to avoid double
     * counting. */
   def scan(spark: SparkSession, directoryPath: String, recursive: Boolean = true,
-      stats: Option[ScanStats] = None): Dataset[ScannedFile] = {
+      stats: Option[ScanStats] = None, skipHidden: Boolean = false,
+      maxFileSize: Long = 0L): Dataset[ScannedFile] = {
     import spark.implicits._
     val st = stats.getOrElse(new ScanStats(spark))
-    if (!recursive) {
-      val ss = Seq(directoryPath)
-      spark.createDataset(ss).flatMap(d => listOne(d, st))
-    } else {
-      val ss = seeds(directoryPath)
-      val root = directoryPath
-      spark.createDataset(ss).repartition(ss.size.min(64)).flatMap { d =>
-        if (d == root) listOne(d, st) // files directly in the root
-        else walkSubtree(d, st)       // each subtree walked executor-side
+    val raw =
+      if (!recursive) {
+        val ss = Seq(directoryPath)
+        spark.createDataset(ss).flatMap(d => listOne(d, st))
+      } else {
+        val ss = seeds(directoryPath)
+        val root = directoryPath
+        spark.createDataset(ss).repartition(ss.size.min(64)).flatMap { d =>
+          if (d == root) listOne(d, st) // files directly in the root
+          else walkSubtree(d, st)       // each subtree walked executor-side
+        }
       }
-    }
+    // Go-walker parity filters (file_indexer_go/indexer.go:231-257):
+    // dotfile skip and a hard indexing size cap (0 = unlimited)
+    val afterHidden =
+      if (skipHidden) raw.filter(f => !f.filename.startsWith(".")) else raw
+    if (maxFileSize > 0) afterHidden.filter(f => f.fileSize <= maxFileSize)
+    else afterHidden
   }
 
   /** [[scan]] with the index table's snake_case column names

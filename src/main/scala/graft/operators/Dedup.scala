@@ -36,8 +36,13 @@ object Dedup {
     * 100 TB the scan itself yields thousands of splits and this is a
     * no-op-sized rebalance; on a laptop-sized file it is the
     * difference between 1 and 32 busy cores.) */
-  private[graft] def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // only widen when the scan is narrower than the core count — at
+    // real scan widths (thousands of splits) repartitioning here would
+    // shuffle the full text corpus for nothing
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 
   /** Tokens plus DISTINCT word n-gram shingles (the shingle *set*). */
   def withShingles(docs: DataFrame, n: Int): DataFrame =

@@ -106,7 +106,7 @@ object TextAnalysis {
     }
     // rolling-hash stage is CPU-bound: spread a small-file scan's 1-2
     // partitions across all cores first (no-op at real scan widths)
-    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism).select(
+    graft.operators.Dedup.spread(docs).select(
       col("doc_id"),
       md5(col("text")).as("fp_full"),
       md5(array_join(slice(toks, 1, 8), " ")).as("fp_prefix"),

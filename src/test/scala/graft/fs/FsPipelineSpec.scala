@@ -152,6 +152,18 @@ class FsPipelineSpec extends SparkSpec {
       Seq("empty.dat", "file1.txt", "file2.txt", "unique.log"))
   }
 
+  test("Go-parity scan filters: skipHidden drops dotfiles, maxFileSize caps indexing") {
+    val (root, _) = mkTree()
+    Files.write(root.resolve(".hidden"), "secret".getBytes(StandardCharsets.UTF_8))
+    val all = FsScan.scan(spark, root.toString).collect()
+    assert(all.map(_.filename).contains(".hidden"))
+    val noHidden = FsScan.scan(spark, root.toString, skipHidden = true).collect()
+    assert(!noHidden.map(_.filename).contains(".hidden"))
+    // cap at 15 bytes: only nested.txt (14) and empty.dat (0) survive
+    val small = FsScan.scan(spark, root.toString, maxFileSize = 15L).collect()
+    assert(small.map(_.filename).sorted.toSeq == Seq(".hidden", "empty.dat", "nested.txt"))
+  }
+
   test("checksum stage: streaming hash matches MessageDigest over whole content") {
     val (root, _) = mkTree()
     val expected = java.security.MessageDigest.getInstance("SHA-256")
