@@ -77,6 +77,17 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus vocabulary statistics: top-k tokens by total frequency
+    * with document frequency (the IDF building block). One explode →
+    * one hash aggregate with map-side combine; at 100 TB the shuffle
+    * carries (token, partial counts), never documents. */
+  def vocabTop(docs: DataFrame, k: Int = 20): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
   /** BPE-style pre-tokenization counts: alpha runs, digit runs, and
     * other non-space symbols — the regex pre-split every BPE/GPT-ish
     * tokenizer applies before merges, so these counts are the cheap

@@ -66,6 +66,8 @@ object PipelineQueries {
     "ta_token_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))),
     // BPE-ish regex pre-tokenization counts.
     "ta_regex_tokens" -> ((s, d) => TextAnalysis.regexTokenStats(docs(s, d))),
+    // Corpus vocabulary: top-20 tokens with document frequency.
+    "ta_vocab_top" -> ((s, d) => TextAnalysis.vocabTop(docs(s, d), k = 20)),
     // Quality scoring — length / stopword / vocabulary-diversity signals.
     "ta_quality" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d))),
     // Language-ID n-gram heuristic — argmax of char-bigram profiles.
@@ -267,6 +269,10 @@ object PipelineQueries {
         |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_pieces
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_vocab_top" ->
+      s"""SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+         |FROM (SELECT doc_id, unnest($T) AS token FROM documents)
+         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
     "ta_quality" ->
       s"""SELECT doc_id,
          |  least(CAST(n_chars AS DOUBLE) / 400.0, CAST(1.0 AS DOUBLE)) AS len_score,
