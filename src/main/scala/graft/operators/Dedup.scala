@@ -130,6 +130,44 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Persistable inverted shingle index: (shingle, doc_id, n_sh) —
+    * the artifact incremental dedup joins deltas against. At scale
+    * this is written bucketed by shingle so delta joins co-locate. */
+  def shingleIndex(docs: DataFrame, n: Int = 3): DataFrame =
+    withShingles(docs, n)
+      .select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"),
+        explode(col("shingles")).as("shingle"))
+      .select("shingle", "doc_id", "n_sh")
+
+  /** Incremental near-dup detection: jaccard pairs between a DELTA of
+    * new documents and an existing [[shingleIndex]], plus pairs within
+    * the delta — without ever recomputing corpus×corpus. The daily
+    * ingest shape: cost is O(delta shingles ⋈ index), not O(n²).
+    * Emitted pairs are (indexed_doc or lower new id, higher new id). */
+  def deltaPairs(newDocs: DataFrame, index: DataFrame, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val newIdx = shingleIndex(newDocs, n)
+    // delta vs corpus: every match is a (corpus a, new b) pair
+    val vsCorpus = index.as("a")
+      .join(newIdx.as("b"), col("a.shingle") === col("b.shingle"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+    // delta vs delta: standard a < b inverted-index join
+    val within = newIdx.as("a")
+      .join(newIdx.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+    vsCorpus.unionByName(within)
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** The dedup END PRODUCT: doc_ids that survive exact dedup (keep the
     * min doc_id per content hash) followed by near-dup dedup (keep the
     * cluster representative = min doc_id of each jaccard-connected
