@@ -209,6 +209,12 @@ object Dedup {
       .localCheckpoint()
     var labels = edges.select(col("v")).distinct()
       .withColumn("label", col("v")).localCheckpoint()
+    // labels only ever decrease ⇒ the label sum strictly decreases iff
+    // any label changed — one aggregate per round instead of a
+    // join+count convergence check (decimal: no overflow at any scale)
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).collect().head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
@@ -223,8 +229,9 @@ object Dedup {
         .join(stepped.select(col("v").as("label"), col("label").as("ll")), Seq("label"), "left")
         .select(col("v"), least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "v")
-        .filter(col("label") =!= col("old")).count()
+      val s = labelSum(next)
+      changed = if (s.compareTo(prevSum) < 0) 1L else 0L
+      prevSum = s
       labels = next
       round += 1
     }

@@ -39,6 +39,22 @@ object PipelineQueries {
       Dedup.clusters(Dedup.jaccardPairs(docs(s, d), n = 3, threshold = 0.5))),
     // The corpus keep-list after exact + near-dup dedup.
     "dd_keep_list" -> ((s, d) => Dedup.keepList(docs(s, d))),
+    // Capstone: the full training-corpus funnel with per-stage counts —
+    // raw → predicted-English → quality ≥ 0.6 → dedup survivors.
+    "tp_corpus_funnel" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val all = docs(s, d)
+      val en = TextAnalysis.langId(all)
+        .filter(col("predicted_lang") === "en").select("doc_id")
+      val good = TextAnalysis.qualityScore(all)
+        .filter(col("quality") >= 0.6).select("doc_id")
+      val kept = Dedup.keepList(all).select("doc_id")
+      val surviving = en.intersect(good).intersect(kept)
+      all.agg(count(lit(1)).as("n_raw")).crossJoin(
+          en.agg(count(lit(1)).as("n_english"))).crossJoin(
+          en.intersect(good).agg(count(lit(1)).as("n_quality"))).crossJoin(
+          surviving.agg(count(lit(1)).as("n_final")))
+    }),
     // SimHash near-dup pairs, hamming ≤ 3, 8-bit-chunk blocked.
     "dd_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(docs(s, d), maxHamming = 3)),
     // Embedding-cosine near-dup pairs (exact brute-force baseline).
@@ -88,6 +104,19 @@ object PipelineQueries {
     s"CASE WHEN len(list_filter(tokmd5, h -> substr(h, ${j + 1}, 1) >= '8')) * 2 " +
       s">= len(tokmd5) THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
   }.mkString(" + ")
+
+  /** DuckDB twins of the langId bigram scores and quality formula
+    * (shared by ta_lang_id / ta_quality / tp_corpus_funnel). */
+  private def bgSql(b: String) =
+    s"(length(text) - length(replace(text, '$b', ''))) / 2"
+  private val (sEnSql, sDeSql, sFrSql) = (
+    s"${bgSql("th")} + ${bgSql("he")}",
+    s"${bgSql("er")} + ${bgSql("in")}",
+    s"${bgSql("le")} + ${bgSql("ta")}")
+  private val qualitySql: String =
+    s"least(CAST(n_chars AS DOUBLE) / 400.0, CAST(1.0 AS DOUBLE)) * 0.4 " +
+      s"+ (CAST(1.0 AS DOUBLE) - CAST(len(list_filter($T, t -> t IN ('the', 'a'))) AS DOUBLE) / len($T)) * 0.3 " +
+      s"+ CAST(len(list_distinct($T)) AS DOUBLE) / len($T) * 0.3"
 
   /** DuckDB twin of VectorOps.dot: 64-term left-associative sum
     * (1-based array indexing). */
@@ -282,17 +311,49 @@ object PipelineQueries {
          |    + (CAST(1.0 AS DOUBLE) - CAST(len(list_filter($T, t -> t IN ('the', 'a'))) AS DOUBLE) / len($T)) * 0.3
          |    + CAST(len(list_distinct($T)) AS DOUBLE) / len($T) * 0.3 AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
-    "ta_lang_id" -> {
-      def bg(b: String) =
-        s"(length(text) - length(replace(text, '$b', ''))) / 2"
-      val (sEn, sDe, sFr) =
-        (s"${bg("th")} + ${bg("he")}", s"${bg("er")} + ${bg("in")}", s"${bg("le")} + ${bg("ta")}")
+    "ta_lang_id" ->
       s"""SELECT doc_id, lang,
-         |  $sEn AS score_en, $sDe AS score_de, $sFr AS score_fr,
-         |  CASE WHEN $sEn >= $sDe AND $sEn >= $sFr THEN 'en'
-         |       WHEN $sDe >= $sFr THEN 'de' ELSE 'fr' END AS predicted_lang
-         |FROM documents ORDER BY doc_id""".stripMargin
-    },
+         |  $sEnSql AS score_en, $sDeSql AS score_de, $sFrSql AS score_fr,
+         |  CASE WHEN $sEnSql >= $sDeSql AND $sEnSql >= $sFrSql THEN 'en'
+         |       WHEN $sDeSql >= $sFrSql THEN 'de' ELSE 'fr' END AS predicted_lang
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "tp_corpus_funnel" ->
+      s"""WITH RECURSIVE ek AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+         |    FROM documents)
+         |  WHERE doc_id = keep_id),
+         |sh AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM ek),
+         |sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh FROM sh),
+         |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |p AS (
+         |  SELECT doc_a, doc_b FROM common
+         |  JOIN sizes sa ON common.doc_a = sa.doc_id
+         |  JOIN sizes sb ON common.doc_b = sb.doc_id
+         |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5),
+         |e AS (SELECT doc_a AS v, doc_b AS u FROM p
+         |      UNION ALL SELECT doc_b AS v, doc_a AS u FROM p),
+         |r(v, u) AS (
+         |  SELECT DISTINCT v, v AS u FROM e
+         |  UNION
+         |  SELECT r.v, e.u FROM r JOIN e ON r.u = e.v),
+         |lab AS (SELECT v, min(u) AS cluster FROM r GROUP BY v),
+         |keep AS (SELECT ek.doc_id FROM ek
+         |  WHERE NOT EXISTS (SELECT 1 FROM lab
+         |    WHERE lab.v = ek.doc_id AND lab.cluster <> ek.doc_id)),
+         |en AS (SELECT doc_id FROM documents
+         |  WHERE $sEnSql >= $sDeSql AND $sEnSql >= $sFrSql),
+         |good AS (SELECT doc_id FROM documents WHERE $qualitySql >= 0.6),
+         |enq AS (SELECT en.doc_id FROM en JOIN good ON en.doc_id = good.doc_id)
+         |SELECT
+         |  (SELECT count(*) FROM documents) AS n_raw,
+         |  (SELECT count(*) FROM en) AS n_english,
+         |  (SELECT count(*) FROM enq) AS n_quality,
+         |  (SELECT count(*) FROM enq JOIN keep ON enq.doc_id = keep.doc_id) AS n_final""".stripMargin,
     "ta_fingerprints" ->
       s"""SELECT doc_id,
          |  md5(text) AS fp_full,
