@@ -62,12 +62,32 @@ object Dedup {
   /** Exact n-gram Jaccard near-dup pairs via an inverted shingle
     * index: explode → self-join on shingle → pair-count = |A∩B| →
     * |A∪B| from per-doc set sizes. */
-  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+  /** @param maxDocFreq the hot-shingle lever: drop shingles appearing
+    *   in more than this many documents from the inverted index before
+    *   the self-join. A shingle shared by f docs contributes f² pair
+    *   rows — one viral boilerplate phrase at corpus scale turns the
+    *   join quadratic. Capping trades a bounded recall loss (pairs
+    *   connected ONLY through ubiquitous shingles — which are the
+    *   least-discriminative evidence anyway) for a hard bound on join
+    *   fan-out. None (default) = exact, matches the DuckDB oracle. */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      maxDocFreq: Option[Long] = None): DataFrame = {
     // the shingle-set table feeds three plan branches (sizes, inverted
     // index, and nothing else recomputes it) — cache the one pass
     val sh = withShingles(docs, n).select(col("doc_id"), col("shingles")).cache()
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
-    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val invAll = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    // when capped, jaccard is computed IN the capped shingle space —
+    // sizes must come from the filtered index or similarity would be
+    // systematically underestimated
+    val (inv, sizes) = maxDocFreq match {
+      case None =>
+        (invAll, sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh")))
+      case Some(cap) =>
+        val hot = invAll.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("shingle")
+        val filtered = invAll.join(broadcast(hot), Seq("shingle"), "left_anti").cache()
+        (filtered, filtered.groupBy("doc_id").agg(count(lit(1)).as("n_sh")))
+    }
     val common = inv.as("a").join(inv.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -39,6 +39,17 @@ class DedupSpec extends SparkSpec {
       .get.getAs[Double]("jaccard") == 0.4)
   }
 
+  test("jaccard maxDocFreq cap drops only pairs connected through hot shingles") {
+    // "the quick brown"-family shingles appear in 3 docs; with cap 2
+    // those shingles vanish from the index, but d1/d2 still share
+    // their full shingle sets → identical pairs survive via the rest
+    val capped = Dedup.jaccardPairs(docs, n = 3, threshold = 0.5, maxDocFreq = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)))
+    // n_common shrinks (hot shingles excluded) but the exact-dup pair
+    // still clears the threshold through its unique-enough shingles
+  }
+
   test("minhash LSH: identical docs always collide; verified jaccard is exact") {
     val pairs = Dedup.minhashLsh(docs, n = 3, numHashes = 12, bands = 4, threshold = 0.5)
       .collect()
