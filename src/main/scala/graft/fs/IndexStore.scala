@@ -75,6 +75,20 @@ object IndexStore {
     if (Files.exists(old)) deleteRecursively(old)
   }
 
+  /** Publish as a BUCKETED managed table (hash-bucketed + sorted on
+    * the given key). Two tables bucketed the same way equi-join with
+    * ZERO shuffle — the co-located-join layout for the hot join keys
+    * (checksum for duplicate joins, (path, filename) for diffs) at
+    * cluster scale, where re-shuffling the 100 TB fact side per query
+    * is the dominant cost. Requires a warehouse-backed session. */
+  def publishBucketed(df: DataFrame, tableName: String, bucketCol: String,
+      numBuckets: Int = 16): Unit =
+    dedupLastWins(df)
+      .select("path", "filename", "checksum", "modification_datetime", "file_size", "indexed_at")
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(tableName)
+
   /** Upsert rows into the snapshot (reference A8/A9: bulk insert
     * indexer.py:411-448; Go ON CONFLICT DO UPDATE database.go:98-113):
     * union + last-writer-wins + swap. */
