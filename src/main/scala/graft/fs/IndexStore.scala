@@ -96,6 +96,33 @@ object IndexStore {
     publish(load(spark, root).unionByName(
       rows.select(schema.fieldNames.toIndexedSeq.map(col): _*)), root)
 
+  /** Go-parity `index_metadata` sidecar (file_indexer_go/db/
+    * database.go:47-50: root_path + indexed timestamp): a tiny JSON
+    * file next to the snapshot. */
+  def writeMeta(root: String, meta: Map[String, String]): Unit = {
+    Files.createDirectories(Paths.get(root))
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    val json = meta.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
+      .mkString("{", ", ", "}")
+    Files.writeString(Paths.get(s"$root/meta.json"), json)
+  }
+
+  def readMeta(root: String): Map[String, String] = {
+    val p = Paths.get(s"$root/meta.json")
+    if (!Files.exists(p)) return Map.empty
+    val s = Files.readString(p)
+    """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      .findAllMatchIn(s)
+      .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
+  }
+
+  private def unesc(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (Files.isDirectory(p)) {
       val ds = Files.newDirectoryStream(p)

@@ -50,6 +50,8 @@ object Indexer {
       .withColumn("indexed_at", lit(now()))
     val n = hashed.cache().count()
     IndexStore.publish(hashed, indexRoot)
+    IndexStore.writeMeta(indexRoot, Map(
+      "root_path" -> directory, "indexed" -> now().toString))
     hashed.unpersist()
     IndexRunStats(n, n, 0, 0, n)
   }

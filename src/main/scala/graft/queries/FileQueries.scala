@@ -140,6 +140,18 @@ object FileQueries {
         col("checksum"), col("path"), col("filename"))
   }
 
+  /** D11 — the API's nested response shape (`DuplicateGroup` objects,
+    * database.py:347-379): one row per group with its members as a
+    * sorted array of structs. collect_list + sort_array keeps member
+    * order deterministic regardless of partitioning. */
+  def duplicateGroupsNested(files: DataFrame, minGroupSize: Int = 2,
+      limit: Int = 100, offset: Int = 0): DataFrame =
+    duplicateGroups(files, minGroupSize, limit, offset)
+      .groupBy(col("checksum"), col("file_size"), col("file_count"), col("wasted_space"))
+      .agg(sort_array(collect_list(struct(
+        col("path"), col("filename"), col("modification_datetime")))).as("files"))
+      .orderBy(col("file_count").desc, col("file_size").desc, col("checksum"))
+
   /** C2 group-level rows only (the DuplicateGroup summaries,
     * database.py:347-379). */
   def duplicateGroupSummaries(files: DataFrame, minGroupSize: Int = 2): DataFrame =
