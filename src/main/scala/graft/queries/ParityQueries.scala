@@ -65,6 +65,33 @@ object ParityQueries {
       val live = f.filter(col("path") =!= "/data/d7" && !col("filename").like("%99%"))
       cleanupCandidates(f, live)
     }),
+    // Multi-dimensional aggregation (engine extension): ROLLUP over
+    // (path, extension) — subtotal rows carry NULL dimensions; the
+    // grouping-id column disambiguates "real NULL" from "rolled up"
+    // and makes the ordering total. NULLS FIRST pinned explicitly
+    // (Spark defaults NULLS FIRST, DuckDB NULLS LAST).
+    "fi_rollup" -> ((s, d) =>
+      files(s, d).withColumn("extension", FileQueries.extLastDot)
+        .rollup(col("path"), col("extension"))
+        .agg(count(lit(1)).as("file_count"),
+          coalesce(sum(col("file_size")), lit(0L)).as("total_size"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("path").asc_nulls_first,
+          col("extension").asc_nulls_first)),
+    // Pivot (engine extension): per-user event-type counts as columns.
+    // Expressed as conditional aggregation on BOTH engines (identical
+    // semantics; Spark's pivot() compiles to the same plan shape).
+    "ev_pivot" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+          sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("n_signup"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"))
+        .orderBy("user_id")
+    }),
     // Quantiles of the size distribution (engine extension): Spark's
     // exact `percentile` and DuckDB's `quantile_cont` share linear
     // interpolation — bit-identical on integer inputs.
@@ -196,6 +223,29 @@ object ParityQueries {
         |  WHERE l.path <> '/data/d7' AND NOT (l.filename LIKE '%99%')
         |    AND l.path = f.path AND l.filename = f.filename)
         |ORDER BY f.path, f.filename""".stripMargin),
+    "fi_rollup" -> w(
+      """, x AS (
+        |  SELECT path,
+        |    CASE WHEN filename LIKE '%.%'
+        |         THEN lower('.' || split_part(filename, '.', -1))
+        |         ELSE '(no extension)' END AS extension,
+        |    file_size
+        |  FROM files)
+        |SELECT path, extension,
+        |  COUNT(*) AS file_count,
+        |  CAST(COALESCE(SUM(file_size), 0) AS BIGINT) AS total_size,
+        |  GROUPING(path, extension) AS gid
+        |FROM x
+        |GROUP BY ROLLUP(path, extension)
+        |ORDER BY gid, path ASC NULLS FIRST, extension ASC NULLS FIRST""".stripMargin),
+    "ev_pivot" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "fi_size_percentiles" -> w(
       """SELECT quantile_cont(file_size, [0.25, 0.5, 0.75, 0.9]) AS size_quartiles,
         |  quantile_cont(file_size, 0.37) AS size_p37
