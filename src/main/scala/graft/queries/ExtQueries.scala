@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.operators.Multimodal
 import graft.streaming.Events
@@ -29,6 +30,17 @@ object ExtQueries {
     "ev_rolling_hour" -> ((s, d) => Events.rollingHourByUser(events(s, d))),
     "ev_top_users" -> ((s, d) => Events.topUsers(events(s, d), k = 10)),
     "ev_funnel" -> ((s, d) => Events.funnel(events(s, d), withinMinutes = 10)),
+    // Moving ROWS frame: trailing-5-event sum/count per user (decimal-
+    // exact; a moving AVG would divide differently across engines).
+    "ev_moving_window" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+      events(s, d).select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_in_window"),
+          sum(col("value").cast("decimal(18,6)")).over(w).as("sum_in_window"))
+        .orderBy("event_id")
+    }),
     "mm_metadata" -> ((s, d) =>
       Multimodal.decodeMetadata(s, media(s, d)).toDF().orderBy("doc_id")),
     "mm_frames" -> ((s, d) =>
@@ -37,6 +49,21 @@ object ExtQueries {
     "mm_resize" -> ((s, d) =>
       Multimodal.resizeMeta(Multimodal.decodeMetadata(s, media(s, d)), maxSide = 128)
         .orderBy("doc_id")),
+    // H5 — the reference's complete string-function surface in one
+    // oracle-checked projection (LIKE/ILIKE/LOWER/SUBSTR/LENGTH/
+    // REVERSE/STRPOS-INSTR, database.py:499 / database.go:238).
+    "fi_string_funcs" -> ((s, d) => {
+      val f = Tables.files(s, d)
+      f.select(col("path"), col("filename"),
+          col("filename").like("%.txt").as("is_txt"),
+          col("filename").ilike("%ORDER%").as("has_order_ci"),
+          lower(col("filename")).as("lower_name"),
+          substring(col("filename"), 1, 8).as("prefix8"),
+          length(col("filename")).as("name_len"),
+          reverse(col("filename")).as("reversed"),
+          locate(".", col("filename")).cast("long").as("first_dot_pos"))
+        .orderBy("path", "filename")
+    }),
     // H7 — raw SQL passthrough (Go -sql, file_indexer_go/db/database.go:269-317):
     // the engine exposes full SQL over registered views.
     "fi_sql" -> ((s, d) => {
@@ -86,6 +113,24 @@ object ExtQueries {
         |  SUM(CAST(value AS DECIMAL(18,6))) AS total_value
         |FROM events GROUP BY user_id
         |ORDER BY total_value DESC, user_id LIMIT 10""".stripMargin,
+    "ev_moving_window" ->
+      """SELECT event_id, user_id,
+        |  COUNT(*) OVER w AS n_in_window,
+        |  SUM(CAST(value AS DECIMAL(18,6))) OVER w AS sum_in_window
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "fi_string_funcs" -> FilesCte.wrap(
+      """SELECT path, filename,
+        |  filename LIKE '%.txt' AS is_txt,
+        |  filename ILIKE '%ORDER%' AS has_order_ci,
+        |  lower(filename) AS lower_name,
+        |  substr(filename, 1, 8) AS prefix8,
+        |  CAST(length(filename) AS INT) AS name_len,
+        |  reverse(filename) AS reversed,
+        |  CAST(strpos(filename, '.') AS BIGINT) AS first_dot_pos
+        |FROM files ORDER BY path, filename""".stripMargin),
     "ev_funnel" ->
       """WITH m AS (
         |  SELECT user_id, event_type, event_id,
