@@ -65,6 +65,33 @@ object ParityQueries {
       val live = f.filter(col("path") =!= "/data/d7" && !col("filename").like("%99%"))
       cleanupCandidates(f, live)
     }),
+    // F — set operations (engine surface; the reference expresses set
+    // semantics only via joins): directories containing .txt files
+    // INTERSECT those containing .log files, minus (EXCEPT) those
+    // containing files over 1 GiB.
+    "fi_setops" -> ((s, d) => {
+      val f = files(s, d)
+      val txtDirs = f.filter(col("filename").like("%.txt")).select("path").distinct()
+      val logDirs = f.filter(col("filename").like("%.log")).select("path").distinct()
+      val bigDirs = f.filter(col("file_size") > 1073741824L).select("path").distinct()
+      txtDirs.intersect(logDirs).except(bigDirs).orderBy("path")
+    }),
+    // G3's diff join in oracle-checked form: full-outer on the PK with
+    // new/deleted/common classification and per-status counts.
+    "fi_diff_classify" -> ((s, d) => {
+      val f = files(s, d)
+      val index = f.filter(col("filename").like("%.txt") || col("filename").like("%.dat"))
+        .select(col("path"), col("filename"), lit(1).as("_idx"))
+      val scan = f.filter(col("filename").like("%.dat") || col("filename").like("%.log"))
+        .select(col("path"), col("filename"), lit(1).as("_scan"))
+      index.join(scan, Seq("path", "filename"), "full_outer")
+        .withColumn("status",
+          when(col("_idx").isNull, "new")
+            .when(col("_scan").isNull, "deleted")
+            .otherwise("unchanged"))
+        .groupBy("status").agg(count(lit(1)).as("n"))
+        .orderBy("status")
+    }),
     // Multi-dimensional aggregation (engine extension): ROLLUP over
     // (path, extension) — subtotal rows carry NULL dimensions; the
     // grouping-id column disambiguates "real NULL" from "rolled up"
@@ -223,6 +250,26 @@ object ParityQueries {
         |  WHERE l.path <> '/data/d7' AND NOT (l.filename LIKE '%99%')
         |    AND l.path = f.path AND l.filename = f.filename)
         |ORDER BY f.path, f.filename""".stripMargin),
+    "fi_setops" -> w(
+      """SELECT path FROM (
+        |  SELECT DISTINCT path FROM files WHERE filename LIKE '%.txt'
+        |  INTERSECT
+        |  SELECT DISTINCT path FROM files WHERE filename LIKE '%.log'
+        |  EXCEPT
+        |  SELECT DISTINCT path FROM files WHERE file_size > 1073741824)
+        |ORDER BY path""".stripMargin),
+    "fi_diff_classify" -> w(
+      """, idx AS (SELECT path, filename FROM files
+        |    WHERE filename LIKE '%.txt' OR filename LIKE '%.dat'),
+        |scn AS (SELECT path, filename FROM files
+        |    WHERE filename LIKE '%.dat' OR filename LIKE '%.log')
+        |SELECT CASE WHEN idx.path IS NULL THEN 'new'
+        |            WHEN scn.path IS NULL THEN 'deleted'
+        |            ELSE 'unchanged' END AS status,
+        |  COUNT(*) AS n
+        |FROM idx FULL OUTER JOIN scn
+        |  ON idx.path = scn.path AND idx.filename = scn.filename
+        |GROUP BY 1 ORDER BY status""".stripMargin),
     "fi_rollup" -> w(
       """, x AS (
         |  SELECT path,
