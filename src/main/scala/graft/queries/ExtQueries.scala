@@ -49,6 +49,28 @@ object ExtQueries {
     "mm_resize" -> ((s, d) =>
       Multimodal.resizeMeta(Multimodal.decodeMetadata(s, media(s, d)), maxSide = 128)
         .orderBy("doc_id")),
+    // Percent-of-total via an unbounded window: event-type share of
+    // all events (double division of exact integer counts — bit-
+    // identical across engines, unlike decimal/decimal division).
+    "ev_type_share" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      events(s, d).groupBy("event_type").agg(count(lit(1)).as("n"))
+        .withColumn("share",
+          col("n").cast("double") / sum(col("n")).over(Window.partitionBy()).cast("double"))
+        .orderBy("event_type")
+    }),
+    // Top-N per group: the 3 largest files per directory by
+    // row_number (full tie-break: size desc, filename).
+    "fi_top_per_dir" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("path")
+        .orderBy(col("file_size").desc, col("filename"))
+      Tables.files(s, d)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("path", "filename", "file_size", "rnk")
+        .orderBy("path", "rnk")
+    }),
     // H5 — the reference's complete string-function surface in one
     // oracle-checked projection (LIKE/ILIKE/LOWER/SUBSTR/LENGTH/
     // REVERSE/STRPOS-INSTR, database.py:499 / database.go:238).
@@ -113,6 +135,18 @@ object ExtQueries {
         |  SUM(CAST(value AS DECIMAL(18,6))) AS total_value
         |FROM events GROUP BY user_id
         |ORDER BY total_value DESC, user_id LIMIT 10""".stripMargin,
+    "ev_type_share" ->
+      """WITH g AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type)
+        |SELECT event_type, n,
+        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share
+        |FROM g ORDER BY event_type""".stripMargin,
+    "fi_top_per_dir" -> FilesCte.wrap(
+      """SELECT path, filename, file_size, rnk FROM (
+        |  SELECT path, filename, file_size,
+        |    CAST(row_number() OVER (PARTITION BY path
+        |      ORDER BY file_size DESC, filename) AS INT) AS rnk
+        |  FROM files)
+        |WHERE rnk <= 3 ORDER BY path, rnk""".stripMargin),
     "ev_moving_window" ->
       """SELECT event_id, user_id,
         |  COUNT(*) OVER w AS n_in_window,
