@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** TPC-H-style multi-table analytics over the star schema (lineitem /
+  * orders / customer / supplier / part / nation / region) — the
+  * general-analytics surface of the engine, exercising what the
+  * single-table parity queries don't: multi-way joins with broadcast
+  * dimensions, selective fact filters pushed to the scan, and
+  * aggregation over joined results.
+  *
+  * Scale shapes:
+  *  - dimension tables (region 5 / nation 25 / supplier / customer)
+  *    broadcast — the lineitem fact side NEVER shuffles for a dim join;
+  *  - all money math in decimal (sums are partial-order independent);
+  *  - every query carries a total output ordering for the oracle.
+  */
+object TpchQueries {
+  private def dec(c: String) = col(c).cast("decimal(18,6)")
+
+  /** Q1-style pricing summary: per (returnflag, linestatus) aggregate
+    * over recent lineitem. One scan, one hash aggregate. */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec("l_quantity")).as("sum_qty"),
+        sum(dec("l_extendedprice")).as("sum_base_price"),
+        sum((dec("l_extendedprice") * (lit(1).cast("decimal(18,6)") - dec("l_discount")))
+          .cast("decimal(18,6)")).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q3-style shipping priority: revenue of undelivered orders for one
+    * market segment, top 10. Customer (small) broadcasts into orders;
+    * the joined keys then semi-filter lineitem. */
+  def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > to_timestamp(lit("1997-01-01 00:00:00")))
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum((dec("l_extendedprice") * (lit(1).cast("decimal(18,6)") - dec("l_discount")))
+        .cast("decimal(18,6)")).as("revenue"))
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+
+  }
+
+  /** Q5-style local-supplier volume: revenue per nation within one
+    * region, suppliers joined through their nation. Region → nation →
+    * supplier all broadcast; lineitem streams once. */
+  def q5Region(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val sup = Tables.supplier(spark, dir)
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((dec("l_extendedprice") * (lit(1).cast("decimal(18,6)") - dec("l_discount")))
+        .cast("decimal(18,6)")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Parts-by-brand profile: join lineitem to part, per-brand quantity
+    * and revenue (exercises a mid-size dimension join + two-level
+    * sort). */
+  def brandVolume(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(dec("l_quantity")).as("total_qty"),
+        sum(dec("l_extendedprice")).as("total_price"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> ((s, d) => q1Pricing(s, d)),
+    "q3_shipping" -> ((s, d) => q3Shipping(s, d)),
+    "q5_region" -> ((s, d) => q5Region(s, d)),
+    "q_brand_volume" -> ((s, d) => brandVolume(s, d)))
+
+  private val discPrice =
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * " +
+      "(CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))"
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+         |  SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sum_base_price,
+         |  SUM($discPrice) AS sum_disc_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping" ->
+      s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         |  SUM($discPrice) AS revenue
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY o_orderkey, o_orderdate
+         |ORDER BY revenue DESC, o_orderkey
+         |LIMIT 10""".stripMargin,
+    "q5_region" ->
+      s"""SELECT n_name,
+         |  SUM($discPrice) AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_brand_volume" ->
+      """SELECT p_brand,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,6))) AS total_qty,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS total_price,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+}
