@@ -90,11 +90,53 @@ object TpchQueries {
         count(lit(1)).as("n_items"))
       .orderBy("p_brand")
 
+  /** Customers with no orders since 2000 — left anti join against a
+    * date-filtered orders scan (the relational "NOT EXISTS"). */
+  def customersNoOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01 00:00:00")))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** Orders strictly above their customer's average order value —
+    * correlated-aggregate semantics via a window, DIVISION-FREE:
+    * `price * n > sum` compares exact decimals (an avg would divide
+    * differently across engines). */
+  def aboveAvgOrders(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+    Tables.orders(spark, dir)
+      .withColumn("n_orders", count(lit(1)).over(w))
+      .withColumn("sum_total", sum(dec("o_totalprice")).over(w))
+      .filter(dec("o_totalprice") * col("n_orders") > col("sum_total"))
+      .select(col("o_orderkey"), col("o_custkey"), dec("o_totalprice").as("o_totalprice"),
+        col("n_orders"), col("sum_total"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Customer account-balance quartiles: ntile(4) over a totally
+    * ordered ranking (acctbal is a 2-decimal double — ordering ties
+    * broken by custkey, so tile assignment is deterministic). */
+  def acctbalQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), dec("c_acctbal").as("c_acctbal"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> ((s, d) => q1Pricing(s, d)),
     "q3_shipping" -> ((s, d) => q3Shipping(s, d)),
     "q5_region" -> ((s, d) => q5Region(s, d)),
-    "q_brand_volume" -> ((s, d) => brandVolume(s, d)))
+    "q_brand_volume" -> ((s, d) => brandVolume(s, d)),
+    "q_customers_no_orders" -> ((s, d) => customersNoOrders(s, d)),
+    "q_above_avg_orders" -> ((s, d) => aboveAvgOrders(s, d)),
+    "q_acctbal_quartiles" -> ((s, d) => acctbalQuartiles(s, d)))
 
   private val discPrice =
     "CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * " +
@@ -132,6 +174,27 @@ object TpchQueries {
          |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_customers_no_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_above_avg_orders" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(o_totalprice AS DECIMAL(18,6)) AS o_totalprice,
+        |  n_orders, sum_total
+        |FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    COUNT(*) OVER w AS n_orders,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS sum_total
+        |  FROM orders WINDOW w AS (PARTITION BY o_custkey))
+        |WHERE CAST(o_totalprice AS DECIMAL(18,6)) * n_orders > sum_total
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_acctbal_quartiles" ->
+      """SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,6)) AS c_acctbal,
+        |  CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INT) AS quartile
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_brand_volume" ->
       """SELECT p_brand,
         |  SUM(CAST(l_quantity AS DECIMAL(18,6))) AS total_qty,
