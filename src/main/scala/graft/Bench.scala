@@ -25,6 +25,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def run(name: String): Double = {
+      // operators cache their reusable artifacts (signature/bucket
+      // tables); drop them between queries so no query is timed
+      // against another query's warm cache
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
       catch { case e: Throwable =>

@@ -12,13 +12,17 @@ import org.apache.spark.sql.types._
   * DuckDB file, /root/reference/file_indexer/indexer.py:71,89-110, and
   * its BEGIN/COMMIT transactions, indexer.py:419-446 → SURVEY.md G6).
   *
-  * Write protocol: write to `<root>/.tmp-<nonce>`, then atomically
-  * rename over `<root>/current`. Readers always see either the old or
-  * the new complete snapshot — the reference's read-only API connection
-  * (api_backend database.py:37-43) maps to reading the last published
-  * snapshot. At cluster scale the same protocol works over any
-  * filesystem with atomic dir rename, or a manifest-pointer file on
-  * object stores.
+  * Write protocol (manifest pointer): data is written to an immutable
+  * `<root>/snap-<nonce>/` directory, then the single `<root>/CURRENT`
+  * pointer file is replaced with one ATOMIC_MOVE. Readers resolve
+  * CURRENT → directory, so they always see either the old or the new
+  * complete snapshot — there is never a moment with no published
+  * snapshot (a two-rename directory swap would have that window). A
+  * crash before the pointer flip leaves an orphan snap dir, cleaned on
+  * the next publish. The same protocol works on any store with atomic
+  * single-file replace (POSIX rename, object-store put) — the
+  * reference's read-only API connection (api_backend database.py:37-43)
+  * maps to reading the last published snapshot.
   *
   * PRIMARY KEY (path, filename) is enforced by construction: every
   * publish dedups with last-writer-wins on `indexed_at`
@@ -34,15 +38,25 @@ object IndexStore {
     StructField("file_size", LongType, nullable = false),
     StructField("indexed_at", TimestampType, nullable = false)))
 
-  private def currentDir(root: String) = s"$root/current"
+  private def pointerFile(root: String) = Paths.get(s"$root/CURRENT")
 
-  def exists(root: String): Boolean = Files.exists(Paths.get(currentDir(root)))
+  /** Resolve the published snapshot directory, if any. */
+  private def currentDir(root: String): Option[String] = {
+    val p = pointerFile(root)
+    if (!Files.exists(p)) None
+    else Some(s"$root/${Files.readString(p).trim}")
+  }
+
+  def exists(root: String): Boolean = currentDir(root).exists(d => Files.exists(Paths.get(d)))
 
   /** Load the published snapshot; empty DF with the index schema when
     * no snapshot exists yet. */
   def load(spark: SparkSession, root: String): DataFrame =
-    if (exists(root)) spark.read.parquet(currentDir(root))
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    currentDir(root).filter(d => Files.exists(Paths.get(d))) match {
+      case Some(d) => spark.read.parquet(d)
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
 
   /** Last-writer-wins dedup on the (path, filename) primary key. */
   def dedupLastWins(df: DataFrame): DataFrame = {
@@ -60,19 +74,23 @@ object IndexStore {
     * to executors × cores); 0 keeps the incoming partitioning. */
   def publish(df: DataFrame, root: String, numFiles: Int = 0): Unit = {
     Files.createDirectories(Paths.get(root))
-    val tmp = s"$root/.tmp-${System.nanoTime()}"
+    val prev = currentDir(root)
+    val snapName = s"snap-${System.nanoTime()}"
     val deduped = dedupLastWins(df)
       .select("path", "filename", "checksum", "modification_datetime", "file_size", "indexed_at")
     val laidOut =
       if (numFiles > 0) deduped.repartition(numFiles, col("path"))
         .sortWithinPartitions("path", "filename")
       else deduped
-    laidOut.write.mode("overwrite").parquet(tmp)
-    val cur = Paths.get(currentDir(root))
-    val old = Paths.get(s"$root/.old-${System.nanoTime()}")
-    if (Files.exists(cur)) Files.move(cur, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), cur, StandardCopyOption.ATOMIC_MOVE)
-    if (Files.exists(old)) deleteRecursively(old)
+    laidOut.write.mode("overwrite").parquet(s"$root/$snapName")
+    // single atomic pointer flip — readers never observe a missing
+    // snapshot (write the new pointer to a temp file, then rename)
+    val tmpPtr = Paths.get(s"$root/.CURRENT-${System.nanoTime()}")
+    Files.writeString(tmpPtr, snapName)
+    Files.move(tmpPtr, pointerFile(root),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // retire the previous snapshot directory
+    prev.foreach(d => if (Files.exists(Paths.get(d))) deleteRecursively(Paths.get(d)))
   }
 
   /** Publish as a BUCKETED managed table (hash-bucketed + sorted on
@@ -120,8 +138,22 @@ object IndexStore {
       .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
   }
 
-  private def unesc(s: String): String =
-    s.replace("\\\"", "\"").replace("\\\\", "\\")
+  private def unesc(s: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => out += '"'; i += 2
+          case '\\' => out += '\\'; i += 2
+          case 'u' if i + 6 <= s.length =>
+            out += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case c => out += c; i += 2
+        }
+      } else { out += s.charAt(i); i += 1 }
+    }
+    out.toString
+  }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (Files.isDirectory(p)) {

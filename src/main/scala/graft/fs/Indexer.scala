@@ -48,12 +48,16 @@ object Indexer {
     val scanned = FsScan.scanDF(spark, directory)
     val hashed = ChecksumStage.withChecksums(spark, scanned, maxChecksumSize)
       .withColumn("indexed_at", lit(now()))
-    val n = hashed.cache().count()
+    // one pass for both counts: total rows and rows actually hashed
+    // (empty / over-cap / errored files keep a NULL checksum)
+    val counts = hashed.cache()
+      .agg(count(lit(1)), count(col("checksum"))).collect().head
+    val (n, nHashed) = (counts.getLong(0), counts.getLong(1))
     IndexStore.publish(hashed, indexRoot)
     IndexStore.writeMeta(indexRoot, Map(
       "root_path" -> directory, "indexed" -> now().toString))
     hashed.unpersist()
-    IndexRunStats(n, n, 0, 0, n)
+    IndexRunStats(n, n, 0, 0, nHashed)
   }
 
   /** G3 — incremental re-index with change detection: full-outer diff
@@ -128,7 +132,9 @@ object Indexer {
     val hashed = ChecksumStage.withChecksums(spark, needs, maxChecksumSize)
       .withColumn("indexed_at", lit(now()))
       .select("path", "filename", "checksum", "modification_datetime", "file_size", "indexed_at")
-    val nHashed = hashed.cache().count()
+    // count rows that actually GOT a checksum (a cap can exclude some
+    // survivors) — this number feeds the CLI's hash-reduction stat
+    val nHashed = { hashed.cache(); hashed.filter(col("checksum").isNotNull).count() }
     // Join-back update: hashed rows replace their originals (A9 upsert).
     IndexStore.publish(index.unionByName(hashed), indexRoot)
     hashed.unpersist(); index.unpersist()

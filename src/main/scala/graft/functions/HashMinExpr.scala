@@ -72,15 +72,19 @@ case class MinHashesExpr(child: Expression, numHashes: Int)
     val prefixes = Array.tabulate(numHashes)(i => s"$i|".getBytes("UTF-8"))
     var j = 0
     while (j < n) {
-      val sBytes = arr.getUTF8String(j).getBytes
-      var i = 0
-      while (i < numHashes) {
-        md.reset()
-        md.update(prefixes(i))
-        md.update(sBytes)
-        val d = md.digest()
-        if (mins(i) == null || Md5Min.ltUnsigned(d, mins(i))) mins(i) = d
-        i += 1
+      // null shingle ⇒ no candidate hash, matching the HOF form
+      // (md5(concat(i|, null)) is null; array_min skips nulls)
+      if (!arr.isNullAt(j)) {
+        val sBytes = arr.getUTF8String(j).getBytes
+        var i = 0
+        while (i < numHashes) {
+          md.reset()
+          md.update(prefixes(i))
+          md.update(sBytes)
+          val d = md.digest()
+          if (mins(i) == null || Md5Min.ltUnsigned(d, mins(i))) mins(i) = d
+          i += 1
+        }
       }
       j += 1
     }

@@ -27,18 +27,26 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
 
+  // HOF-matching edge semantics (the function is on the public SQL
+  // surface, so inputs are not guaranteed to be md5 digests): a NULL
+  // element casts no votes but still counts in the denominator
+  // (filter() drops it, size() keeps it); a string shorter than 32
+  // chars casts no vote for digits past its end (substring → "" < '8').
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val votes = new Array[Int](32)
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      var j = 0
-      while (j < 32) {
-        // md5 hex is ASCII; byte j is hex digit j. '8'..'f' ⇒ high bit.
-        if (s.getByte(j) >= '8') votes(j) += 1
-        j += 1
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val len = math.min(s.numBytes(), 32)
+        var j = 0
+        while (j < len) {
+          // md5 hex is ASCII; byte j is hex digit j. '8'..'f' ⇒ high bit.
+          if (s.getByte(j) >= '8') votes(j) += 1
+          j += 1
+        }
       }
       i += 1
     }
@@ -56,13 +64,17 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
       val j = ctx.freshName("j")
       val s = ctx.freshName("s")
       val sig = ctx.freshName("sig")
+      val len = ctx.freshName("len")
       s"""
          |int $n = $a.numElements();
          |int[] $votes = new int[32];
          |for (int $i = 0; $i < $n; $i++) {
-         |  org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
-         |  for (int $j = 0; $j < 32; $j++) {
-         |    if ($s.getByte($j) >= (byte) '8') $votes[$j]++;
+         |  if (!$a.isNullAt($i)) {
+         |    org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+         |    int $len = java.lang.Math.min($s.numBytes(), 32);
+         |    for (int $j = 0; $j < $len; $j++) {
+         |      if ($s.getByte($j) >= (byte) '8') $votes[$j]++;
+         |    }
          |  }
          |}
          |long $sig = 0L;

@@ -22,10 +22,6 @@ object VectorOps {
   /** Elementwise cast float → double (exact, deterministic). */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential left-fold sum of an array<double> column. */
-  def seqSum(v: Column): Column =
-    aggregate(v, lit(0.0).cast("double"), (acc, x) => acc + x)
-
   /** Dot product of two array<double> columns — a native codegen'd
     * Catalyst expression ([[DotProductExpr]]); same left-fold sum
     * order as the HOF form, ~10× faster in all-pairs joins. */

@@ -37,11 +37,20 @@ object Dedup {
     * no-op-sized rebalance; on a laptop-sized file it is the
     * difference between 1 and 32 busy cores.) */
   private[graft] def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    // only widen when the scan is narrower than the core count — at
-    // real scan widths (thousands of splits) repartitioning here would
-    // shuffle the full text corpus for nothing
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Repartition,
+      RepartitionByExpression, Window => LWindow}
+    // Widen only plans with NO shuffle boundary yet (a raw narrow scan
+    // arrives as 1-2 partitions for a small file; after any shuffle the
+    // partitioning is already spark.sql.shuffle.partitions ≈ cores).
+    // Inspect the LOGICAL plan — touching df.rdd would force AQE to
+    // materialize upstream stages eagerly and the query would then
+    // re-execute them.
+    val hasShuffle = df.queryExecution.analyzed.collectFirst {
+      case _: Aggregate | _: Join | _: LWindow | _: Repartition |
+           _: RepartitionByExpression => true
+    }.getOrElse(false)
+    if (hasShuffle) df
+    else df.repartition(df.sparkSession.sparkContext.defaultParallelism)
   }
 
   /** Tokens plus DISTINCT word n-gram shingles (the shingle *set*). */
@@ -184,7 +193,10 @@ object Dedup {
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      // normalize to the (min, max) pair contract every dedup consumer
+      // assumes — a corpus id can be larger than a delta id
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 

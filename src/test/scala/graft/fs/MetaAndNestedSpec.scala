@@ -13,7 +13,8 @@ class MetaAndNestedSpec extends SparkSpec {
 
   test("index_metadata sidecar round-trips, incl. escaping") {
     val root = Files.createTempDirectory("graft-meta").toString
-    val meta = Map("root_path" -> "/some/\"quoted\"/dir", "indexed" -> "2026-08-12 10:00:00")
+    val meta = Map("root_path" -> "/some/\"quoted\"/dir\nwith\tcontrol",
+      "indexed" -> "2026-08-12 10:00:00")
     IndexStore.writeMeta(root, meta)
     assert(IndexStore.readMeta(root) == meta)
     assert(IndexStore.readMeta(root + "/nope").isEmpty)

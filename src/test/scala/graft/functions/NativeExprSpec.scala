@@ -28,6 +28,41 @@ class NativeExprSpec extends SparkSpec {
     assert(diffs.forall(_.getBoolean(0)))
   }
 
+  test("DotProductExpr: mismatched lengths and null elements yield NULL like the HOF") {
+    val df = Seq((Seq(1.0), Seq(1.0, 2.0))).toDF("a", "b") // length mismatch
+    val native = colOf(DotProductExpr(
+      GraftSqlBridge.expression(col("a")), GraftSqlBridge.expression(col("b"))))
+    val r = df.select(native.as("d")).collect()
+    assert(r(0).isNullAt(0)) // mismatch → NULL, not a truncated dot
+    // null-element case via SQL literal arrays
+    org.apache.spark.sql.GraftSqlBridge.registerGraftFunctions(spark)
+    val withNull = spark.sql(
+      "SELECT graft_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS d")
+      .collect().head
+    assert(withNull.isNullAt(0))
+  }
+
+  test("SimHashExpr tolerates null and short elements like the HOF") {
+    org.apache.spark.sql.GraftSqlBridge.registerGraftFunctions(spark)
+    // short string: chars past the end vote 0 (substring → '' < '8')
+    val hofShort = spark.sql(
+      """SELECT aggregate(sequence(0, 31), 0L, (acc, j) ->
+        |  acc + CASE WHEN size(filter(array('abc'), h -> substring(h, j+1, 1) >= '8')) * 2
+        |             >= 1 THEN shiftleft(1L, j) ELSE 0L END) AS s""".stripMargin)
+      .collect().head.getLong(0)
+    val nativeShort = spark.sql("SELECT graft_simhash(array('abc')) AS s")
+      .collect().head.getLong(0)
+    assert(nativeShort == hofShort)
+    // null element: no votes cast, still in the denominator — no NPE
+    val r = spark.sql(
+      "SELECT graft_simhash(array(md5('x'), CAST(NULL AS STRING))) AS s").collect().head
+    assert(!r.isNullAt(0))
+    // null shingle in minhashes: skipped like array_min skips nulls
+    val mh = spark.sql(
+      "SELECT graft_minhashes(array('x', CAST(NULL AS STRING)), 2) AS m").collect().head
+    assert(!mh.isNullAt(0))
+  }
+
   test("SimHashExpr == 32 filter/substring passes") {
     val docs = Seq("the quick brown fox", "a", "x y z x y z", "einzelnes wort hier")
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
