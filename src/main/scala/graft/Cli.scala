@@ -46,8 +46,11 @@ object Cli {
       println(s"Indexed ${st.scanned} files (${st.checksummed} checksummed)")
     } else if (opts.contains("two-phase")) {
       val (p1, hashed) = Indexer.twoPhaseIndex(spark, opts("two-phase"), db, maxSize)
+      val reduction =
+        if (p1.scanned == 0) "n/a"
+        else f"${100.0 * (p1.scanned - hashed) / p1.scanned}%.1f%%"
       println(s"Phase 1: ${p1.scanned} files indexed; phase 2: $hashed checksummed " +
-        s"(${100 - (if (p1.scanned == 0) 0 else hashed * 100 / p1.scanned)}% hash reduction)")
+        s"($reduction hash reduction)")
     } else if (opts.contains("incremental")) {
       val st = Indexer.incrementalIndex(spark, opts("incremental"), db, maxSize)
       println(s"Scanned ${st.scanned}: ${st.inserted} new, ${st.updated} changed, " +
@@ -72,14 +75,16 @@ object Cli {
     } else sys.error("no action given — see scaladoc for usage")
   }
 
-  /** `--key value` pairs; bare `--flag` (no value) maps to "". */
+  /** `--key value` pairs; bare `--flag` (no value) maps to "". A
+    * repeated flag follows CLI convention: the LAST occurrence wins
+    * (later bindings from the tail override the earlier one). */
   private[graft] def parseArgs(args: List[String]): Map[String, String] = args match {
     case Nil => Map.empty
     case key :: rest if key.startsWith("--") =>
       val k = key.stripPrefix("--")
       rest match {
-        case v :: tail if !v.startsWith("--") => parseArgs(tail) + (k -> v)
-        case _ => parseArgs(rest) + (k -> "")
+        case v :: tail if !v.startsWith("--") => Map(k -> v) ++ parseArgs(tail)
+        case _ => Map(k -> "") ++ parseArgs(rest)
       }
     case other :: _ => sys.error(s"unexpected argument: $other")
   }

@@ -42,8 +42,14 @@ object Ivf {
   }
 
   /** Build centroids: deterministic seed + `iters` Lloyd rounds. */
-  def trainCentroids(emb: DataFrame, nCentroids: Int, iters: Int = 2): Seq[Array[Double]] = {
-    val e = Similarity.prepared(emb).select(col("vec_id"), col("v")).cache()
+  def trainCentroids(emb: DataFrame, nCentroids: Int, iters: Int = 2): Seq[Array[Double]] =
+    trainOnPrepared(Similarity.prepared(emb).select(col("vec_id"), col("v")).cache(),
+      nCentroids, iters)
+
+  /** Training core over an already-prepared (vec_id, v) table — lets
+    * [[topkIvf]] share one cached preparation between training and
+    * querying instead of scanning+normalizing the corpus twice. */
+  private def trainOnPrepared(e: DataFrame, nCentroids: Int, iters: Int): Seq[Array[Double]] = {
     var centroids: Seq[Array[Double]] = e.orderBy("vec_id").limit(nCentroids)
       .collect().map(_.getSeq[Double](1).toArray).toSeq
     for (_ <- 1 to iters) {
@@ -63,7 +69,6 @@ object Ivf {
         byCell.get(i).map(m => Array.tabulate(old.length)(d => m(d))).getOrElse(old)
       }
     }
-    e.unpersist()
     centroids
   }
 
@@ -71,9 +76,10 @@ object Ivf {
     * nProbe nearest cells. */
   def topkIvf(emb: DataFrame, queryMod: Long = 50L, k: Int = 5,
       nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
-    val centroids = trainCentroids(emb, nCentroids, iters)
-    val e = Similarity.prepared(emb).select(col("vec_id"), col("v"), col("nrm"))
-      .withColumn("cell", assign(centroids)).cache()
+    // ONE prepared (vec_id, v, nrm) table shared by training and query
+    val prep = Similarity.prepared(emb).select(col("vec_id"), col("v"), col("nrm")).cache()
+    val centroids = trainOnPrepared(prep.select("vec_id", "v"), nCentroids, iters)
+    val e = prep.withColumn("cell", assign(centroids))
 
     // per query: the nProbe best cells — explode (cell, score) pairs,
     // window-top-nProbe per query
@@ -93,7 +99,8 @@ object Ivf {
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
         (VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
-      .distinct() // a candidate may appear via several probed cells
+      // no distinct needed: assign() gives each vector exactly one
+      // cell, so a (query, candidate) pair can only join once
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .orderBy("query_id", "rnk")

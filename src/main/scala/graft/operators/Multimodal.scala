@@ -40,16 +40,24 @@ object Multimodal {
   object StubCodec {
     val FrameBytes = 16 // fake fixed-size "frame" for frame sampling
 
-    def md5hex(bytes: Array[Byte]): String =
-      MessageDigest.getInstance("MD5").digest(bytes).map("%02x".format(_)).mkString
+    def newDigest(): MessageDigest = MessageDigest.getInstance("MD5")
+
+    /** Digest with a caller-owned (partition-scoped, reused) instance. */
+    def md5hex(md: MessageDigest, bytes: Array[Byte]): String = {
+      md.reset()
+      md.digest(bytes).map("%02x".format(_)).mkString
+    }
+
+    def md5hex(bytes: Array[Byte]): String = md5hex(newDigest(), bytes)
 
     /** Fake dimensions derived from the byte length (integer-only —
-      * identical arithmetic in any engine). */
-    def decode(payload: Array[Byte]): (String, Int, Int, Int) = {
+      * identical arithmetic in any engine; the *7 runs in Long so a
+      * multi-hundred-MB payload can't overflow Int and go negative). */
+    def decode(md: MessageDigest, payload: Array[Byte]): (String, Int, Int, Int) = {
       val n = payload.length
-      val magic = md5hex(payload).substring(0, 8)           // "format sniff"
+      val magic = md5hex(md, payload).substring(0, 8)       // "format sniff"
       val width = 64 + n % 193
-      val height = 64 + (n * 7) % 129
+      val height = 64 + (n.toLong * 7 % 129).toInt
       val nFrames = math.max(n / FrameBytes, 1)
       (magic, width, height, nFrames)
     }
@@ -76,8 +84,9 @@ object Multimodal {
       .mapPartitions { batch =>
         // one decoder instance per partition, reused across the batch —
         // the plumbing a real (expensive-to-init) codec needs
+        val md = StubCodec.newDigest()
         batch.map { row =>
-          val (magic, w, h, f) = StubCodec.decode(row.payload)
+          val (magic, w, h, f) = StubCodec.decode(md, row.payload)
           MediaMeta(row.doc_id, row.media_type, row.payload.length.toLong, magic, w, h, f)
         }
       }
@@ -91,13 +100,14 @@ object Multimodal {
     val fb = StubCodec.FrameBytes
     media.select("doc_id", "media_type", "payload").as[MediaRow]
       .mapPartitions { batch =>
+        val md = StubCodec.newDigest()
         batch.flatMap { row =>
           val nFrames = math.max(row.payload.length / fb, 1)
           Iterator.range(0, nFrames, step).map { i =>
             val from = i * fb
             val until = math.min(from + fb, row.payload.length)
             val slice = java.util.Arrays.copyOfRange(row.payload, from, math.max(until, from))
-            Frame(row.doc_id, i, slice.length, StubCodec.md5hex(slice))
+            Frame(row.doc_id, i, slice.length, StubCodec.md5hex(md, slice))
           }
         }
       }

@@ -8,14 +8,16 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
-/** One emitted (closed or in-progress) session from the streaming
-  * sessionizer. Top-level: Spark's state/row encoders codegen against
-  * these and need stable, outer-pointer-free classes. */
-case class SessionUpdate(userId: Long, nEvents: Long, totalValue: Double,
-    sessionStart: java.sql.Timestamp, sessionEnd: java.sql.Timestamp, closed: Boolean)
+/** One CLOSED session emitted by the streaming sessionizer (Append
+  * mode cannot emit in-progress updates). Top-level: Spark's state/row
+  * encoders codegen against these and need stable, outer-pointer-free
+  * classes. Totals are decimal — matching the batch twin's exact
+  * arithmetic. */
+case class SessionUpdate(userId: Long, nEvents: Long, totalValue: java.math.BigDecimal,
+    sessionStart: java.sql.Timestamp, sessionEnd: java.sql.Timestamp)
 
 /** Keyed per-user session state (O(1) per user). */
-case class SessionState(nEvents: Long, totalValue: Double,
+case class SessionState(nEvents: Long, totalValue: java.math.BigDecimal,
     start: java.sql.Timestamp, last: java.sql.Timestamp)
 
 /** Event analytics over the `events` table (event_id, ts, user_id,
@@ -126,25 +128,34 @@ object Events {
     spark.readStream.schema(schema).parquet(dir)
 
   /** Streaming twin of [[tumblingHourly]]: 1-hour tumbling windows
-    * with a 2-hour watermark bounding state. Append-mode compatible. */
+    * with a 2-hour watermark bounding state. Append-mode compatible.
+    * Sums in decimal like the batch twin — double sums would make the
+    * streaming result depend on micro-batch/partition order and
+    * diverge from the batch backfill. */
   def streamingTumblingHourly(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n_events"), sum(valueDec).as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("total_value"))
 
   /** Streaming sessionization with explicit keyed state: events group
     * by user; a session closes after `gapMinutes` of event-time
     * inactivity (watermark-driven timeout). State per user is O(1) —
-    * the streaming answer to [[sessionize]]'s full-history windows. */
+    * the streaming answer to [[sessionize]]'s full-history windows.
+    *
+    * Out-of-order tolerance: a late-but-within-watermark event merges
+    * into the open session by EXTENDING its bounds (`start = min`,
+    * `last = max`) — it never rewinds `last`, which would fabricate
+    * gaps and split sessions that were actually continuous. Value
+    * totals accumulate in decimal(18,6) like the batch twin. */
   def streamingSessions(spark: SparkSession, events: DataFrame,
       gapMinutes: Int = 30): Dataset[SessionUpdate] = {
     import spark.implicits._
     val gapMs = gapMinutes * 60 * 1000L
     events.withWatermark("ts", "2 hours")
-      .selectExpr("user_id", "ts", "value")
-      .as[(Long, Timestamp, Double)]
+      .selectExpr("user_id", "ts", "CAST(value AS DECIMAL(18,6)) AS value")
+      .as[(Long, Timestamp, java.math.BigDecimal)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, SessionUpdate](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
@@ -152,7 +163,7 @@ object Events {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(SessionUpdate(userId, s.nEvents, s.totalValue, s.start, s.last, closed = true))
+            Iterator(SessionUpdate(userId, s.nEvents, s.totalValue, s.start, s.last))
           } else {
             val sorted = rows.toSeq.sortBy(_._2.getTime)
             var closedSessions = List.empty[SessionUpdate]
@@ -161,10 +172,12 @@ object Events {
               cur match {
                 case Some(s) if ts.getTime - s.last.getTime <= gapMs =>
                   cur = Some(s.copy(nEvents = s.nEvents + 1,
-                    totalValue = s.totalValue + v, last = ts))
+                    totalValue = s.totalValue.add(v),
+                    start = if (ts.before(s.start)) ts else s.start,
+                    last = if (ts.after(s.last)) ts else s.last))
                 case Some(s) =>
                   closedSessions ::= SessionUpdate(userId, s.nEvents, s.totalValue,
-                    s.start, s.last, closed = true)
+                    s.start, s.last)
                   cur = Some(SessionState(1, v, ts, ts))
                 case None =>
                   cur = Some(SessionState(1, v, ts, ts))

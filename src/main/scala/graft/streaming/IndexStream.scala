@@ -34,9 +34,9 @@ object IndexStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        IndexStore.upsert(batch.sparkSession,  indexRoot,
-          // within one micro-batch the same PK can repeat — latest wins
-          IndexStore.dedupLastWins(batch))
+        // upsert's publish already applies last-writer-wins over the
+        // union, which covers intra-batch PK repeats too
+        IndexStore.upsert(batch.sparkSession, indexRoot, batch)
       }
       .start()
 }
