@@ -61,6 +61,37 @@ class EventsSpec extends SparkSpec {
     assert(got.subsetOf(Set(("click", 1L), ("view", 1L), ("click", 2L))))
   }
 
+  test("streamingSessions merges a late in-watermark event without splitting the session") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sess-late")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    // file 1 → micro-batch 1: events at 10:00 and 10:20
+    Seq((1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:20:00"), 1L, "click", 2.0, "{}"))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(dir.toString)
+    Thread.sleep(1100) // distinct file mtimes → deterministic batch order
+    // file 2 → micro-batch 2: a LATE event at 10:05 (within watermark)
+    // + a far-future event pushing the watermark past session timeout
+    Seq((3L, ts("2024-01-01 10:05:00"), 1L, "click", 4.0, "{}"),
+      (99L, ts("2024-01-02 12:00:00"), 9L, "click", 0.5, "{}"))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(dir.toString)
+    val stream = spark.readStream.schema(Events.schema)
+      .option("maxFilesPerTrigger", 1) // one file per micro-batch
+      .parquet(dir.toString)
+    val q = Events.streamingSessions(spark, stream, gapMinutes = 30)
+      .toDF().writeStream.format("memory").queryName("sess_late_1")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val u1 = spark.table("sess_late_1")
+      .filter($"userId" === 1L).collect()
+    // ONE session with all 3 events, bounds 10:00..10:20 — the late
+    // 10:05 event must not have rewound `last` and forced a split
+    assert(u1.length == 1, u1.mkString(";"))
+    assert(u1.head.getAs[Long]("nEvents") == 3)
+    assert(u1.head.getAs[java.sql.Timestamp]("sessionStart") == ts("2024-01-01 10:00:00"))
+    assert(u1.head.getAs[java.sql.Timestamp]("sessionEnd") == ts("2024-01-01 10:20:00"))
+  }
+
   test("streamingSessions closes a session after event-time inactivity") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-sessstream")
