@@ -38,7 +38,8 @@ object ExtQueries {
         .rowsBetween(-4, Window.currentRow)
       events(s, d).select(col("event_id"), col("user_id"),
           count(lit(1)).over(w).as("n_in_window"),
-          sum(col("value").cast("decimal(18,6)")).over(w).as("sum_in_window"))
+          sum(col("value").cast("decimal(18,6)")).over(w)
+            .cast("double").as("sum_in_window"))
         .orderBy("event_id")
     }),
     "mm_metadata" -> ((s, d) =>
@@ -104,7 +105,7 @@ object ExtQueries {
     "ev_tumbling_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, COUNT(*) AS n_events,
-        |  SUM(CAST(value AS DECIMAL(18,6))) AS total_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "ev_sessions" ->
       """WITH m AS (
@@ -113,26 +114,26 @@ object ExtQueries {
         |    ELSE 0 END AS is_new
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
-        |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         |  FROM m)
         |SELECT user_id, session_seq, COUNT(*) AS n_events,
         |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-        |  SUM(CAST(value AS DECIMAL(18,6))) AS total_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
     "ev_rolling_hour" ->
       """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
         |  COUNT(*) OVER w AS events_last_hour,
-        |  SUM(CAST(value AS DECIMAL(18,6))) OVER w AS value_last_hour
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS value_last_hour
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
     "ev_top_users" ->
       """SELECT user_id, COUNT(*) AS n_events,
-        |  SUM(CAST(value AS DECIMAL(18,6))) AS total_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY user_id
         |ORDER BY total_value DESC, user_id LIMIT 10""".stripMargin,
     "ev_type_share" ->
@@ -150,7 +151,7 @@ object ExtQueries {
     "ev_moving_window" ->
       """SELECT event_id, user_id,
         |  COUNT(*) OVER w AS n_in_window,
-        |  SUM(CAST(value AS DECIMAL(18,6))) OVER w AS sum_in_window
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_in_window
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)

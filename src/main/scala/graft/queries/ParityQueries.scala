@@ -121,10 +121,14 @@ object ParityQueries {
     }),
     // Quantiles of the size distribution (engine extension): Spark's
     // exact `percentile` and DuckDB's `quantile_cont` share linear
-    // interpolation — bit-identical on integer inputs.
+    // interpolation — bit-identical on integer inputs. Scalar DOUBLE
+    // columns (not an array) — the driver's compare can't sort arrays.
     "fi_size_percentiles" -> ((s, d) =>
       files(s, d).agg(
-        expr("percentile(file_size, array(0.25D, 0.5D, 0.75D, 0.9D))").as("size_quartiles"),
+        expr("percentile(file_size, 0.25D)").as("p25"),
+        expr("percentile(file_size, 0.5D)").as("p50"),
+        expr("percentile(file_size, 0.75D)").as("p75"),
+        expr("percentile(file_size, 0.9D)").as("p90"),
         expr("percentile(file_size, 0.37D)").as("size_p37"))),
     // Approximate distinct counts (HLL) — the 100 TB path for D4-style
     // cardinalities. No DuckDB oracle (different sketch) → rows-only.
@@ -294,7 +298,10 @@ object ParityQueries {
         |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "fi_size_percentiles" -> w(
-      """SELECT quantile_cont(file_size, [0.25, 0.5, 0.75, 0.9]) AS size_quartiles,
+      """SELECT quantile_cont(file_size, 0.25) AS p25,
+        |  quantile_cont(file_size, 0.5) AS p50,
+        |  quantile_cont(file_size, 0.75) AS p75,
+        |  quantile_cont(file_size, 0.9) AS p90,
         |  quantile_cont(file_size, 0.37) AS size_p37
         |FROM files""".stripMargin),
     "fi_page_totals" -> w(

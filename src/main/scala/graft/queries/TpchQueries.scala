@@ -22,16 +22,21 @@ object TpchQueries {
   private def dec(c: String) = col(c).cast("decimal(18,6)")
 
   /** Q1-style pricing summary: per (returnflag, linestatus) aggregate
-    * over recent lineitem. One scan, one hash aggregate. */
+    * over recent lineitem. One scan, one hash aggregate.
+    *
+    * Money math stays DECIMAL through the aggregation (partial-order
+    * independent sums); only the FINAL projection casts to DOUBLE so the
+    * driver's canonical-value hash agrees with the DuckDB oracle (whose
+    * pandas bridge coerces decimals to float64). */
   def q1Pricing(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec("l_quantity")).as("sum_qty"),
-        sum(dec("l_extendedprice")).as("sum_base_price"),
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
         sum((dec("l_extendedprice") * (lit(1).cast("decimal(18,6)") - dec("l_discount")))
-          .cast("decimal(18,6)")).as("sum_disc_price"),
+          .cast("decimal(18,6)")).cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -45,11 +50,13 @@ object TpchQueries {
       .filter(col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") > to_timestamp(lit("1997-01-01 00:00:00")))
+    // Ordering is on the DOUBLE-cast revenue (not the decimal) so that any
+    // cast-induced ties break identically to the oracle's double sort.
     ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(li, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(sum((dec("l_extendedprice") * (lit(1).cast("decimal(18,6)") - dec("l_discount")))
-        .cast("decimal(18,6)")).as("revenue"))
+        .cast("decimal(18,6)")).cast("double").as("revenue"))
       .select(col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"), col("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
@@ -72,7 +79,7 @@ object TpchQueries {
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("n_name"))
       .agg(sum((dec("l_extendedprice") * (lit(1).cast("decimal(18,6)") - dec("l_discount")))
-        .cast("decimal(18,6)")).as("revenue"),
+        .cast("decimal(18,6)")).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
@@ -85,8 +92,8 @@ object TpchQueries {
       .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
-      .agg(sum(dec("l_quantity")).as("total_qty"),
-        sum(dec("l_extendedprice")).as("total_price"),
+      .agg(sum(dec("l_quantity")).cast("double").as("total_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("total_price"),
         count(lit(1)).as("n_items"))
       .orderBy("p_brand")
 
@@ -112,8 +119,9 @@ object TpchQueries {
       .withColumn("n_orders", count(lit(1)).over(w))
       .withColumn("sum_total", sum(dec("o_totalprice")).over(w))
       .filter(dec("o_totalprice") * col("n_orders") > col("sum_total"))
-      .select(col("o_orderkey"), col("o_custkey"), dec("o_totalprice").as("o_totalprice"),
-        col("n_orders"), col("sum_total"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        dec("o_totalprice").cast("double").as("o_totalprice"),
+        col("n_orders"), col("sum_total").cast("double").as("sum_total"))
       .orderBy("o_orderkey")
   }
 
@@ -124,7 +132,7 @@ object TpchQueries {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
     Tables.customer(spark, dir)
-      .select(col("c_custkey"), dec("c_acctbal").as("c_acctbal"),
+      .select(col("c_custkey"), dec("c_acctbal").cast("double").as("c_acctbal"),
         ntile(4).over(w).as("quartile"))
       .orderBy("c_custkey")
   }
@@ -145,9 +153,9 @@ object TpchQueries {
   val oracle: Map[String, String] = Map(
     "q1_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |  SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
-         |  SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sum_base_price,
-         |  SUM($discPrice) AS sum_disc_price,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM($discPrice) AS DOUBLE) AS sum_disc_price,
          |  COUNT(*) AS count_order
          |FROM lineitem
          |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -155,7 +163,7 @@ object TpchQueries {
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping" ->
       s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-         |  SUM($discPrice) AS revenue
+         |  CAST(SUM($discPrice) AS DOUBLE) AS revenue
          |FROM orders
          |JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
          |JOIN lineitem ON l_orderkey = o_orderkey
@@ -166,7 +174,7 @@ object TpchQueries {
          |LIMIT 10""".stripMargin,
     "q5_region" ->
       s"""SELECT n_name,
-         |  SUM($discPrice) AS revenue,
+         |  CAST(SUM($discPrice) AS DOUBLE) AS revenue,
          |  COUNT(*) AS n_items
          |FROM lineitem
          |JOIN supplier ON l_suppkey = s_suppkey
@@ -182,8 +190,8 @@ object TpchQueries {
         |ORDER BY c_custkey""".stripMargin,
     "q_above_avg_orders" ->
       """SELECT o_orderkey, o_custkey,
-        |  CAST(o_totalprice AS DECIMAL(18,6)) AS o_totalprice,
-        |  n_orders, sum_total
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DOUBLE) AS o_totalprice,
+        |  n_orders, CAST(sum_total AS DOUBLE) AS sum_total
         |FROM (
         |  SELECT o_orderkey, o_custkey, o_totalprice,
         |    COUNT(*) OVER w AS n_orders,
@@ -192,13 +200,13 @@ object TpchQueries {
         |WHERE CAST(o_totalprice AS DECIMAL(18,6)) * n_orders > sum_total
         |ORDER BY o_orderkey""".stripMargin,
     "q_acctbal_quartiles" ->
-      """SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,6)) AS c_acctbal,
+      """SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,6)) AS DOUBLE) AS c_acctbal,
         |  CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INT) AS quartile
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_brand_volume" ->
       """SELECT p_brand,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,6))) AS total_qty,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS total_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
         |  COUNT(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin)

@@ -47,7 +47,13 @@ object Events {
   /** `value` as exact decimal — double sums are order-dependent across
     * engines/partitionings; decimal sums are associative and therefore
     * deterministic at any parallelism (this is also the right call at
-    * 100 TB: partial-aggregate order is never reproducible there). */
+    * 100 TB: partial-aggregate order is never reproducible there).
+    *
+    * The AGGREGATION runs in decimal; the FINAL projection casts the
+    * total to DOUBLE so the driver's canonical-value hash agrees with
+    * the DuckDB-via-pandas oracle (which coerces decimals to float64).
+    * Decimal→double conversion of one already-exact total is itself
+    * deterministic — the order-dependence only afflicts double SUMS. */
   private def valueDec = col("value").cast("decimal(18,6)")
 
   /** Hourly tumbling counts per event type. date_trunc (not window())
@@ -56,7 +62,7 @@ object Events {
     events.groupBy(
         date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(valueDec).as("total_value"))
+      .agg(count(lit(1)).as("n_events"), sum(valueDec).cast("double").as("total_value"))
       .orderBy(col("hour"), col("event_type"))
 
   /** Gap-based sessionization (30-min inactivity): lag + running sum
@@ -77,7 +83,7 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
         date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
-        sum(valueDec).as("total_value"))
+        sum(valueDec).cast("double").as("total_value"))
       .orderBy("user_id", "session_seq")
   }
 
@@ -89,7 +95,7 @@ object Events {
       .rangeBetween(-3600L * 1000000L, 0L)
     events.select(col("event_id"), col("user_id"), col("ts"),
         count(lit(1)).over(w).as("events_last_hour"),
-        sum(valueDec).over(w).as("value_last_hour"))
+        sum(valueDec).over(w).cast("double").as("value_last_hour"))
       .select(col("event_id"), col("user_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
         col("events_last_hour"), col("value_last_hour"))
@@ -114,10 +120,12 @@ object Events {
       .orderBy("user_id")
   }
 
-  /** Top-k users by total value (deterministic tie-break on user_id). */
+  /** Top-k users by total value (deterministic tie-break on user_id).
+    * Sorted on the DOUBLE-cast total so cast-induced ties rank the
+    * same as in the oracle's double sort. */
   def topUsers(events: DataFrame, k: Int = 10): DataFrame =
     events.groupBy("user_id")
-      .agg(count(lit(1)).as("n_events"), sum(valueDec).as("total_value"))
+      .agg(count(lit(1)).as("n_events"), sum(valueDec).cast("double").as("total_value"))
       .orderBy(col("total_value").desc, col("user_id"))
       .limit(k)
 

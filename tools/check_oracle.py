@@ -20,30 +20,34 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1).reset_index(drop=True)
+    """Mirror the driver: sort columns by name, then sort ROWS by all
+    columns (this is where the driver crashes on array-valued columns —
+    we deliberately let the same crash surface here), then re-index."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
 
 def cell_eq(a, b) -> bool:
+    """STRICT canonical comparison, matching the driver's value hashing.
+
+    No float coercion: a Spark DECIMAL read back as decimal.Decimal
+    ('123.456000') must NOT equal DuckDB's float64 123.456 — the driver
+    hashes canonical representations and sees those as different, so the
+    local gate must too (round-1 lesson: local green was a lie for all
+    11 decimal-projecting queries)."""
     if a is None and b is None:
         return True
     try:
         if pd.isna(a) and pd.isna(b):
             return True
-        if pd.isna(a) != pd.isna(b):
+        if bool(pd.isna(a)) != bool(pd.isna(b)):
             return False
     except (TypeError, ValueError):
         pass
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return str(a) == str(b)
-        if math.isnan(fa) and math.isnan(fb):
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
             return True
-        return fa == fb
-    if hasattr(a, "__len__") and not isinstance(a, str):
-        return list(a) == list(b)
     return str(a) == str(b)
 
 
