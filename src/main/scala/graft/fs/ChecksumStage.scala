@@ -47,23 +47,35 @@ object ChecksumStage {
     } catch { case _: Exception => None }
   }
 
+  /** The hash-eligibility predicate for a given size cap (see the
+    * object doc for the three cap regimes). */
+  def eligibleExpr(maxChecksumSize: Long): org.apache.spark.sql.Column =
+    if (maxChecksumSize < 0) lit(false)
+    else if (maxChecksumSize == 0) col("file_size") > 0L
+    else col("file_size") > 0L && col("file_size") <= maxChecksumSize
+
   /** Add a `checksum` column to scanned-file rows by hashing content.
-    * Input needs (path, filename, file_size); all columns pass through. */
+    * Input needs (path, filename, file_size); all columns pass through.
+    *
+    * Hash errors are NOT counted via an accumulator here: accumulator
+    * updates inside a transformation are at-least-once (task retries,
+    * speculation, and cache-miss recomputation each re-fire the UDF).
+    * Count them exactly from the DATA instead — [[hashErrors]] — since
+    * an eligible row ends up with a NULL checksum iff hashing failed. */
   def withChecksums(spark: SparkSession, scanned: DataFrame,
-      maxChecksumSize: Long = 104857600L, algorithm: String = "SHA-256",
-      stats: Option[ScanStats] = None): DataFrame = {
-    val st = stats.getOrElse(new ScanStats(spark))
-    val eligible =
-      if (maxChecksumSize < 0) lit(false)
-      else if (maxChecksumSize == 0) col("file_size") > 0L
-      else col("file_size") > 0L && col("file_size") <= maxChecksumSize
+      maxChecksumSize: Long = 104857600L, algorithm: String = "SHA-256"): DataFrame = {
     val hashUdf = udf { (dir: String, name: String) =>
-      val r = hashFile(java.nio.file.Paths.get(dir, name).toString, algorithm)
-      if (r.isEmpty) st.permissionErrors.add(1)
-      r
+      hashFile(java.nio.file.Paths.get(dir, name).toString, algorithm)
     }
     scanned.withColumn("checksum",
-      when(eligible, hashUdf(col("path"), col("filename")))
+      when(eligibleExpr(maxChecksumSize), hashUdf(col("path"), col("filename")))
         .otherwise(lit(null).cast("string")))
   }
+
+  /** Exact hash-error count for a [[withChecksums]] output (the
+    * reference's permission-error counter, indexer.py:41-48): rows
+    * that were eligible for hashing but came back NULL. Exactly-once
+    * by construction — it reads the result, not a side channel. */
+  def hashErrors(hashed: DataFrame, maxChecksumSize: Long = 104857600L): Long =
+    hashed.filter(eligibleExpr(maxChecksumSize) && col("checksum").isNull).count()
 }

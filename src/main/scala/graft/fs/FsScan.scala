@@ -80,11 +80,15 @@ object FsScan {
         val ds = Files.newDirectoryStream(dir)
         try {
           ds.forEach { p =>
-            classify(p, stats) match {
+            // Directories descend WITHOUT being classified: the reference's
+            // recursive scan feeds os.walk *filenames* to its classifier
+            // (indexer.py:207-212), so its special-files counter never
+            // includes directories. (Non-recursive iterdir mode DOES count
+            // them — see listOne.) Never descend through dir symlinks.
+            if (Files.isDirectory(p, LinkOption.NOFOLLOW_LINKS)) stack.push(p)
+            else classify(p, stats) match {
               case Some(attrs) if attrs.isRegularFile => out += toRecord(p, attrs)
-              case _ =>
-                // Only descend into real directories, never through symlinks.
-                if (Files.isDirectory(p, LinkOption.NOFOLLOW_LINKS)) stack.push(p)
+              case _ => ()
             }
           }
         } finally ds.close()
@@ -123,12 +127,14 @@ object FsScan {
     val raw =
       if (!recursive) {
         val ss = Seq(directoryPath)
-        spark.createDataset(ss).flatMap(d => listOne(d, st))
+        spark.createDataset(ss).flatMap(d => listOne(d, st, countDirs = true))
       } else {
         val ss = seeds(directoryPath)
         val root = directoryPath
         spark.createDataset(ss).repartition(ss.size.min(64)).flatMap { d =>
-          if (d == root) listOne(d, st) // files directly in the root
+          // files directly in the root; subdirs are separate seeds and
+          // must not hit the special-files counter in recursive mode
+          if (d == root) listOne(d, st, countDirs = false)
           else walkSubtree(d, st)       // each subtree walked executor-side
         }
       }
@@ -150,13 +156,19 @@ object FsScan {
       .withColumnRenamed("fileSize", "file_size")
 
   /** Non-recursive listing of one directory (reference
-    * `Path.iterdir` branch, indexer.py:215-218). */
-  private def listOne(dir: String, stats: ScanStats): Iterator[ScannedFile] = {
+    * `Path.iterdir` branch, indexer.py:215-218). `countDirs` = the
+    * iterdir parity mode, where a directory DOES bump the special-files
+    * counter (is_file is false for it in `_should_process_file`); the
+    * recursive scan's root-level listing passes false — os.walk parity,
+    * directories are never classified there. */
+  private def listOne(dir: String, stats: ScanStats,
+      countDirs: Boolean): Iterator[ScannedFile] = {
     val out = ArrayBuffer.empty[ScannedFile]
     try {
       val ds = Files.newDirectoryStream(Paths.get(dir))
       try ds.forEach { p =>
-        classify(p, stats) match {
+        if (!countDirs && Files.isDirectory(p, LinkOption.NOFOLLOW_LINKS)) ()
+        else classify(p, stats) match {
           case Some(attrs) if attrs.isRegularFile => out += toRecord(p, attrs)
           case _ => ()
         }

@@ -89,8 +89,19 @@ object IndexStore {
     Files.writeString(tmpPtr, snapName)
     Files.move(tmpPtr, pointerFile(root),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    // retire the previous snapshot directory
+    // retire the previous snapshot directory, plus any snap-* orphaned
+    // by a crash before an earlier pointer flip (those were never
+    // published, so nothing can be reading them) and stale .CURRENT-*
+    // temp pointers
     prev.foreach(d => if (Files.exists(Paths.get(d))) deleteRecursively(Paths.get(d)))
+    try {
+      val ds = Files.newDirectoryStream(Paths.get(root))
+      try ds.forEach { p =>
+        val n = p.getFileName.toString
+        if ((n.startsWith("snap-") && n != snapName) || n.startsWith(".CURRENT-"))
+          deleteRecursively(p)
+      } finally ds.close()
+    } catch { case _: java.io.IOException => () } // cleanup is best-effort
   }
 
   /** Publish as a BUCKETED managed table (hash-bucketed + sorted on

@@ -243,9 +243,12 @@ object Dedup {
       .withColumn("label", col("v")).localCheckpoint()
     // labels only ever decrease ⇒ the label sum strictly decreases iff
     // any label changed — one aggregate per round instead of a
-    // join+count convergence check (decimal: no overflow at any scale)
+    // join+count convergence check (decimal: no overflow at any scale).
+    // SUM over zero rows is NULL → coalesce to 0 so an empty pair list
+    // (no near-dups above threshold) converges instead of NPE-ing.
     def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).collect().head.getDecimal(0)
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).collect().head.getDecimal(0)
     var prevSum = labelSum(labels)
     var round = 0
     var changed = 1L

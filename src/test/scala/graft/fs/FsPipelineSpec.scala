@@ -147,6 +147,10 @@ class FsPipelineSpec extends SparkSpec {
     val rec = FsScan.scan(spark, root.toString, recursive = true, Some(stats)).collect()
     assert(rec.length == 6) // symlink excluded
     assert(stats.ignoredSymlinks.value == 1)
+    // directories are walked, not classified — the special-files counter
+    // means pipes/sockets/devices (reference os.walk feeds only filenames
+    // to _should_process_file), so `sub/` and `sub/deeper/` don't inflate it
+    assert(stats.ignoredSpecialFiles.value == 0)
     val flat = FsScan.scan(spark, root.toString, recursive = false).collect()
     assert(flat.map(_.filename).sorted.toSeq ==
       Seq("empty.dat", "file1.txt", "file2.txt", "unique.log"))
@@ -184,6 +188,41 @@ class FsPipelineSpec extends SparkSpec {
     assert(nHashed(0L) == 5)           // unlimited: everything but empty
     assert(nHashed(15L) == 1)          // only nested.txt (14 bytes) fits the cap
     assert(nHashed(1000L) == 5)
+  }
+
+  test("hashErrors counts eligible-but-unhashable rows exactly, from data") {
+    val (root, _) = mkTree()
+    val scanned = FsScan.scanDF(spark, root.toString)
+    val clean = ChecksumStage.withChecksums(spark, scanned, 0L)
+    assert(ChecksumStage.hashErrors(clean, 0L) == 0)
+    // a row whose file vanished between scan and hash → NULL despite eligible
+    val withGhost = scanned.unionByName(
+      scanned.limit(1).withColumn("filename", lit("vanished-after-scan"))
+        .withColumn("file_size", lit(10L)))
+    val hashed = ChecksumStage.withChecksums(spark, withGhost, 0L)
+    assert(ChecksumStage.hashErrors(hashed, 0L) == 1)
+    // recomputation does not double-count (the round-1 accumulator bug)
+    assert(ChecksumStage.hashErrors(hashed, 0L) == 1)
+  }
+
+  test("publish sweeps snapshot dirs orphaned by a crash before the pointer flip") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft-orphan")
+    val t0 = new java.sql.Timestamp(1000000L)
+    val df = Seq(("/d", "f.txt", "aaa", t0, 10L, t0)).toDF(
+      "path", "filename", "checksum", "modification_datetime", "file_size", "indexed_at")
+    // simulate a crashed publish: snapshot written, pointer never flipped
+    Files.createDirectories(idx.resolve("snap-000-orphan"))
+    Files.write(idx.resolve("snap-000-orphan/part-stale.parquet"), Array[Byte](1, 2))
+    Files.write(idx.resolve(".CURRENT-123"), "snap-000-orphan".getBytes)
+    IndexStore.publish(df, idx.toString)
+    val entries = Files.list(idx).iterator()
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (entries.hasNext) names += entries.next().getFileName.toString
+    assert(!names.contains("snap-000-orphan"), names.mkString(","))
+    assert(!names.exists(_.startsWith(".CURRENT-")), names.mkString(","))
+    assert(names.count(_.startsWith("snap-")) == 1) // only the published one
+    assert(IndexStore.load(spark, idx.toString).count() == 1)
   }
 
   test("IndexStore.upsert is last-writer-wins on (path, filename)") {

@@ -21,6 +21,21 @@ class ClustersSpec extends SparkSpec {
     assert(c == Set(1L)) // everything collapses to the chain head
   }
 
+  test("clusters: empty pair list yields an empty labeling, not an NPE") {
+    val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.clusters(none).collect().isEmpty)
+  }
+
+  test("keepList on a corpus with no near-dup pairs keeps every exact-unique doc") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "zz yy xx ww vv uu"),
+      (3L, "one two three four five")
+    ).toDF("doc_id", "text")
+    // threshold 0.99 on disjoint texts → zero jaccard pairs → clusters([])
+    val kept = Dedup.keepList(docs, n = 3, threshold = 0.99).collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("clusters over jaccard pairs labels exact duplicates together") {
     val docs = Seq(
       (1L, "aa bb cc dd"), (2L, "aa bb cc dd"), (3L, "aa bb cc dd"),
