@@ -16,6 +16,8 @@ import graft.tables.Tables
   * graft.Cli --db DIR --incremental DIR
   * graft.Cli --db DIR --find-duplicates
   * graft.Cli --db DIR --search PATTERN
+  * graft.Cli --db DIR [--search-filename P] [--search-path P]
+  *                    [--search-checksum C] [--search-no-checksum | --search-has-checksum]
   * graft.Cli --db DIR --stats
   * graft.Cli --db DIR --cleanup | --cleanup-empty-dirs
   * graft.Cli --db DIR --sql "SELECT ..."   (files view registered)
@@ -59,6 +61,22 @@ object Cli {
       FileQueries.duplicateGroups(IndexStore.load(spark, db)).show(100, truncate = false)
     } else if (opts.contains("search")) {
       FileQueries.substringSearch(IndexStore.load(spark, db), opts("search"))
+        .show(100, truncate = false)
+    } else if (Seq("search-filename", "search-path", "search-checksum",
+        "search-no-checksum", "search-has-checksum").exists(opts.contains)) {
+      // multi-criteria search (reference cli.py:96-110,164-183): all
+      // given criteria AND together; --search-no-checksum and
+      // --search-has-checksum are boolean flags (no-checksum wins when
+      // both are given, matching the reference's if/elif order)
+      val hasChecksum =
+        if (opts.contains("search-no-checksum")) Some(false)
+        else if (opts.contains("search-has-checksum")) Some(true)
+        else None
+      FileQueries.searchFiles(IndexStore.load(spark, db),
+          filenamePattern = opts.get("search-filename"),
+          checksum = opts.get("search-checksum"),
+          pathPattern = opts.get("search-path"),
+          hasChecksum = hasChecksum)
         .show(100, truncate = false)
     } else if (opts.contains("stats")) {
       FileQueries.statsCli(IndexStore.load(spark, db)).show(truncate = false)

@@ -49,8 +49,7 @@ object TextAnalysis {
       lenScore.as("len_score"),
       stopRatio.as("stopword_ratio"),
       distinctRatio.as("distinct_ratio"),
-      (lenScore * 0.4 + (lit(1.0).cast("double") - stopRatio) * 0.3 + distinctRatio * 0.3)
-        .as("quality"))
+      qualityCol.as("quality")) // identical expression tree as the raw Column form
       .orderBy("doc_id")
   }
 
@@ -59,6 +58,26 @@ object TextAnalysis {
     * every engine). Exact integer-derived double. */
   private def bigramCount(bg: String): Column =
     (length(col("text")) - length(expr(s"replace(text, '$bg', '')"))) / 2
+
+  /** "Predicted language is English" as a raw predicate Column (the
+    * [[langId]] argmax with en winning ties) — reusable inside
+    * single-pass flag aggregations like the corpus funnel. */
+  def isEnglishCol: Column = {
+    val sEn = bigramCount("th") + bigramCount("he")
+    val sDe = bigramCount("er") + bigramCount("in")
+    val sFr = bigramCount("le") + bigramCount("ta")
+    sEn >= sDe && sEn >= sFr
+  }
+
+  /** The [[qualityScore]] composite as a raw Column. */
+  def qualityCol: Column = {
+    val n    = size(toks)
+    val stop = size(filter(toks, t => t.isin("the", "a")))
+    val dist = size(array_distinct(toks))
+    val lenScore = least(col("n_chars").cast("double") / 400.0, lit(1.0).cast("double"))
+    lenScore * 0.4 + (lit(1.0).cast("double") - stop.cast("double") / n) * 0.3 +
+      dist.cast("double") / n * 0.3
+  }
 
   /** Language-ID n-gram heuristic: score three character-bigram
     * profiles and take the argmax (fixed tie-break order en > de >

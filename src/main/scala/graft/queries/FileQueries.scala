@@ -56,10 +56,10 @@ object FileQueries {
       .orderBy(col("path"), col("filename"))
   }
 
-  /** B2 — API search: B1 + size/mtime ranges + pagination
-    * (database.py:56-142; ORDER BY modification_datetime DESC, path,
-    * filename; LIMIT/OFFSET). */
-  def searchApi(files: DataFrame, req: SearchRequest): DataFrame = {
+  /** The B2 filter set WITHOUT ordering/pagination — the "matching
+    * rows" relation the API both paginates (searchApi) and counts for
+    * the response's total_count/has_more (routers.py:74). */
+  def searchApiFiltered(files: DataFrame, req: SearchRequest): DataFrame = {
     val preds: Seq[Column] =
       req.filenamePattern.map(p => col("filename").like(p)).toSeq ++
       req.checksum.map(c => col("checksum") === c).toSeq ++
@@ -70,9 +70,15 @@ object FileQueries {
       req.modifiedAfter.map(t => col("modification_datetime") >= to_timestamp(lit(t))).toSeq ++
       req.modifiedBefore.map(t => col("modification_datetime") <= to_timestamp(lit(t))).toSeq
     preds.foldLeft(files)((df, p) => df.filter(p))
+  }
+
+  /** B2 — API search: B1 + size/mtime ranges + pagination
+    * (database.py:56-142; ORDER BY modification_datetime DESC, path,
+    * filename; LIMIT/OFFSET). */
+  def searchApi(files: DataFrame, req: SearchRequest): DataFrame =
+    searchApiFiltered(files, req)
       .orderBy(col("modification_datetime").desc, col("path"), col("filename"))
       .offset(req.offset).limit(req.limit)
-  }
 
   /** B3/B4 — Go case-insensitive substring search
     * (file_indexer_go/db/database.go:116-147: filename ILIKE OR path

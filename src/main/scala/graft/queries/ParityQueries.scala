@@ -136,6 +136,57 @@ object ParityQueries {
       files(s, d).agg(
         approx_count_distinct(col("checksum")).as("approx_checksums"),
         approx_count_distinct(col("path")).as("approx_dirs"))),
+    // Search response assembly (routers.py:73-76): the page plus the
+    // endpoint's total_count and `has_more = offset + len(page) <
+    // total_count` — the pagination math IS query semantics, so it
+    // gets its own oracle row. Two 1-row aggregates cross-joined.
+    "fi_search_page_meta" -> ((s, d) => {
+      val req = SearchRequest(
+        minSize = Some(1000000L), maxSize = Some(900000000L),
+        modifiedAfter = Some("1996-01-01 00:00:00"),
+        modifiedBefore = Some("2000-12-31 23:59:59"),
+        limit = 100, offset = 50)
+      val f = files(s, d)
+      searchApiFiltered(f, req).agg(count(lit(1)).as("total_count"))
+        .crossJoin(searchApi(f, req).agg(count(lit(1)).as("files_in_page")))
+        .select(col("total_count"), col("files_in_page"),
+          (lit(50L) + col("files_in_page") < col("total_count")).as("has_more"))
+    }),
+    // Duplicates response assembly (routers.py:132-141): total_groups,
+    // per-page file/wasted-space sums, and the has_more page math.
+    "fi_dup_page_meta" -> ((s, d) => {
+      val groups = duplicateGroupSummaries(files(s, d), minGroupSize = 2)
+      val page = groups.offset(10).limit(50)
+      groups.agg(count(lit(1)).as("total_groups"))
+        .crossJoin(page.agg(
+          count(lit(1)).as("groups_in_page"),
+          coalesce(sum(col("file_count")), lit(0L)).as("total_duplicate_files"),
+          coalesce(sum(col("wasted_space")), lit(0L)).as("total_wasted_space")))
+        .select(col("total_groups"), col("groups_in_page"),
+          col("total_duplicate_files"), col("total_wasted_space"),
+          (lit(10L) + col("groups_in_page") < col("total_groups")).as("has_more"))
+    }),
+    // Combined visualization response (database.py:459-520
+    // get_visualization_data): size histogram + extension stats +
+    // monthly timeline in ONE call, as a tall (section, pos, label,
+    // counts) relation — one job, three section scans, total ordering.
+    "fi_visualization" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val f = files(s, d)
+      val hist = sizeHistogram(f).select(
+        lit("1_size").as("section"), col("sort_order").cast("long").as("pos"),
+        col("size_range").as("label"), col("file_count"), col("total_size"))
+      val ext = extensionStats(f).withColumn("pos",
+          row_number().over(Window.orderBy(col("file_count").desc, col("extension")))
+            .cast("long"))
+        .select(lit("2_ext").as("section"), col("pos"),
+          col("extension").as("label"), col("file_count"), col("total_size"))
+      val tl = timeline(f, TimelineAsOf).withColumn("pos",
+          row_number().over(Window.orderBy(col("month"))).cast("long"))
+        .select(lit("3_time").as("section"), col("pos"),
+          col("month").as("label"), col("file_count"), col("total_size"))
+      hist.unionByName(ext).unionByName(tl).orderBy("section", "pos")
+    }),
     // D12 — response-level totals over the returned page only
     // (routers.py:132-134): group rows of ONE page, then count/sum.
     "fi_page_totals" -> ((s, d) => {
@@ -304,6 +355,78 @@ object ParityQueries {
         |  quantile_cont(file_size, 0.9) AS p90,
         |  quantile_cont(file_size, 0.37) AS size_p37
         |FROM files""".stripMargin),
+    "fi_search_page_meta" -> w(
+      """, f AS (
+        |  SELECT * FROM files
+        |  WHERE file_size >= 1000000 AND file_size <= 900000000
+        |    AND modification_datetime >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND modification_datetime <= TIMESTAMP '2000-12-31 23:59:59'),
+        |p AS (
+        |  SELECT * FROM f
+        |  ORDER BY modification_datetime DESC, path, filename
+        |  LIMIT 100 OFFSET 50)
+        |SELECT (SELECT COUNT(*) FROM f) AS total_count,
+        |  (SELECT COUNT(*) FROM p) AS files_in_page,
+        |  50 + (SELECT COUNT(*) FROM p) < (SELECT COUNT(*) FROM f) AS has_more""".stripMargin),
+    "fi_dup_page_meta" -> w(
+      """, g AS (
+        |  SELECT checksum, file_size, COUNT(*) AS file_count,
+        |         file_size * (COUNT(*) - 1) AS wasted_space
+        |  FROM files WHERE checksum IS NOT NULL
+        |  GROUP BY checksum, file_size
+        |  HAVING COUNT(*) >= 2),
+        |p AS (
+        |  SELECT * FROM g
+        |  ORDER BY file_count DESC, file_size DESC, checksum
+        |  LIMIT 50 OFFSET 10)
+        |SELECT (SELECT COUNT(*) FROM g) AS total_groups,
+        |  (SELECT COUNT(*) FROM p) AS groups_in_page,
+        |  (SELECT CAST(COALESCE(SUM(file_count), 0) AS BIGINT) FROM p) AS total_duplicate_files,
+        |  (SELECT CAST(COALESCE(SUM(wasted_space), 0) AS BIGINT) FROM p) AS total_wasted_space,
+        |  10 + (SELECT COUNT(*) FROM p) < (SELECT COUNT(*) FROM g) AS has_more""".stripMargin),
+    "fi_visualization" -> w(
+      """, h AS (
+        |  SELECT '1_size' AS section,
+        |    CAST(CASE WHEN file_size = 0 THEN 0
+        |         WHEN file_size < 1024 THEN 1
+        |         WHEN file_size < 1048576 THEN 2
+        |         WHEN file_size < 1073741824 THEN 3
+        |         ELSE 4 END AS BIGINT) AS pos,
+        |    CASE WHEN file_size = 0 THEN '0 bytes'
+        |         WHEN file_size < 1024 THEN '< 1KB'
+        |         WHEN file_size < 1048576 THEN '1KB - 1MB'
+        |         WHEN file_size < 1073741824 THEN '1MB - 1GB'
+        |         ELSE '> 1GB' END AS label,
+        |    COUNT(*) AS file_count,
+        |    CAST(COALESCE(SUM(file_size), 0) AS BIGINT) AS total_size
+        |  FROM files GROUP BY 1, 2, 3),
+        |eg AS (
+        |  SELECT CASE WHEN filename LIKE '%.%'
+        |           THEN lower('.' || split_part(filename, '.', -1))
+        |           ELSE '(no extension)' END AS extension,
+        |    COUNT(*) AS file_count,
+        |    CAST(COALESCE(SUM(file_size), 0) AS BIGINT) AS total_size
+        |  FROM files GROUP BY 1
+        |  ORDER BY file_count DESC, extension LIMIT 20),
+        |e AS (
+        |  SELECT '2_ext' AS section,
+        |    CAST(row_number() OVER (ORDER BY file_count DESC, extension) AS BIGINT) AS pos,
+        |    extension AS label, file_count, total_size
+        |  FROM eg),
+        |t AS (
+        |  SELECT '3_time' AS section,
+        |    CAST(row_number() OVER (ORDER BY month) AS BIGINT) AS pos,
+        |    month AS label, file_count, total_size
+        |  FROM (
+        |    SELECT CAST(CAST(date_trunc('month', modification_datetime) AS DATE) AS VARCHAR) AS month,
+        |      COUNT(*) AS file_count,
+        |      CAST(COALESCE(SUM(file_size), 0) AS BIGINT) AS total_size
+        |    FROM files
+        |    WHERE modification_datetime >= TIMESTAMP '2001-08-01 00:00:00' - INTERVAL 12 MONTH
+        |    GROUP BY 1))
+        |SELECT section, pos, label, file_count, total_size
+        |FROM (SELECT * FROM h UNION ALL SELECT * FROM e UNION ALL SELECT * FROM t)
+        |ORDER BY section, pos""".stripMargin),
     "fi_page_totals" -> w(
       """, g AS (
         |  SELECT checksum, file_size, COUNT(*) AS file_count,

