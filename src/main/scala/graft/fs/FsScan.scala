@@ -99,20 +99,50 @@ object FsScan {
     out.iterator
   }
 
-  /** Seed list: the root plus its immediate subdirectories, so Spark
-    * can parallelize the walk across executors. A deeper seeding pass
-    * would be used for very flat-rooted trees; one level suffices for
-    * typical layouts (and degrades gracefully to a single task). */
-  private def seeds(directoryPath: String): Seq[String] = {
-    val root = Paths.get(directoryPath)
-    val subdirs = ArrayBuffer.empty[String]
+  /** List a directory's immediate REAL subdirectories (never through
+    * symlinks); empty on permission errors — the walk seeds degrade,
+    * they don't fail. */
+  private def subdirsOf(dir: String): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
     try {
-      val ds = Files.newDirectoryStream(root)
+      val ds = Files.newDirectoryStream(Paths.get(dir))
       try ds.forEach { p =>
-        if (Files.isDirectory(p, LinkOption.NOFOLLOW_LINKS)) subdirs += p.toString
+        if (Files.isDirectory(p, LinkOption.NOFOLLOW_LINKS)) out += p.toString
       } finally ds.close()
     } catch { case _: Exception => () }
-    directoryPath +: subdirs.toSeq
+    out.toSeq
+  }
+
+  /** Seed plan for the distributed walk: (dirs to list non-recursively,
+    * subtree roots to walk recursively). Every file is covered exactly
+    * once: an expanded directory moves to the list-only set while its
+    * children become subtree seeds.
+    *
+    * MULTI-LEVEL: when one level of subdirectories yields too few
+    * seeds (a flat root with one hot subtree would otherwise collapse
+    * to a single task), keep expanding level by level — driver cost is
+    * directory listings only, bounded by `maxDepth` — until there are
+    * at least `targetSeeds` independent work units for the cluster. */
+  private[fs] def seedPlan(directoryPath: String, targetSeeds: Int = 64,
+      maxDepth: Int = 4): (Seq[String], Seq[String]) = {
+    val listOnly = ArrayBuffer(directoryPath)
+    var walk: Seq[String] = subdirsOf(directoryPath)
+    var depth = 1
+    var progress = true
+    while (walk.size < targetSeeds && depth < maxDepth && progress) {
+      val expanded = walk.map(d => d -> subdirsOf(d))
+      progress = expanded.exists(_._2.nonEmpty)
+      if (progress) {
+        val next = ArrayBuffer.empty[String]
+        expanded.foreach { case (d, kids) =>
+          if (kids.isEmpty) next += d // childless subtree stays a walk seed
+          else { listOnly += d; next ++= kids }
+        }
+        walk = next.toSeq
+      }
+      depth += 1
+    }
+    (listOnly.toSeq, walk)
   }
 
   /** Recursive scan: Dataset of file metadata for every regular file
@@ -129,13 +159,13 @@ object FsScan {
         val ss = Seq(directoryPath)
         spark.createDataset(ss).flatMap(d => listOne(d, st, countDirs = true))
       } else {
-        val ss = seeds(directoryPath)
-        val root = directoryPath
-        spark.createDataset(ss).repartition(ss.size.min(64)).flatMap { d =>
-          // files directly in the root; subdirs are separate seeds and
-          // must not hit the special-files counter in recursive mode
-          if (d == root) listOne(d, st, countDirs = false)
-          else walkSubtree(d, st)       // each subtree walked executor-side
+        val (listDirs, walkDirs) = seedPlan(directoryPath)
+        // tag each seed with its mode; directories in the list set must
+        // not hit the special-files counter in recursive mode
+        val ss = listDirs.map(d => (d, false)) ++ walkDirs.map(d => (d, true))
+        spark.createDataset(ss).repartition(ss.size.min(64)).flatMap {
+          case (d, true)  => walkSubtree(d, st) // subtree walked executor-side
+          case (d, false) => listOne(d, st, countDirs = false)
         }
       }
     // Go-walker parity filters (file_indexer_go/indexer.go:231-257):

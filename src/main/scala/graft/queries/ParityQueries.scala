@@ -131,11 +131,24 @@ object ParityQueries {
         expr("percentile(file_size, 0.9D)").as("p90"),
         expr("percentile(file_size, 0.37D)").as("size_p37"))),
     // Approximate distinct counts (HLL) — the 100 TB path for D4-style
-    // cardinalities. No DuckDB oracle (different sketch) → rows-only.
-    "fi_stats_approx" -> ((s, d) =>
+    // cardinalities. DuckDB can't reproduce Spark's HLL++ values, but
+    // the CONTRACT is checkable: emit the exact distincts plus booleans
+    // asserting the sketch landed within 3× its rated 5% rsd. The
+    // oracle projects the same exacts and literal TRUEs → hash compare
+    // fails iff the sketch breaks its error bound.
+    "fi_stats_approx" -> ((s, d) => {
+      val withinPct = 0.15 // 3 × default rsd 0.05
+      def within(approx: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+        abs(approx.cast("double") / exact.cast("double") - 1.0) <= withinPct
       files(s, d).agg(
-        approx_count_distinct(col("checksum")).as("approx_checksums"),
-        approx_count_distinct(col("path")).as("approx_dirs"))),
+          approx_count_distinct(col("checksum")).as("ac"),
+          countDistinct(col("checksum")).as("exact_checksums"),
+          approx_count_distinct(col("path")).as("ad"),
+          countDistinct(col("path")).as("exact_dirs"))
+        .select(col("exact_checksums"), col("exact_dirs"),
+          within(col("ac"), col("exact_checksums")).as("checksums_in_bounds"),
+          within(col("ad"), col("exact_dirs")).as("dirs_in_bounds"))
+    }),
     // Search response assembly (routers.py:73-76): the page plus the
     // endpoint's total_count and `has_more = offset + len(page) <
     // total_count` — the pagination math IS query semantics, so it
@@ -354,6 +367,12 @@ object ParityQueries {
         |  quantile_cont(file_size, 0.75) AS p75,
         |  quantile_cont(file_size, 0.9) AS p90,
         |  quantile_cont(file_size, 0.37) AS size_p37
+        |FROM files""".stripMargin),
+    "fi_stats_approx" -> w(
+      """SELECT COUNT(DISTINCT checksum) AS exact_checksums,
+        |  COUNT(DISTINCT path) AS exact_dirs,
+        |  TRUE AS checksums_in_bounds,
+        |  TRUE AS dirs_in_bounds
         |FROM files""".stripMargin),
     "fi_search_page_meta" -> w(
       """, f AS (

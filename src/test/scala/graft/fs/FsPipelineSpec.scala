@@ -190,6 +190,25 @@ class FsPipelineSpec extends SparkSpec {
     assert(nHashed(1000L) == 5)
   }
 
+  test("multi-level seeding spreads a flat root with one hot subtree; no file scanned twice") {
+    // root has ONE subdir; all data hides 2 levels down — one-level
+    // seeding would collapse this to a single walk task
+    val root = Files.createTempDirectory("graft-flat")
+    for (i <- 0 until 6; j <- 0 until 3) {
+      val d = root.resolve(s"hot/part$i")
+      Files.createDirectories(d)
+      Files.write(d.resolve(s"f$j.dat"), s"$i-$j".getBytes(StandardCharsets.UTF_8))
+    }
+    Files.write(root.resolve("hot/top.txt"), "x".getBytes(StandardCharsets.UTF_8))
+    val (listDirs, walkDirs) = FsScan.seedPlan(root.toString, targetSeeds = 4)
+    assert(walkDirs.size == 6, s"expected the 6 part dirs as walk seeds, got $walkDirs")
+    assert(listDirs.map(d => d.substring(d.lastIndexOf('/') + 1)).toSet
+      .subsetOf(Set(root.getFileName.toString, "hot")))
+    val scanned = FsScan.scan(spark, root.toString).collect()
+    assert(scanned.length == 19) // 18 leaf files + hot/top.txt, each exactly once
+    assert(scanned.map(f => f.path + "/" + f.filename).distinct.length == 19)
+  }
+
   test("hashErrors counts eligible-but-unhashable rows exactly, from data") {
     val (root, _) = mkTree()
     val scanned = FsScan.scanDF(spark, root.toString)
