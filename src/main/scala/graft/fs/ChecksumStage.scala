@@ -75,7 +75,15 @@ object ChecksumStage {
   /** Exact hash-error count for a [[withChecksums]] output (the
     * reference's permission-error counter, indexer.py:41-48): rows
     * that were eligible for hashing but came back NULL. Exactly-once
-    * by construction — it reads the result, not a side channel. */
+    * PER EVALUATION — it reads the result, not a side channel.
+    *
+    * Contract: pass the SAME `maxChecksumSize` given to withChecksums
+    * (a mismatch misclassifies over-cap rows), and count on the same
+    * MATERIALIZED data you publish — cache the DF first (as
+    * Indexer.fullIndex does, folding this into its stats aggregate) or
+    * count the loaded snapshot. On an uncached plan this re-runs the
+    * hash stage, and a file changing between evaluations can shift the
+    * count. */
   def hashErrors(hashed: DataFrame, maxChecksumSize: Long = 104857600L): Long =
     hashed.filter(eligibleExpr(maxChecksumSize) && col("checksum").isNull).count()
 }

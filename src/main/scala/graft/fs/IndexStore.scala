@@ -18,8 +18,12 @@ import org.apache.spark.sql.types._
   * CURRENT → directory, so they always see either the old or the new
   * complete snapshot — there is never a moment with no published
   * snapshot (a two-rename directory swap would have that window). A
-  * crash before the pointer flip leaves an orphan snap dir, cleaned on
-  * the next publish. The same protocol works on any store with atomic
+  * crash before the pointer flip leaves an orphan snap dir; the next
+  * publish sweeps orphans it observed BEFORE writing its own snapshot
+  * (so an overlapping publish's files are never touched — though the
+  * store is single-WRITER by contract, like the reference's single
+  * DuckDB file; readers are always safe). The same protocol works on
+  * any store with atomic
   * single-file replace (POSIX rename, object-store put) — the
   * reference's read-only API connection (api_backend database.py:37-43)
   * maps to reading the last published snapshot.
@@ -75,6 +79,21 @@ object IndexStore {
   def publish(df: DataFrame, root: String, numFiles: Int = 0): Unit = {
     Files.createDirectories(Paths.get(root))
     val prev = currentDir(root)
+    // crash-orphan candidates are frozen NOW, before this publish
+    // writes anything: only dirs/temps that already existed can be
+    // leftovers of a crashed earlier publish. Anything created later
+    // belongs to someone else's in-flight publish and is never touched.
+    val preExisting: Set[String] = {
+      val out = scala.collection.mutable.Set.empty[String]
+      try {
+        val ds = Files.newDirectoryStream(Paths.get(root))
+        try ds.forEach { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith("snap-") || n.startsWith(".CURRENT-")) out += n
+        } finally ds.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
+      out.toSet
+    }
     val snapName = s"snap-${System.nanoTime()}"
     val deduped = dedupLastWins(df)
       .select("path", "filename", "checksum", "modification_datetime", "file_size", "indexed_at")
@@ -89,19 +108,23 @@ object IndexStore {
     Files.writeString(tmpPtr, snapName)
     Files.move(tmpPtr, pointerFile(root),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    // retire the previous snapshot directory, plus any snap-* orphaned
-    // by a crash before an earlier pointer flip (those were never
-    // published, so nothing can be reading them) and stale .CURRENT-*
-    // temp pointers
-    prev.foreach(d => if (Files.exists(Paths.get(d))) deleteRecursively(Paths.get(d)))
+    // retire the previous snapshot directory, plus PRE-EXISTING snap-*
+    // dirs / .CURRENT-* temps orphaned by a crashed earlier publish.
+    // The store is single-writer by contract (like the reference's one
+    // DuckDB file); the pre-list still makes the sweep safe against an
+    // overlapping publish: a racer's snapshot/temp is created after our
+    // listing and is therefore never deleted, and we re-read CURRENT so
+    // that even a pre-listed name that just got published survives.
     try {
-      val ds = Files.newDirectoryStream(Paths.get(root))
-      try ds.forEach { p =>
-        val n = p.getFileName.toString
-        if ((n.startsWith("snap-") && n != snapName) || n.startsWith(".CURRENT-"))
-          deleteRecursively(p)
-      } finally ds.close()
-    } catch { case _: java.io.IOException => () } // cleanup is best-effort
+      prev.foreach(d => if (Files.exists(Paths.get(d))) deleteRecursively(Paths.get(d)))
+      val nowCurrent = currentDir(root).map(d => Paths.get(d).getFileName.toString)
+      val keep = Set(snapName) ++ nowCurrent ++
+        prev.map(d => Paths.get(d).getFileName.toString)
+      preExisting.filterNot(keep).foreach { n =>
+        deleteRecursively(Paths.get(s"$root/$n"))
+      }
+    } catch { case scala.util.control.NonFatal(_) => () } // best-effort; never
+    // fails a publish whose pointer flip already succeeded
   }
 
   /** Publish as a BUCKETED managed table (hash-bucketed + sorted on

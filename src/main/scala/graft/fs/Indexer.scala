@@ -13,7 +13,8 @@ case class IndexRunStats(
     inserted: Long,
     updated: Long,
     unchanged: Long,
-    checksummed: Long)
+    checksummed: Long,
+    hashErrors: Long = 0L)
 
 /** Result summary for cleanup (reference's return dict,
   * /root/reference/file_indexer/indexer.py:1028-1291). */
@@ -48,16 +49,20 @@ object Indexer {
     val scanned = FsScan.scanDF(spark, directory)
     val hashed = ChecksumStage.withChecksums(spark, scanned, maxChecksumSize)
       .withColumn("indexed_at", lit(now()))
-    // one pass for both counts: total rows and rows actually hashed
-    // (empty / over-cap / errored files keep a NULL checksum)
+    // one pass for all three counts over the CACHED result — the same
+    // materialization that gets published, so the hash-error count is
+    // exactly the NULLs the snapshot actually stores (the reference's
+    // permission-error counter, indexer.py:41-48)
     val counts = hashed.cache()
-      .agg(count(lit(1)), count(col("checksum"))).collect().head
-    val (n, nHashed) = (counts.getLong(0), counts.getLong(1))
+      .agg(count(lit(1)), count(col("checksum")),
+        count(when(ChecksumStage.eligibleExpr(maxChecksumSize) && col("checksum").isNull,
+          lit(1)))).collect().head
+    val (n, nHashed, nErr) = (counts.getLong(0), counts.getLong(1), counts.getLong(2))
     IndexStore.publish(hashed, indexRoot)
     IndexStore.writeMeta(indexRoot, Map(
       "root_path" -> directory, "indexed" -> now().toString))
     hashed.unpersist()
-    IndexRunStats(n, n, 0, 0, nHashed)
+    IndexRunStats(n, n, 0, 0, nHashed, nErr)
   }
 
   /** G3 — incremental re-index with change detection: full-outer diff

@@ -156,8 +156,11 @@ object Similarity {
     * generate candidates via equi-join, exact cosine re-ranks only
     * bucket-mates. Sub-quadratic when near-dups are genuinely rare and
     * similar — the production operating point. Recall is set by
-    * (tables × bits): at cosine 0.9, 16 tables × 5 bits give
-    * per-pair miss ≈ 4·10⁻⁷ (p_bit = 1 − θ/π ≈ 0.856). */
+    * (tables × bits): at cosine 0.9, p_bit = 1 − θ/π ≈ 0.8565, so one
+    * 5-bit table collides with p ≈ 0.46 and the default 16 tables miss
+    * a pair with p ≈ 0.54¹⁶ ≈ 5·10⁻⁵. Each additional 8 tables
+    * multiplies the miss rate by ≈ 0.007 (32 tables ≈ 3·10⁻⁹) — size
+    * `tables` to the corpus's pair count and loss tolerance. */
   def cosinePairsLsh(emb: DataFrame, threshold: Double,
       tables: Int = 16, bits: Int = 5): DataFrame = {
     val planes = LshPlanes.planesFor(tables, bits, seed = 977L)

@@ -163,13 +163,15 @@ object ParityQueries {
       searchApiFiltered(f, req).agg(count(lit(1)).as("total_count"))
         .crossJoin(searchApi(f, req).agg(count(lit(1)).as("files_in_page")))
         .select(col("total_count"), col("files_in_page"),
-          (lit(50L) + col("files_in_page") < col("total_count")).as("has_more"))
+          (lit(req.offset.toLong) + col("files_in_page") < col("total_count"))
+            .as("has_more"))
     }),
     // Duplicates response assembly (routers.py:132-141): total_groups,
     // per-page file/wasted-space sums, and the has_more page math.
     "fi_dup_page_meta" -> ((s, d) => {
+      val (pageOffset, pageLimit) = (10, 50)
       val groups = duplicateGroupSummaries(files(s, d), minGroupSize = 2)
-      val page = groups.offset(10).limit(50)
+      val page = groups.offset(pageOffset).limit(pageLimit)
       groups.agg(count(lit(1)).as("total_groups"))
         .crossJoin(page.agg(
           count(lit(1)).as("groups_in_page"),
@@ -177,7 +179,8 @@ object ParityQueries {
           coalesce(sum(col("wasted_space")), lit(0L)).as("total_wasted_space")))
         .select(col("total_groups"), col("groups_in_page"),
           col("total_duplicate_files"), col("total_wasted_space"),
-          (lit(10L) + col("groups_in_page") < col("total_groups")).as("has_more"))
+          (lit(pageOffset.toLong) + col("groups_in_page") < col("total_groups"))
+            .as("has_more"))
     }),
     // Combined visualization response (database.py:459-520
     // get_visualization_data): size histogram + extension stats +

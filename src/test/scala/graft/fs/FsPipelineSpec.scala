@@ -35,6 +35,7 @@ class FsPipelineSpec extends SparkSpec {
     val (root, idx) = mkTree()
     val stats = Indexer.fullIndex(spark, root.toString, idx.toString)
     assert(stats.scanned == 6)
+    assert(stats.hashErrors == 0) // every eligible file hashed successfully
     val df = IndexStore.load(spark, idx.toString).cache()
     assert(df.count() == 6)
     // empty file indexed but not hashed (indexer.py:158-163)

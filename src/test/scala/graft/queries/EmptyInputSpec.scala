@@ -39,6 +39,25 @@ class EmptyInputSpec extends SparkSpec {
     assert(FileQueries.searchFiles(empty, Some("%x%")).count() == 0)
   }
 
+  test("round-2 operators tolerate empty inputs") {
+    import spark.implicits._
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(graft.operators.Similarity.cosinePairsBlocked(emptyEmb, 0.3).count() == 0)
+    assert(graft.operators.Similarity.cosinePairsLsh(emptyEmb, 0.9).count() == 0)
+    val oneVec = Seq((1L, Array.fill(64)(1.0f))).toDF("vec_id", "embedding")
+    assert(graft.operators.Similarity.cosinePairsBlocked(oneVec, 0.3).count() == 0)
+    val emptyDocs = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // single-pass funnel: all four counts zero on an empty corpus
+    val funnel = emptyDocs.select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.operators.TextAnalysis.isEnglishCol.as("is_en"),
+        (graft.operators.TextAnalysis.qualityCol >= 0.6).as("is_good"))
+      .join(graft.operators.Dedup.keepList(emptyDocs)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.lit(true).as("is_kept")), Seq("doc_id"), "left")
+    assert(funnel.count() == 0)
+  }
+
   test("incremental index against a missing snapshot behaves as first full index") {
     val root = Files.createTempDirectory("graft-empty-inc")
     Files.write(root.resolve("only.txt"), "content".getBytes)
