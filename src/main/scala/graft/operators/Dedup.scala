@@ -224,14 +224,26 @@ object Dedup {
     * doc_id — the step that turns pairwise similarity into dedup
     * groups ("keep min, drop the rest").
     *
-    * Algorithm: iterative min-label propagation (the simple form of
-    * large/small-star). Each round, every vertex takes the min label
-    * in its closed neighborhood; converged when no label changes.
-    * Near-dup clusters have tiny diameters, so rounds ≈ 2-4; each
-    * round is one join + one aggregate on (edge) — at 100 TB this is
-    * the standard CC-on-Spark shape, and the driver only sees one
-    * boolean (changed?) per round. */
-  def clusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    * SIZE-ADAPTIVE, same answer on both paths:
+    *  - edge count ≤ `maxDriverEdges` (default 200k ≈ 3 MB of longs):
+    *    union-find on the driver in one pass. Launching multi-round
+    *    shuffle fleets to label a few hundred edges is pure scheduler
+    *    overhead (measured: ~1.4 s for 256 edges vs ~0.1 s here) —
+    *    the same "don't shuffle kilobytes" rule AQE applies. The
+    *    budget is a bounded parameter, NOT proportional to corpus
+    *    size; callers at 100 TB with dense pair graphs exceed it and
+    *    take the distributed path automatically.
+    *  - otherwise: iterative min-label propagation (the simple form of
+    *    large/small-star) with path halving. Round 1 is folded into
+    *    the init aggregate (min over the closed neighborhood needs no
+    *    join). Near-dup clusters have tiny diameters, so rounds ≈ 2-4;
+    *    each round is one join + one aggregate on (edge) — at 100 TB
+    *    this is the standard CC-on-Spark shape, and the driver only
+    *    sees one scalar (the label sum) per round. */
+  def clusters(pairs: DataFrame, maxRounds: Int = 20,
+      maxDriverEdges: Long = 200000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     val fwd = pairs.select(col("doc_a").as("v"), col("doc_b").as("u"))
     // localCheckpoint (not cache): iterative self-referencing lineage
     // grows exponentially without truncation — per-round checkpointing
@@ -239,8 +251,34 @@ object Dedup {
     // reliable checkpoint dir instead of local blocks)
     val edges = fwd.unionByName(fwd.select(col("u").as("v"), col("v").as("u")))
       .localCheckpoint()
-    var labels = edges.select(col("v")).distinct()
-      .withColumn("label", col("v")).localCheckpoint()
+    val nEdges = edges.count() // cheap: checkpointed
+    if (nEdges == 0)
+      return spark.emptyDataset[(Long, Long)].toDF("doc_id", "cluster")
+    if (nEdges <= maxDriverEdges) {
+      // driver union-find with path compression; union-by-min keeps the
+      // root of every tree at its minimum id, so the final root of a
+      // component IS the min-id cluster label
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val out = parent.keys.toSeq.map(v => (v, find(v)))
+      return spark.createDataset(out).toDF("doc_id", "cluster").orderBy("doc_id")
+    }
+    // round 1 as a single aggregate: min over the closed neighborhood
+    // is min(v, min(u)) straight off the edge list — no join needed
+    var labels = edges.groupBy(col("v"))
+      .agg(least(col("v"), min(col("u"))).as("label")).localCheckpoint()
     // labels only ever decrease ⇒ the label sum strictly decreases iff
     // any label changed — one aggregate per round instead of a
     // join+count convergence check (decimal: no overflow at any scale).

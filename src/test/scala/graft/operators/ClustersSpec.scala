@@ -21,6 +21,19 @@ class ClustersSpec extends SparkSpec {
     assert(c == Set(1L)) // everything collapses to the chain head
   }
 
+  test("driver fast path and distributed loop produce identical labelings") {
+    // chain + separate component + reversed-id edges (min is on the 'b' side)
+    val pairs = ((1L to 30L).sliding(2).map(s => (s.head, s.last)).toSeq ++
+      Seq((40L, 45L), (45L, 41L), (100L, 90L))).toDF("doc_a", "doc_b")
+    val fast = Dedup.clusters(pairs).collect() // n=32 edges ≤ budget → driver path
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val dist = Dedup.clusters(pairs, maxDriverEdges = 0L).collect() // force loop
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(fast == dist)
+    assert(fast.toMap.get(90L).contains(90L)) // min of {90,100}
+    assert(fast.toMap.get(41L).contains(40L))
+  }
+
   test("clusters: empty pair list yields an empty labeling, not an NPE") {
     val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.clusters(none).collect().isEmpty)
