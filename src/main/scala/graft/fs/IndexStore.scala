@@ -1,6 +1,6 @@
 package graft.fs
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -42,25 +42,12 @@ object IndexStore {
     StructField("file_size", LongType, nullable = false),
     StructField("indexed_at", TimestampType, nullable = false)))
 
-  private def pointerFile(root: String) = Paths.get(s"$root/CURRENT")
-
-  /** Resolve the published snapshot directory, if any. */
-  private def currentDir(root: String): Option[String] = {
-    val p = pointerFile(root)
-    if (!Files.exists(p)) None
-    else Some(s"$root/${Files.readString(p).trim}")
-  }
-
-  def exists(root: String): Boolean = currentDir(root).exists(d => Files.exists(Paths.get(d)))
+  def exists(root: String): Boolean = SnapshotDir.exists(root)
 
   /** Load the published snapshot; empty DF with the index schema when
     * no snapshot exists yet. */
   def load(spark: SparkSession, root: String): DataFrame =
-    currentDir(root).filter(d => Files.exists(Paths.get(d))) match {
-      case Some(d) => spark.read.parquet(d)
-      case None =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    }
+    SnapshotDir.load(spark, root, schema)
 
   /** Last-writer-wins dedup on the (path, filename) primary key. */
   def dedupLastWins(df: DataFrame): DataFrame = {
@@ -77,54 +64,14 @@ object IndexStore {
     * `numFiles > 0` pins the file count (cluster deployments size this
     * to executors × cores); 0 keeps the incoming partitioning. */
   def publish(df: DataFrame, root: String, numFiles: Int = 0): Unit = {
-    Files.createDirectories(Paths.get(root))
-    val prev = currentDir(root)
-    // crash-orphan candidates are frozen NOW, before this publish
-    // writes anything: only dirs/temps that already existed can be
-    // leftovers of a crashed earlier publish. Anything created later
-    // belongs to someone else's in-flight publish and is never touched.
-    val preExisting: Set[String] = {
-      val out = scala.collection.mutable.Set.empty[String]
-      try {
-        val ds = Files.newDirectoryStream(Paths.get(root))
-        try ds.forEach { p =>
-          val n = p.getFileName.toString
-          if (n.startsWith("snap-") || n.startsWith(".CURRENT-")) out += n
-        } finally ds.close()
-      } catch { case scala.util.control.NonFatal(_) => () }
-      out.toSet
-    }
-    val snapName = s"snap-${System.nanoTime()}"
     val deduped = dedupLastWins(df)
       .select("path", "filename", "checksum", "modification_datetime", "file_size", "indexed_at")
     val laidOut =
       if (numFiles > 0) deduped.repartition(numFiles, col("path"))
         .sortWithinPartitions("path", "filename")
       else deduped
-    laidOut.write.mode("overwrite").parquet(s"$root/$snapName")
-    // single atomic pointer flip — readers never observe a missing
-    // snapshot (write the new pointer to a temp file, then rename)
-    val tmpPtr = Paths.get(s"$root/.CURRENT-${System.nanoTime()}")
-    Files.writeString(tmpPtr, snapName)
-    Files.move(tmpPtr, pointerFile(root),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    // retire the previous snapshot directory, plus PRE-EXISTING snap-*
-    // dirs / .CURRENT-* temps orphaned by a crashed earlier publish.
-    // The store is single-writer by contract (like the reference's one
-    // DuckDB file); the pre-list still makes the sweep safe against an
-    // overlapping publish: a racer's snapshot/temp is created after our
-    // listing and is therefore never deleted, and we re-read CURRENT so
-    // that even a pre-listed name that just got published survives.
-    try {
-      prev.foreach(d => if (Files.exists(Paths.get(d))) deleteRecursively(Paths.get(d)))
-      val nowCurrent = currentDir(root).map(d => Paths.get(d).getFileName.toString)
-      val keep = Set(snapName) ++ nowCurrent ++
-        prev.map(d => Paths.get(d).getFileName.toString)
-      preExisting.filterNot(keep).foreach { n =>
-        deleteRecursively(Paths.get(s"$root/$n"))
-      }
-    } catch { case scala.util.control.NonFatal(_) => () } // best-effort; never
-    // fails a publish whose pointer flip already succeeded
+    // atomic pointer-flip publish + crash-orphan sweep: SnapshotDir
+    SnapshotDir.publish(laidOut, root)
   }
 
   /** Publish as a BUCKETED managed table (hash-bucketed + sorted on
@@ -189,11 +136,4 @@ object IndexStore {
     out.toString
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val ds = Files.newDirectoryStream(p)
-      try ds.forEach(deleteRecursively) finally ds.close()
-    }
-    Files.deleteIfExists(p)
-  }
 }
