@@ -80,7 +80,7 @@ object SnapshotDir {
     // fails a publish whose pointer flip already succeeded
   }
 
-  private[fs] def deleteRecursively(p: java.nio.file.Path): Unit = {
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (Files.isDirectory(p)) {
       val ds = Files.newDirectoryStream(p)
       try ds.forEach(deleteRecursively) finally ds.close()

@@ -174,8 +174,16 @@ object Dedup {
     * ingest shape: cost is O(delta shingles ⋈ index), not O(n²).
     * Emitted pairs are (indexed_doc or lower new id, higher new id). */
   def deltaPairs(newDocs: DataFrame, index: DataFrame, n: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
-    val newIdx = shingleIndex(newDocs, n)
+      threshold: Double = 0.5): DataFrame =
+    deltaPairsFromIndex(shingleIndex(newDocs, n), index, threshold)
+
+  /** [[deltaPairs]] over an already-computed delta shingle index —
+    * callers that also need the delta's shingles for other work (e.g.
+    * the streaming dedup sink folding kept shingles into the corpus
+    * index) compute/cache it once and pass it here, instead of paying
+    * the tokenize+shingle pass twice. */
+  def deltaPairsFromIndex(newIdx: DataFrame, index: DataFrame,
+      threshold: Double): DataFrame = {
     // delta vs corpus: every match is a (corpus a, new b) pair
     val vsCorpus = index.as("a")
       .join(newIdx.as("b"), col("a.shingle") === col("b.shingle"))
@@ -251,14 +259,22 @@ object Dedup {
     // reliable checkpoint dir instead of local blocks)
     val edges = fwd.unionByName(fwd.select(col("u").as("v"), col("v").as("u")))
       .localCheckpoint()
-    val nEdges = edges.count() // cheap: checkpointed
-    if (nEdges == 0)
-      return spark.emptyDataset[(Long, Long)].toDF("doc_id", "cluster")
-    if (nEdges <= maxDriverEdges) {
+    // edges holds both directions; the budget is in INPUT pairs
+    val nPairs = edges.count() / 2
+    if (nPairs == 0) // empty labeling with the INPUT's id type preserved
+      return edges.select(col("v").as("doc_id"), col("v").as("cluster")).limit(0)
+    // the driver codepath decodes ids as Long — any other id type
+    // (string fingerprints, int ids) stays on the distributed loop,
+    // which is type-agnostic (least/min/join only)
+    val longIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && nPairs <= maxDriverEdges) {
       // driver union-find with path compression; union-by-min keeps the
       // root of every tree at its minimum id, so the final root of a
-      // component IS the min-id cluster label
-      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      // component IS the min-id cluster label. Collect ONE direction
+      // only (v <= u keeps self-loop vertices) — union-find is symmetric.
+      val es = edges.filter(col("v") <= col("u")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -13,25 +15,35 @@ import graft.operators.Dedup
   * where re-running corpus×corpus dedup per day is impossible.
   *
   * Per micro-batch of new documents:
-  *  1. load the persisted shingle index of all PREVIOUSLY KEPT docs;
-  *  2. [[Dedup.deltaPairs]] — jaccard pairs delta↔corpus and
-  *     delta↔delta, cost O(delta shingles ⋈ index), never O(n²);
+  *  1. load the shingle index of all PREVIOUSLY KEPT docs = compacted
+  *     base snapshot ∪ per-batch delta directories (see "index layout");
+  *  2. [[Dedup.deltaPairsFromIndex]] — jaccard pairs delta↔corpus and
+  *     delta↔delta over ONE cached shingle pass, cost O(delta ⋈ index);
   *  3. decide: a new doc is DROPPED if it pairs with any already-kept
   *     corpus doc (kept-wins — decisions are append-only, a published
   *     keep is never revoked), or if it isn't the min-id survivor of
   *     its within-batch near-dup cluster;
   *  4. append (doc_id, kept, batch_id) decisions to the output;
-  *  5. fold the KEPT docs' shingles into the index via an atomic
-  *     snapshot swap ([[graft.fs.SnapshotDir]]).
+  *  5. write the KEPT docs' shingles as `delta-<batchId>` (overwrite →
+  *     replay-idempotent), compacting all deltas into the base snapshot
+  *     every `compactEvery` batches.
   *
-  * Crash-replay semantics: the index publish is IDEMPOTENT (the union
-  * dedups on (shingle, doc_id), so replaying a batch republishes the
-  * same index), and a replayed batch recomputes identical decisions
-  * against it; the decisions parquet itself is at-least-once on
-  * replay — downstream consumers dedupe on (doc_id, batch_id), the
-  * standard contract for foreachBatch file appends. Exact duplicates
-  * across batches are covered by near-dup pairing (identical text ⇒
-  * jaccard 1.0 ≥ threshold).
+  * Index layout — per-batch cost must be O(batch), not O(corpus):
+  * a full base rewrite per batch would grow without bound, so deltas
+  * append and only the periodic compaction touches the whole index.
+  * `COMPACTED_THROUGH` (atomically replaced) records the last batch id
+  * folded into the base; loads ignore delta dirs ≤ that mark, so a
+  * crash between base publish and delta removal never double-counts.
+  *
+  * Crash-replay semantics: a replayed batch rewrites the same delta
+  * dir and recomputes decisions that are IDENTICAL even against the
+  * already-updated index — self-pairs (a replayed kept doc matching
+  * its own published shingles) are filtered, and a doc already in the
+  * kept corpus is never flipped to dropped. The decisions parquet
+  * itself is at-least-once on replay — downstream consumers dedupe on
+  * (doc_id, batch_id), the standard contract for foreachBatch file
+  * appends. Exact duplicates across batches are covered by near-dup
+  * pairing (identical text ⇒ jaccard 1.0 ≥ threshold).
   */
 object DedupStream {
 
@@ -49,6 +61,47 @@ object DedupStream {
       readOptions: Map[String, String] = Map.empty): DataFrame =
     spark.readStream.options(readOptions).schema(docSchema).parquet(stagingDir)
 
+  // ------------------------------------------------- index store (base+delta)
+
+  private def markFile(stateRoot: String) = Paths.get(s"$stateRoot/COMPACTED_THROUGH")
+
+  private[streaming] def compactedThrough(stateRoot: String): Long = {
+    val p = markFile(stateRoot)
+    if (Files.exists(p)) Files.readString(p).trim.toLong else -1L
+  }
+
+  private def writeMark(stateRoot: String, batchId: Long): Unit = {
+    val tmp = Paths.get(s"$stateRoot/.mark-${System.nanoTime()}")
+    Files.writeString(tmp, batchId.toString)
+    Files.move(tmp, markFile(stateRoot),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Live delta dirs: batch id > the compaction mark. */
+  private def liveDeltas(stateRoot: String): Seq[String] = {
+    val mark = compactedThrough(stateRoot)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      val ds = Files.newDirectoryStream(Paths.get(stateRoot))
+      try ds.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("delta-") && n.stripPrefix("delta-").toLong > mark)
+          out += p.toString
+      } finally ds.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+    out.toSeq.sorted
+  }
+
+  /** The whole kept-corpus shingle index: compacted base ∪ live deltas. */
+  private[streaming] def loadIndex(spark: SparkSession, stateRoot: String): DataFrame = {
+    val base = SnapshotDir.load(spark, s"$stateRoot/base", indexSchema)
+    val deltas = liveDeltas(stateRoot)
+    if (deltas.isEmpty) base
+    else base.unionByName(spark.read.schema(indexSchema).parquet(deltas: _*))
+  }
+
+  // ------------------------------------------------------------ per-batch step
+
   /** One micro-batch's keep/drop decisions against the current index
     * (exposed for testing; [[continuousDedup]] drives it). Returns
     * (decisions(doc_id, kept), keptShingleRows, cleanup) — call
@@ -57,52 +110,91 @@ object DedupStream {
   private[streaming] def decideBatch(batch: DataFrame, index: DataFrame,
       n: Int, threshold: Double): (DataFrame, DataFrame, () => Unit) = {
     val newDocs = batch.select(col("doc_id"), col("text"))
+      .filter(col("doc_id").isNotNull) // a null id can't be deduplicated or keyed
       .dropDuplicates("doc_id").cache()
-    val corpusIds = index.select(col("doc_id")).distinct()
-    val pairs = Dedup.deltaPairs(newDocs, index, n, threshold)
+    val newIds = newDocs.select("doc_id")
+    // ONE tokenize+shingle pass feeds both the pair join and the kept-
+    // shingle fold-in
+    val newIdx = Dedup.shingleIndex(newDocs, n).cache()
+    val pairs = Dedup.deltaPairsFromIndex(newIdx, index, threshold)
+      // replay guard: after a successful index publish, a replayed kept
+      // doc matches its OWN corpus entry at jaccard 1.0 — not a dup
+      .filter(col("doc_a") =!= col("doc_b"))
       .select("doc_a", "doc_b").cache()
-    // pairs are (min, max); a corpus doc can sit on either side
-    val pairedWithCorpus = pairs.join(broadcast(corpusIds),
-        col("doc_a") === col("doc_id")).select(col("doc_b").as("doc_id"))
-      .unionByName(pairs.join(broadcast(corpusIds),
-        col("doc_b") === col("doc_id")).select(col("doc_a").as("doc_id")))
+    // classify pair sides by tagging against the SMALL, bounded batch id
+    // set (broadcasting the ever-growing corpus id set would eventually
+    // exceed any broadcast limit)
+    val tagged = pairs
+      .join(broadcast(newIds.toDF("doc_a").withColumn("_a_new", lit(true))),
+        Seq("doc_a"), "left")
+      .join(broadcast(newIds.toDF("doc_b").withColumn("_b_new", lit(true))),
+        Seq("doc_b"), "left")
+    val pairedWithCorpus = tagged.filter(col("_a_new").isNull && col("_b_new").isNotNull)
+      .select(col("doc_b").as("doc_id"))
+      .unionByName(tagged.filter(col("_b_new").isNull && col("_a_new").isNotNull)
+        .select(col("doc_a").as("doc_id")))
       .distinct()
     // within-batch near-dup clusters keep their min-id member
-    val newIds = newDocs.select("doc_id")
-    val withinPairs = pairs
-      .join(newIds.toDF("doc_a"), "doc_a").join(newIds.toDF("doc_b"), "doc_b")
+    val withinPairs = tagged.filter(col("_a_new").isNotNull && col("_b_new").isNotNull)
       .select("doc_a", "doc_b")
     val clusterDrops = Dedup.clusters(withinPairs)
       .filter(col("doc_id") =!= col("cluster")).select("doc_id")
     val drops = pairedWithCorpus.unionByName(clusterDrops).distinct()
+      // kept-wins invariant: a doc already in the kept corpus (replay of
+      // a published batch) is never flipped to dropped
+      .join(index.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
       .withColumn("_drop", lit(true))
     val decisions = newDocs.join(drops, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(!col("_drop"), lit(true)).as("kept"))
-    val keptShingles = Dedup.shingleIndex(
-      newDocs.join(decisions.filter(col("kept")).select("doc_id"), "doc_id"), n)
-    (decisions, keptShingles, () => { newDocs.unpersist(); pairs.unpersist(); () })
+      .cache() // consumed by the decisions write AND the kept-shingle filter
+    val keptShingles = newIdx.join(
+      decisions.filter(col("kept")).select("doc_id"), "doc_id")
+      .select("shingle", "doc_id", "n_sh")
+    (decisions, keptShingles, () => {
+      newDocs.unpersist(); newIdx.unpersist(); pairs.unpersist()
+      decisions.unpersist(); ()
+    })
   }
 
   /** Start continuously deduplicating a document stream. Decisions
     * land as parquet appends in `outDir`; the kept-corpus shingle
-    * index lives under `stateRoot` with snapshot-swap publishes. */
+    * index lives under `stateRoot` as base snapshot + per-batch deltas,
+    * compacted every `compactEvery` batches. */
   def continuousDedup(spark: SparkSession, stagingDir: String, stateRoot: String,
       outDir: String, checkpointDir: String, n: Int = 3, threshold: Double = 0.5,
-      trigger: Trigger = Trigger.AvailableNow(),
+      trigger: Trigger = Trigger.AvailableNow(), compactEvery: Long = 16L,
       readOptions: Map[String, String] = Map.empty): StreamingQuery =
     readDocs(spark, stagingDir, readOptions).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val index = SnapshotDir.load(s, stateRoot, indexSchema)
+        Files.createDirectories(Paths.get(stateRoot))
+        val index = loadIndex(s, stateRoot)
         val (decisions, keptShingles, cleanup) = decideBatch(batch, index, n, threshold)
         try {
           decisions.withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(outDir)
-          SnapshotDir.publish(
-            index.unionByName(keptShingles).dropDuplicates("shingle", "doc_id"),
-            stateRoot)
+          // O(batch) per-batch write; replay overwrites the same dir
+          keptShingles.write.mode("overwrite")
+            .parquet(s"$stateRoot/delta-$batchId")
+          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+            // periodic O(corpus) fold: deltas ≤ batchId into the base.
+            // Mark first, then best-effort delta removal — a crash in
+            // between leaves dirs that loads already ignore via the mark.
+            SnapshotDir.publish(
+              loadIndex(s, stateRoot).dropDuplicates("shingle", "doc_id"),
+              s"$stateRoot/base")
+            writeMark(stateRoot, batchId)
+            try {
+              val ds = Files.newDirectoryStream(Paths.get(stateRoot))
+              try ds.forEach { p =>
+                val nm = p.getFileName.toString
+                if (nm.startsWith("delta-") && nm.stripPrefix("delta-").toLong <= batchId)
+                  graft.fs.SnapshotDir.deleteRecursively(p)
+              } finally ds.close()
+            } catch { case scala.util.control.NonFatal(_) => () }
+          }
         } finally cleanup()
       }
       .start()

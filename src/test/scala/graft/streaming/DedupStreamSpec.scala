@@ -5,7 +5,6 @@ import java.nio.file.Files
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.SparkSpec
-import graft.fs.SnapshotDir
 
 class DedupStreamSpec extends SparkSpec {
   import spark.implicits._
@@ -16,49 +15,82 @@ class DedupStreamSpec extends SparkSpec {
     val out = Files.createTempDirectory("graft-ddstream-out").toString
     val ckpt = Files.createTempDirectory("graft-ddstream-ckpt").toString
 
-    // batch 1: two distinct docs → both kept
+    def runOnce(): Unit = {
+      val q = DedupStream.continuousDedup(spark, staging.toString, state, out, ckpt,
+        n = 3, threshold = 0.5, trigger = Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+
+    // batch 1: two distinct docs → both kept. Running the stream to
+    // completion BEFORE writing batch 2 makes the batch split
+    // deterministic (no reliance on file mtime ordering).
     Seq((1L, "aa bb cc dd ee ff"), (2L, "zz yy xx ww vv uu"))
       .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(staging.toString)
-    Thread.sleep(1100) // distinct file mtimes → deterministic batch order
-    // batch 2: 3 = exact text of 1 (corpus near-dup, dropped);
+    runOnce()
+    // batch 2: 3 = exact text of 1 (cross-batch corpus near-dup, dropped);
     //          4 distinct (kept); 5 = exact text of 4 (within-batch, 5 > 4 → dropped)
     Seq((3L, "aa bb cc dd ee ff"), (4L, "mm nn oo pp qq rr"), (5L, "mm nn oo pp qq rr"))
       .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(staging.toString)
-
-    // one file per micro-batch, so batch 1 publishes its index BEFORE
-    // batch 2 decides — exercising the corpus (cross-batch) drop path
-    val q = DedupStream.continuousDedup(spark, staging.toString, state, out, ckpt,
-      n = 3, threshold = 0.5,
-      trigger = Trigger.AvailableNow(),
-      readOptions = Map("maxFilesPerTrigger" -> "1"))
-    q.awaitTermination(120000)
+    runOnce()
 
     val decisions = spark.read.parquet(out)
       .select("doc_id", "kept").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(decisions(1L) && decisions(2L), decisions.toString)
-    assert(!decisions(3L)) // near-dup of doc 1 (kept corpus or same-batch lower id)
+    assert(!decisions(3L)) // near-dup of kept corpus doc 1
     assert(decisions(4L))
     assert(!decisions(5L)) // within-batch cluster keeps min id 4
     // the persisted index holds shingles of exactly the kept docs
-    val idx = SnapshotDir.load(spark, state, DedupStream.indexSchema)
+    val idx = DedupStream.loadIndex(spark, state)
     assert(idx.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
       == Set(1L, 2L, 4L))
   }
 
-  test("decideBatch is idempotent against a republished index (replay safety)") {
+  test("compaction folds deltas into the base and loads see one copy") {
+    val staging = Files.createTempDirectory("graft-ddcomp-in")
+    val state = Files.createTempDirectory("graft-ddcomp-state").toString
+    val out = Files.createTempDirectory("graft-ddcomp-out").toString
+    val ckpt = Files.createTempDirectory("graft-ddcomp-ckpt").toString
+    // compactEvery = 1 → every batch compacts (batchId 0 % 1 == 0)
+    Seq((1L, "aa bb cc dd ee"), (2L, "zz yy xx ww vv"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(staging.toString)
+    val q = DedupStream.continuousDedup(spark, staging.toString, state, out, ckpt,
+      compactEvery = 1L, trigger = Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    assert(DedupStream.compactedThrough(state) == 0L)
+    val idx = DedupStream.loadIndex(spark, state)
+    // no double counting: one row per (shingle, doc_id)
+    assert(idx.count() == idx.dropDuplicates("shingle", "doc_id").count())
+    assert(idx.select("doc_id").distinct().count() == 2)
+  }
+
+  test("decideBatch replay against the ALREADY-updated index keeps its decisions") {
     val docs = Seq((1L, "aa bb cc dd ee"), (2L, "aa bb cc dd ee")).toDF("doc_id", "text")
     val emptyIdx = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], DedupStream.indexSchema)
     val (d1, sh1, c1) = DedupStream.decideBatch(docs, emptyIdx, 3, 0.5)
     val kept1 = d1.filter($"kept").collect().map(_.getLong(0)).toSet
-    val idx1 = sh1.collect()
-    c1()
-    // replaying the same batch against the SAME published index generation
-    // recomputes identical decisions and identical index rows
-    val (d2, sh2, c2) = DedupStream.decideBatch(docs, emptyIdx, 3, 0.5)
-    assert(d2.filter($"kept").collect().map(_.getLong(0)).toSet == kept1)
-    assert(sh2.collect().toSet == idx1.toSet)
-    c2()
+    val published = sh1.collect()
     assert(kept1 == Set(1L)) // exact dup in-batch keeps the min id
+    c1()
+    // crash AFTER the index publish but BEFORE the offset commit: the
+    // replayed batch sees its own kept shingles in the corpus. Doc 1
+    // must NOT self-pair into a drop; doc 2 stays dropped.
+    val updatedIdx = published.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.toDF("shingle", "doc_id", "n_sh")
+    val (d2, _, c2) = DedupStream.decideBatch(docs, updatedIdx, 3, 0.5)
+    val kept2 = d2.filter($"kept").collect().map(_.getLong(0)).toSet
+    c2()
+    assert(kept2 == kept1, s"replay flipped decisions: $kept2 vs $kept1")
+  }
+
+  test("null doc_id rows are excluded from decisions") {
+    val docs = Seq((Some(7L), "aa bb cc"), (None, "dd ee ff"))
+      .toDF("doc_id", "text")
+    val emptyIdx = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], DedupStream.indexSchema)
+    val (d, _, c) = DedupStream.decideBatch(docs, emptyIdx, 3, 0.5)
+    val rows = d.collect()
+    c()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(7L))
   }
 }
