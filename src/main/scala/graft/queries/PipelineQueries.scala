@@ -87,6 +87,28 @@ object PipelineQueries {
     // check; recall is spec-tested against brute force in IvfSpec.
     "ss_topk_ivf" -> ((s, d) =>
       graft.operators.Ivf.topkIvf(emb(s, d), queryMod = 50L, k = 5)),
+    // The IVF CONTRACT, oracle-checked (same pattern as fi_stats_approx):
+    // mean recall@5 vs the exact scan must clear a bound. The testdata
+    // embeddings are near-isotropic — ANN's worst case (measured mean
+    // recall ≈ 0.6 at nProbe 4/16; clustered data gives ≈ 1.0, IvfSpec) —
+    // so the asserted bound is 0.4. The oracle projects the exact query
+    // count and a literal TRUE; the hash fails iff recall degrades.
+    "ss_topk_ivf_recall" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val e = emb(s, d)
+      val ivf = graft.operators.Ivf.topkIvf(e, queryMod = 50L, k = 5)
+        .select(col("query_id"), col("cand_id"))
+      val brute = Similarity.topkBrute(e, queryMod = 50L, k = 5)
+        .select(col("query_id"), col("cand_id"))
+      val hits = brute.join(ivf, Seq("query_id", "cand_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      brute.groupBy("query_id").agg(count(lit(1)).as("n_brute"))
+        .join(hits, Seq("query_id"), "left")
+        .select((coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_brute"))
+          .as("recall"))
+        .agg(count(lit(1)).as("n_queries"),
+          (avg(col("recall")) >= 0.4).as("mean_recall_ok"))
+    }),
     // Token counting — whitespace tokens, distinct tokens, mean length.
     "ta_token_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))),
     // BPE-ish regex pre-tokenization counts.
@@ -295,6 +317,9 @@ object PipelineQueries {
          |SELECT query_id, cand_id, cosine, rnk FROM r WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin
     },
+    "ss_topk_ivf_recall" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS mean_recall_ok
+        |FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id % 50 = 0)""".stripMargin,
     "ta_token_stats" ->
       s"""SELECT doc_id,
          |  CAST(len($T) AS BIGINT) AS n_tokens,
