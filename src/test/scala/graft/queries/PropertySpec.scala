@@ -64,4 +64,24 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("property: cosinePairsBlocked == cosinePairs for any block count and id spacing") {
+    import graft.operators.Similarity
+    val vecGen = for {
+      n <- Gen.chooseNum(3, 12)
+      // sparse ids (not 0..n-1) exercise the pmod block assignment
+      ids <- Gen.listOfN(n, Gen.chooseNum(0L, 500L)).map(_.distinct)
+      seeds <- Gen.listOfN(ids.size, Gen.chooseNum(1, 99))
+    } yield ids.zip(seeds)
+    check(Prop.forAll(vecGen, Gen.chooseNum(1, 9)) { (rows, blocks) =>
+      val emb = rows.map { case (id, seed) =>
+        (id, Array.tabulate(64)(i => ((seed * 31 + i * 7) % 13 - 6).toFloat))
+      }.toDF("vec_id", "embedding")
+      val brute = Similarity.cosinePairs(emb, 0.2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val blocked = Similarity.cosinePairsBlocked(emb, 0.2, blocks).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      blocked == brute
+    })
+  }
 }
