@@ -40,10 +40,28 @@ object SnapshotDir {
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
 
+  /** Metadata published ATOMICALLY with a snapshot (it lives inside
+    * the snap dir, so the pointer flip switches data and meta as one
+    * unit — e.g. the streaming dedup compaction watermark, which must
+    * never be observed ahead of or behind the base it describes).
+    * Absent or unreadable → empty. The file is underscore-prefixed so
+    * parquet readers treat it as hidden. */
+  def loadMeta(root: String): Map[String, String] =
+    currentDir(root).map(d => Paths.get(s"$d/_snapmeta")) match {
+      case Some(p) if Files.exists(p) =>
+        Files.readAllLines(p).toArray(Array.empty[String]).toSeq
+          .filter(_.contains('=')).map { line =>
+            val i = line.indexOf('=')
+            line.substring(0, i) -> line.substring(i + 1)
+          }.toMap
+      case _ => Map.empty
+    }
+
   /** Publish `df` as the new snapshot: parquet to snap-<nonce>, atomic
     * pointer flip, then best-effort retirement of the previous
-    * snapshot and pre-existing crash orphans. */
-  def publish(df: DataFrame, root: String): Unit = {
+    * snapshot and pre-existing crash orphans. `meta` is written inside
+    * the snap dir BEFORE the flip (see [[loadMeta]]). */
+  def publish(df: DataFrame, root: String, meta: Map[String, String] = Map.empty): Unit = {
     Files.createDirectories(Paths.get(root))
     val prev = currentDir(root)
     // crash-orphan candidates are frozen NOW, before this publish
@@ -62,6 +80,9 @@ object SnapshotDir {
     }
     val snapName = s"snap-${System.nanoTime()}"
     df.write.mode("overwrite").parquet(s"$root/$snapName")
+    if (meta.nonEmpty)
+      Files.writeString(Paths.get(s"$root/$snapName/_snapmeta"),
+        meta.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("\n"))
     // single atomic pointer flip — readers never observe a missing
     // snapshot (write the new pointer to a temp file, then rename)
     val tmpPtr = Paths.get(s"$root/.CURRENT-${System.nanoTime()}")

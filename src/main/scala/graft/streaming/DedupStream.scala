@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -31,9 +31,12 @@ import graft.operators.Dedup
   * Index layout — per-batch cost must be O(batch), not O(corpus):
   * a full base rewrite per batch would grow without bound, so deltas
   * append and only the periodic compaction touches the whole index.
-  * `COMPACTED_THROUGH` (atomically replaced) records the last batch id
-  * folded into the base; loads ignore delta dirs ≤ that mark, so a
-  * crash between base publish and delta removal never double-counts.
+  * The compaction watermark (last batch id folded into the base) is
+  * published ATOMICALLY with the base snapshot itself (SnapshotDir
+  * meta, inside the snap dir the pointer names): loads ignore delta
+  * dirs ≤ the watermark OF THE BASE THEY READ, so no crash point —
+  * before the flip, after the flip, before delta removal — can
+  * double-count or lose shingles.
   *
   * Crash-replay semantics: a replayed batch rewrites the same delta
   * dir and recomputes decisions that are IDENTICAL even against the
@@ -63,19 +66,12 @@ object DedupStream {
 
   // ------------------------------------------------- index store (base+delta)
 
-  private def markFile(stateRoot: String) = Paths.get(s"$stateRoot/COMPACTED_THROUGH")
-
-  private[streaming] def compactedThrough(stateRoot: String): Long = {
-    val p = markFile(stateRoot)
-    if (Files.exists(p)) Files.readString(p).trim.toLong else -1L
-  }
-
-  private def writeMark(stateRoot: String, batchId: Long): Unit = {
-    val tmp = Paths.get(s"$stateRoot/.mark-${System.nanoTime()}")
-    Files.writeString(tmp, batchId.toString)
-    Files.move(tmp, markFile(stateRoot),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  /** The batch id through which deltas are folded into the CURRENT
+    * base snapshot — read from the base's atomic snapshot meta, so it
+    * can never disagree with the base data it describes. */
+  private[streaming] def compactedThrough(stateRoot: String): Long =
+    SnapshotDir.loadMeta(s"$stateRoot/base")
+      .get("compacted_through").map(_.toLong).getOrElse(-1L)
 
   /** Live delta dirs: batch id > the compaction mark. */
   private def liveDeltas(stateRoot: String): Seq[String] = {
@@ -179,13 +175,15 @@ object DedupStream {
           keptShingles.write.mode("overwrite")
             .parquet(s"$stateRoot/delta-$batchId")
           if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
-            // periodic O(corpus) fold: deltas ≤ batchId into the base.
-            // Mark first, then best-effort delta removal — a crash in
-            // between leaves dirs that loads already ignore via the mark.
+            // periodic O(corpus) fold: deltas ≤ batchId into the base,
+            // with the watermark published atomically WITH the base
+            // (crash before the flip → old base + old watermark, deltas
+            // still live; after → new base whose watermark retires them).
+            // Delta removal afterwards is best-effort cleanup only.
             SnapshotDir.publish(
               loadIndex(s, stateRoot).dropDuplicates("shingle", "doc_id"),
-              s"$stateRoot/base")
-            writeMark(stateRoot, batchId)
+              s"$stateRoot/base",
+              meta = Map("compacted_through" -> batchId.toString))
             try {
               val ds = Files.newDirectoryStream(Paths.get(stateRoot))
               try ds.forEach { p =>

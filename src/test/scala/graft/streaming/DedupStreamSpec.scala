@@ -61,6 +61,11 @@ class DedupStreamSpec extends SparkSpec {
     // no double counting: one row per (shingle, doc_id)
     assert(idx.count() == idx.dropDuplicates("shingle", "doc_id").count())
     assert(idx.select("doc_id").distinct().count() == 2)
+    // crash window: base published (watermark 0) but the folded delta dir
+    // was never removed — loads must ignore it, not double-count
+    val n = idx.count()
+    idx.write.mode("overwrite").parquet(s"$state/delta-0")
+    assert(DedupStream.loadIndex(spark, state).count() == n)
   }
 
   test("decideBatch replay against the ALREADY-updated index keeps its decisions") {
