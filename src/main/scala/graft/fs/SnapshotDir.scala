@@ -44,18 +44,29 @@ object SnapshotDir {
     * the snap dir, so the pointer flip switches data and meta as one
     * unit — e.g. the streaming dedup compaction watermark, which must
     * never be observed ahead of or behind the base it describes).
-    * Absent or unreadable → empty. The file is underscore-prefixed so
-    * parquet readers treat it as hidden. */
+    * An ABSENT meta file → empty map (a snapshot legitimately without
+    * meta); an UNREADABLE one throws — meta guards correctness
+    * decisions, and state corruption must fail loudly rather than
+    * silently degrade. The file is underscore-prefixed so parquet
+    * readers treat it as hidden.
+    *
+    * Readers that also load the snapshot's DATA must resolve the
+    * pointer ONCE ([[currentDir]]) and pass the resolved dir to
+    * [[metaAt]] — re-resolving for the meta can pair one snapshot's
+    * data with a successor's meta if a publish lands in between. */
   def loadMeta(root: String): Map[String, String] =
-    currentDir(root).map(d => Paths.get(s"$d/_snapmeta")) match {
-      case Some(p) if Files.exists(p) =>
-        Files.readAllLines(p).toArray(Array.empty[String]).toSeq
-          .filter(_.contains('=')).map { line =>
-            val i = line.indexOf('=')
-            line.substring(0, i) -> line.substring(i + 1)
-          }.toMap
-      case _ => Map.empty
-    }
+    currentDir(root).map(metaAt).getOrElse(Map.empty)
+
+  /** [[loadMeta]] for an already-resolved snapshot directory. */
+  def metaAt(snapDir: String): Map[String, String] = {
+    val p = Paths.get(s"$snapDir/_snapmeta")
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p).toArray(Array.empty[String]).toSeq
+      .filter(_.contains('=')).map { line =>
+        val i = line.indexOf('=')
+        line.substring(0, i) -> line.substring(i + 1)
+      }.toMap
+  }
 
   /** Publish `df` as the new snapshot: parquet to snap-<nonce>, atomic
     * pointer flip, then best-effort retirement of the previous

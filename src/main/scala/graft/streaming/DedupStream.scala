@@ -67,15 +67,15 @@ object DedupStream {
   // ------------------------------------------------- index store (base+delta)
 
   /** The batch id through which deltas are folded into the CURRENT
-    * base snapshot — read from the base's atomic snapshot meta, so it
-    * can never disagree with the base data it describes. */
+    * base snapshot (corrupt meta fails loudly — a silent -1 would
+    * double-count folded deltas). Testing/introspection only; the
+    * load path reads the watermark from its OWN resolved snapshot. */
   private[streaming] def compactedThrough(stateRoot: String): Long =
     SnapshotDir.loadMeta(s"$stateRoot/base")
       .get("compacted_through").map(_.toLong).getOrElse(-1L)
 
-  /** Live delta dirs: batch id > the compaction mark. */
-  private def liveDeltas(stateRoot: String): Seq[String] = {
-    val mark = compactedThrough(stateRoot)
+  /** Delta dirs with batch id > `mark`. */
+  private def liveDeltas(stateRoot: String, mark: Long): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
       val ds = Files.newDirectoryStream(Paths.get(stateRoot))
@@ -88,10 +88,25 @@ object DedupStream {
     out.toSeq.sorted
   }
 
-  /** The whole kept-corpus shingle index: compacted base ∪ live deltas. */
+  /** The whole kept-corpus shingle index: compacted base ∪ live deltas.
+    * The base pointer is resolved ONCE and both the data and the
+    * watermark come from that same resolved snapshot — re-resolving
+    * for the watermark could pair an old base with a newer mark (and
+    * wrongly retire deltas the old base never folded) if a concurrent
+    * compaction flips the pointer mid-load. */
   private[streaming] def loadIndex(spark: SparkSession, stateRoot: String): DataFrame = {
-    val base = SnapshotDir.load(spark, s"$stateRoot/base", indexSchema)
-    val deltas = liveDeltas(stateRoot)
+    val baseRoot = s"$stateRoot/base"
+    val resolved = SnapshotDir.currentDir(baseRoot)
+      .filter(d => Files.exists(Paths.get(d)))
+    val (base, mark) = resolved match {
+      case Some(d) =>
+        (spark.read.parquet(d),
+          SnapshotDir.metaAt(d).get("compacted_through").map(_.toLong).getOrElse(-1L))
+      case None =>
+        (spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexSchema), -1L)
+    }
+    val deltas = liveDeltas(stateRoot, mark)
     if (deltas.isEmpty) base
     else base.unionByName(spark.read.schema(indexSchema).parquet(deltas: _*))
   }
