@@ -295,15 +295,24 @@ object Dedup {
     // is min(v, min(u)) straight off the edge list — no join needed
     var labels = edges.groupBy(col("v"))
       .agg(least(col("v"), min(col("u"))).as("label")).localCheckpoint()
-    // labels only ever decrease ⇒ the label sum strictly decreases iff
-    // any label changed — one aggregate per round instead of a
-    // join+count convergence check (decimal: no overflow at any scale).
-    // SUM over zero rows is NULL → coalesce to 0 so an empty pair list
-    // (no near-dups above threshold) converges instead of NPE-ing.
+    // Convergence check, type-dispatched:
+    //  - NUMERIC ids: labels only ever decrease ⇒ the label sum
+    //    strictly decreases iff any label changed — one aggregate per
+    //    round (decimal: no overflow at any scale; coalesce to 0 so
+    //    an empty frame converges instead of NPE-ing);
+    //  - other id types (string fingerprints): sums don't exist, so
+    //    probe for any row whose label differs from the previous round
+    //    (a join on the checkpointed label frames, LIMIT 1).
+    val numericIds =
+      edges.schema("v").dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
     def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)"))).collect().head.getDecimal(0)
-    var prevSum = labelSum(labels)
+    def anyChanged(prev: org.apache.spark.sql.DataFrame,
+        next: org.apache.spark.sql.DataFrame): Boolean =
+      next.join(prev.withColumnRenamed("label", "_prev"), "v")
+        .filter(col("label") =!= col("_prev")).limit(1).count() > 0
+    var prevSum = if (numericIds) labelSum(labels) else null
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
@@ -318,9 +327,11 @@ object Dedup {
         .join(stepped.select(col("v").as("label"), col("label").as("ll")), Seq("label"), "left")
         .select(col("v"), least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint()
-      val s = labelSum(next)
-      changed = if (s.compareTo(prevSum) < 0) 1L else 0L
-      prevSum = s
+      if (numericIds) {
+        val s = labelSum(next)
+        changed = if (s.compareTo(prevSum) < 0) 1L else 0L
+        prevSum = s
+      } else changed = if (anyChanged(labels, next)) 1L else 0L
       labels = next
       round += 1
     }

@@ -225,6 +225,22 @@ class FsPipelineSpec extends SparkSpec {
     assert(ChecksumStage.hashErrors(hashed, 0L) == 1)
   }
 
+  test("SnapshotDir meta is atomic with the snapshot: each generation keeps its own") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-snapmeta").toString
+    val df1 = Seq((1L, "x")).toDF("id", "v")
+    SnapshotDir.publish(df1, root, meta = Map("gen" -> "1", "k" -> "a=b")) // '=' in value
+    assert(SnapshotDir.loadMeta(root) == Map("gen" -> "1", "k" -> "a=b"))
+    assert(SnapshotDir.load(spark, root, df1.schema).count() == 1)
+    SnapshotDir.publish(Seq((1L, "x"), (2L, "y")).toDF("id", "v"), root,
+      meta = Map("gen" -> "2"))
+    assert(SnapshotDir.loadMeta(root) == Map("gen" -> "2"))
+    assert(SnapshotDir.load(spark, root, df1.schema).count() == 2)
+    // a publish without meta yields an empty map, not the predecessor's
+    SnapshotDir.publish(df1, root)
+    assert(SnapshotDir.loadMeta(root).isEmpty)
+  }
+
   test("publish sweeps snapshot dirs orphaned by a crash before the pointer flip") {
     import spark.implicits._
     val idx = Files.createTempDirectory("graft-orphan")

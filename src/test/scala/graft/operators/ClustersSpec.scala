@@ -49,6 +49,19 @@ class ClustersSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("non-Long ids (string fingerprints) take the type-agnostic distributed path") {
+    val pairs = Seq(("b", "c"), ("a", "b"), ("x", "z"))
+      .toDF("doc_a", "doc_b")
+    val c = Dedup.clusters(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(c == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "z" -> "x"))
+    // and an empty string-id pair list preserves the string schema
+    val empty = Seq.empty[(String, String)].toDF("doc_a", "doc_b")
+    val out = Dedup.clusters(empty)
+    assert(out.schema("doc_id").dataType == org.apache.spark.sql.types.StringType)
+    assert(out.collect().isEmpty)
+  }
+
   test("clusters over jaccard pairs labels exact duplicates together") {
     val docs = Seq(
       (1L, "aa bb cc dd"), (2L, "aa bb cc dd"), (3L, "aa bb cc dd"),
