@@ -210,6 +210,19 @@ class FsPipelineSpec extends SparkSpec {
     assert(scanned.map(f => f.path + "/" + f.filename).distinct.length == 19)
   }
 
+  test("seedPlan depth cap: a chain deeper than maxDepth still covers every file once") {
+    val root = Files.createTempDirectory("graft-deep")
+    var d = root
+    for (i <- 0 until 7) { // depth 7 > default maxDepth 4
+      d = d.resolve(s"lvl$i")
+      Files.createDirectories(d)
+      Files.write(d.resolve(s"f$i.dat"), s"$i".getBytes(StandardCharsets.UTF_8))
+    }
+    val scanned = FsScan.scan(spark, root.toString).collect()
+    assert(scanned.length == 7)
+    assert(scanned.map(f => f.path + "/" + f.filename).distinct.length == 7)
+  }
+
   test("hashErrors counts eligible-but-unhashable rows exactly, from data") {
     val (root, _) = mkTree()
     val scanned = FsScan.scanDF(spark, root.toString)

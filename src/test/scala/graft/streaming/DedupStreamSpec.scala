@@ -68,6 +68,37 @@ class DedupStreamSpec extends SparkSpec {
     assert(DedupStream.loadIndex(spark, state).count() == n)
   }
 
+  test("mixed base+delta index: compaction at batch 1, live delta at batch 2") {
+    val staging = Files.createTempDirectory("graft-ddmix-in")
+    val state = Files.createTempDirectory("graft-ddmix-state").toString
+    val out = Files.createTempDirectory("graft-ddmix-out").toString
+    val ckpt = Files.createTempDirectory("graft-ddmix-ckpt").toString
+    def runOnce(): Unit = {
+      // compactEvery=2 → batch 1 compacts (1 % 2 == 1), batches 0 and 2 don't
+      val q = DedupStream.continuousDedup(spark, staging.toString, state, out, ckpt,
+        compactEvery = 2L, trigger = Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    Seq((1L, "aa bb cc dd ee")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(staging.toString)
+    runOnce() // batch 0: delta only
+    Seq((2L, "zz yy xx ww vv")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(staging.toString)
+    runOnce() // batch 1: compacts 0..1 into the base
+    assert(DedupStream.compactedThrough(state) == 1L)
+    Seq((3L, "aa bb cc dd ee"), (4L, "qq rr ss tt uu")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(staging.toString)
+    runOnce() // batch 2: decided against base(1,2) — 3 must drop via the BASE
+    val decisions = spark.read.parquet(out)
+      .select("doc_id", "kept").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(decisions == Map(1L -> true, 2L -> true, 3L -> false, 4L -> true), decisions)
+    // index view = base(1,2) ∪ live delta(4), no duplicates
+    val idx = DedupStream.loadIndex(spark, state)
+    assert(idx.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 4L))
+    assert(idx.count() == idx.dropDuplicates("shingle", "doc_id").count())
+  }
+
   test("decideBatch replay against the ALREADY-updated index keeps its decisions") {
     val docs = Seq((1L, "aa bb cc dd ee"), (2L, "aa bb cc dd ee")).toDF("doc_id", "text")
     val emptyIdx = spark.createDataFrame(
