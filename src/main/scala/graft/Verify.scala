@@ -19,7 +19,8 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        spark.catalog.clearCache() // operator-internal caches don't accumulate
+        // operator-internal caches don't accumulate across queries
+        graft.operators.OpCaches.releaseAll()
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -103,13 +103,19 @@ object Indexer {
         col("old_indexed_at").as("indexed_at"))
     val needHash = joined.filter(!deletedOnDisk && !unchanged)
       .select(col("path"), col("filename"), col("modification_datetime"), col("file_size"))
+    // cached: the error count and the publish must see the SAME hash
+    // results (an uncached plan would re-hash every changed file for
+    // the count — and could even disagree with what gets published)
     val hashed = ChecksumStage.withChecksums(spark, needHash, maxChecksumSize)
       .withColumn("indexed_at", lit(now()))
       .select("path", "filename", "checksum", "modification_datetime", "file_size", "indexed_at")
+      .cache()
+    val nErr = ChecksumStage.hashErrors(hashed, maxChecksumSize)
 
     IndexStore.publish(keepOld.unionByName(hashed), indexRoot)
-    joined.unpersist()
-    IndexRunStats(nUnchanged + nNew + nChanged, nNew, nChanged, nUnchanged, nNew + nChanged)
+    joined.unpersist(); hashed.unpersist()
+    IndexRunStats(nUnchanged + nNew + nChanged, nNew, nChanged, nUnchanged,
+      nNew + nChanged, hashErrors = nErr)
   }
 
   /** G4 phase 1 — index everything with checksums forced off (the
@@ -123,7 +129,7 @@ object Indexer {
     * README.md:209-213). Expressed as: size-collision aggregate →
     * broadcast semi join → expensive hash map only on survivors. */
   def phase2SizeCollisions(spark: SparkSession, indexRoot: String,
-      maxChecksumSize: Long = 104857600L, skipEmpty: Boolean = true): Long = {
+      maxChecksumSize: Long = 104857600L, skipEmpty: Boolean = true): (Long, Long) = {
     val index = IndexStore.load(spark, indexRoot).cache()
     val base = if (skipEmpty) index.filter(col("file_size") > 0L) else index
     val collidingSizes = base.groupBy("file_size")
@@ -138,20 +144,26 @@ object Indexer {
       .withColumn("indexed_at", lit(now()))
       .select("path", "filename", "checksum", "modification_datetime", "file_size", "indexed_at")
     // count rows that actually GOT a checksum (a cap can exclude some
-    // survivors) — this number feeds the CLI's hash-reduction stat
-    val nHashed = { hashed.cache(); hashed.filter(col("checksum").isNotNull).count() }
+    // survivors) — this number feeds the CLI's hash-reduction stat —
+    // and the eligible-but-NULL rows, which are this phase's hash
+    // errors (the reference's permission-error counter)
+    hashed.cache()
+    val nHashed = hashed.filter(col("checksum").isNotNull).count()
+    val nErr = ChecksumStage.hashErrors(hashed, maxChecksumSize)
     // Join-back update: hashed rows replace their originals (A9 upsert).
     IndexStore.publish(index.unionByName(hashed), indexRoot)
     hashed.unpersist(); index.unpersist()
-    nHashed
+    (nHashed, nErr)
   }
 
-  /** G4 — two-phase indexing orchestrator (indexer.py:1646-1691). */
+  /** G4 — two-phase indexing orchestrator (indexer.py:1646-1691).
+    * Returns (run stats, files hashed in phase 2); the run's
+    * hashErrors are phase 2's (phase 1 hashes nothing by design). */
   def twoPhaseIndex(spark: SparkSession, directory: String, indexRoot: String,
       maxChecksumSize: Long = 104857600L): (IndexRunStats, Long) = {
     val p1 = phase1NoChecksums(spark, directory, indexRoot)
-    val p2 = phase2SizeCollisions(spark, indexRoot, maxChecksumSize)
-    (p1, p2)
+    val (nHashed, nErr) = phase2SizeCollisions(spark, indexRoot, maxChecksumSize)
+    (p1.copy(hashErrors = nErr), nHashed)
   }
 
   /** G1 — cleanup deleted files, preserving the reference's

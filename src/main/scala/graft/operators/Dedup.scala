@@ -83,7 +83,9 @@ object Dedup {
       maxDocFreq: Option[Long] = None): DataFrame = {
     // the shingle-set table feeds three plan branches (sizes, inverted
     // index, and nothing else recomputes it) — cache the one pass
-    val sh = withShingles(docs, n).select(col("doc_id"), col("shingles")).cache()
+    // (tracked: OpCaches.releaseAll() drops it after the caller's action)
+    val sh = OpCaches.track(
+      withShingles(docs, n).select(col("doc_id"), col("shingles")))
     val invAll = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     // when capped, jaccard is computed IN the capped shingle space —
     // sizes must come from the filtered index or similarity would be
@@ -94,7 +96,8 @@ object Dedup {
       case Some(cap) =>
         val hot = invAll.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("shingle")
-        val filtered = invAll.join(broadcast(hot), Seq("shingle"), "left_anti").cache()
+        val filtered = OpCaches.track(
+          invAll.join(broadcast(hot), Seq("shingle"), "left_anti"))
         (filtered, filtered.groupBy("doc_id").agg(count(lit(1)).as("n_sh")))
     }
     val common = inv.as("a").join(inv.as("b"),
@@ -124,7 +127,8 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     // reused by the signature pass and twice by candidate verification
-    val sh = withShingles(docs, n).select(col("doc_id"), col("shingles")).cache()
+    val sh = OpCaches.track(
+      withShingles(docs, n).select(col("doc_id"), col("shingles")))
     // all k minhashes in one native pass over the shingle set
     // (graft.functions.MinHashesExpr) — same values as k separate
     // array_min(transform(..., md5)) projections
@@ -366,7 +370,8 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk blocking only guarantees recall for hamming <= 3")
     // the signature table joins itself — one computation, two consumers
-    val s = withSimhash(docs).select(col("doc_id"), col("simhash")).cache()
+    val s = OpCaches.track(
+      withSimhash(docs).select(col("doc_id"), col("simhash")))
     val chunks = s.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),

@@ -42,9 +42,11 @@ object Ivf {
   }
 
   /** Build centroids: deterministic seed + `iters` Lloyd rounds. */
-  def trainCentroids(emb: DataFrame, nCentroids: Int, iters: Int = 2): Seq[Array[Double]] =
-    trainOnPrepared(Similarity.prepared(emb).select(col("vec_id"), col("v")).cache(),
-      nCentroids, iters)
+  def trainCentroids(emb: DataFrame, nCentroids: Int, iters: Int = 2): Seq[Array[Double]] = {
+    val prep = Similarity.prepared(emb).select(col("vec_id"), col("v")).cache()
+    try trainOnPrepared(prep, nCentroids, iters)
+    finally prep.unpersist() // training is eager — nothing downstream reads it
+  }
 
   /** Training core over an already-prepared (vec_id, v) table — lets
     * [[topkIvf]] share one cached preparation between training and
@@ -77,7 +79,10 @@ object Ivf {
   def topkIvf(emb: DataFrame, queryMod: Long = 50L, k: Int = 5,
       nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
     // ONE prepared (vec_id, v, nrm) table shared by training and query
-    val prep = Similarity.prepared(emb).select(col("vec_id"), col("v"), col("nrm")).cache()
+    // (tracked: the returned plan still reads it — OpCaches.releaseAll()
+    // is the caller's post-action cleanup)
+    val prep = OpCaches.track(
+      Similarity.prepared(emb).select(col("vec_id"), col("v"), col("nrm")))
     val centroids = trainOnPrepared(prep.select("vec_id", "v"), nCentroids, iters)
     val e = prep.withColumn("cell", assign(centroids))
 

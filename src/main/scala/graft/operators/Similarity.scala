@@ -212,16 +212,16 @@ object Similarity {
     // index" artifacts: narrow (id, tbl, bkey) / (id, v, nrm) rows,
     // each consumed by 2+ plan branches — cache instead of recomputing
     // per branch (at scale these would be persisted index tables).
-    val buckets = emb.select(col("vec_id"), explode(array(bucketStructs: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkey").as("bkey"))
-      .cache()
+    val buckets = OpCaches.track(
+      emb.select(col("vec_id"), explode(array(bucketStructs: _*)).as("tb"))
+        .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkey").as("bkey")))
     val qb = buckets.filter(col("vec_id") % queryMod === 0)
       .toDF("query_id", "tbl", "bkey")
     val cand = broadcast(qb)
       .join(buckets.toDF("cand_id", "tbl", "bkey"), Seq("tbl", "bkey"))
       .filter(col("query_id") =!= col("cand_id"))
       .select("query_id", "cand_id").distinct()
-    val e = prepared(emb).select("vec_id", "v", "nrm").cache()
+    val e = OpCaches.track(prepared(emb).select("vec_id", "v", "nrm"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))
     cand
       .join(e.toDF("query_id", "qv", "qn"), "query_id")

@@ -138,8 +138,11 @@ object ParityQueries {
     // fails iff the sketch breaks its error bound.
     "fi_stats_approx" -> ((s, d) => {
       val withinPct = 0.15 // 3 × default rsd 0.05
+      // degenerate corpus guard: 0 exact distincts would make the ratio
+      // 0/0 = NaN and the predicate false — require approx = 0 instead
       def within(approx: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
-        abs(approx.cast("double") / exact.cast("double") - 1.0) <= withinPct
+        when(exact === 0, approx === 0)
+          .otherwise(abs(approx.cast("double") / exact.cast("double") - 1.0) <= withinPct)
       files(s, d).agg(
           approx_count_distinct(col("checksum")).as("ac"),
           countDistinct(col("checksum")).as("exact_checksums"),
@@ -152,31 +155,48 @@ object ParityQueries {
     // Search response assembly (routers.py:73-76): the page plus the
     // endpoint's total_count and `has_more = offset + len(page) <
     // total_count` — the pagination math IS query semantics, so it
-    // gets its own oracle row. Two 1-row aggregates cross-joined.
+    // gets its own oracle row. ONE aggregate pass: the page is plain
+    // LIMIT/OFFSET over the filtered set, so its row count is pure
+    // arithmetic on total_count — |page| = min(limit, max(0, total −
+    // offset)) — and no sort or second scan is needed at all.
     "fi_search_page_meta" -> ((s, d) => {
       val req = SearchRequest(
         minSize = Some(1000000L), maxSize = Some(900000000L),
         modifiedAfter = Some("1996-01-01 00:00:00"),
         modifiedBefore = Some("2000-12-31 23:59:59"),
         limit = 100, offset = 50)
-      val f = files(s, d)
-      searchApiFiltered(f, req).agg(count(lit(1)).as("total_count"))
-        .crossJoin(searchApi(f, req).agg(count(lit(1)).as("files_in_page")))
+      searchApiFiltered(files(s, d), req)
+        .agg(count(lit(1)).as("total_count"))
+        .withColumn("files_in_page",
+          least(lit(req.limit.toLong),
+            greatest(col("total_count") - req.offset.toLong, lit(0L))))
         .select(col("total_count"), col("files_in_page"),
           (lit(req.offset.toLong) + col("files_in_page") < col("total_count"))
             .as("has_more"))
     }),
     // Duplicates response assembly (routers.py:132-141): total_groups,
     // per-page file/wasted-space sums, and the has_more page math.
+    // ONE pass over the group summaries: rank rows by the page order
+    // (row_number over the summaries — a bounded post-aggregate frame,
+    // never the raw files), then every output — the global total AND
+    // the page sums — comes out of a single conditional aggregate.
+    // (The previous crossJoin-of-two-aggregates shape recomputed the
+    // whole summaries pipeline twice.)
     "fi_dup_page_meta" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val (pageOffset, pageLimit) = (10, 50)
-      val groups = duplicateGroupSummaries(files(s, d), minGroupSize = 2)
-      val page = groups.offset(pageOffset).limit(pageLimit)
-      groups.agg(count(lit(1)).as("total_groups"))
-        .crossJoin(page.agg(
-          count(lit(1)).as("groups_in_page"),
-          coalesce(sum(col("file_count")), lit(0L)).as("total_duplicate_files"),
-          coalesce(sum(col("wasted_space")), lit(0L)).as("total_wasted_space")))
+      val ord = Window.orderBy(
+        col("file_count").desc, col("file_size").desc, col("checksum"))
+      val inPage = col("_rn") > pageOffset && col("_rn") <= pageOffset + pageLimit
+      duplicateGroupSummaries(files(s, d), minGroupSize = 2)
+        .withColumn("_rn", row_number().over(ord))
+        .agg(
+          count(lit(1)).as("total_groups"),
+          sum(when(inPage, 1L).otherwise(0L)).as("groups_in_page"),
+          coalesce(sum(when(inPage, col("file_count"))), lit(0L))
+            .as("total_duplicate_files"),
+          coalesce(sum(when(inPage, col("wasted_space"))), lit(0L))
+            .as("total_wasted_space"))
         .select(col("total_groups"), col("groups_in_page"),
           col("total_duplicate_files"), col("total_wasted_space"),
           (lit(pageOffset.toLong) + col("groups_in_page") < col("total_groups"))

@@ -74,19 +74,29 @@ object DedupStream {
     SnapshotDir.loadMeta(s"$stateRoot/base")
       .get("compacted_through").map(_.toLong).getOrElse(-1L)
 
-  /** Delta dirs with batch id > `mark`. */
-  private def liveDeltas(stateRoot: String, mark: Long): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    try {
-      val ds = Files.newDirectoryStream(Paths.get(stateRoot))
-      try ds.forEach { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith("delta-") && n.stripPrefix("delta-").toLong > mark)
-          out += p.toString
-      } finally ds.close()
-    } catch { case scala.util.control.NonFatal(_) => () }
-    out.toSeq.sorted
+  private val DeltaName = """delta-(\d+)""".r
+
+  /** All delta dirs as (batchId, path). Entries that merely *resemble*
+    * a delta dir (e.g. `delta-tmp`) are ignored via the regex match —
+    * but real IO errors PROPAGATE: swallowing them here would silently
+    * return a partial delta list and under-dedup against a truncated
+    * index. A missing state root (first batch) is the one benign case. */
+  private def deltaDirs(stateRoot: String): Seq[(Long, String)] = {
+    if (!Files.isDirectory(Paths.get(stateRoot))) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val ds = Files.newDirectoryStream(Paths.get(stateRoot))
+    try ds.forEach { p =>
+      p.getFileName.toString match {
+        case DeltaName(id) => out += ((id.toLong, p.toString))
+        case _ => ()
+      }
+    } finally ds.close()
+    out.toSeq.sortBy(_._1)
   }
+
+  /** Delta dirs with batch id > `mark`. */
+  private def liveDeltas(stateRoot: String, mark: Long): Seq[String] =
+    deltaDirs(stateRoot).collect { case (id, p) if id > mark => p }
 
   /** The whole kept-corpus shingle index: compacted base ∪ live deltas.
     * The base pointer is resolved ONCE and both the data and the
@@ -122,7 +132,12 @@ object DedupStream {
       n: Int, threshold: Double): (DataFrame, DataFrame, () => Unit) = {
     val newDocs = batch.select(col("doc_id"), col("text"))
       .filter(col("doc_id").isNotNull) // a null id can't be deduplicated or keyed
-      .dropDuplicates("doc_id").cache()
+      // deterministic pick when a batch carries the same doc_id with
+      // different text (dropDuplicates picks an arbitrary row — a crash
+      // replay could pick a DIFFERENT one and break the "replay
+      // decisions are identical" contract): keep the max text
+      .groupBy("doc_id").agg(max(col("text")).as("text"))
+      .cache()
     val newIds = newDocs.select("doc_id")
     // ONE tokenize+shingle pass feeds both the pair join and the kept-
     // shingle fold-in
@@ -199,14 +214,18 @@ object DedupStream {
               loadIndex(s, stateRoot).dropDuplicates("shingle", "doc_id"),
               s"$stateRoot/base",
               meta = Map("compacted_through" -> batchId.toString))
-            try {
-              val ds = Files.newDirectoryStream(Paths.get(stateRoot))
-              try ds.forEach { p =>
-                val nm = p.getFileName.toString
-                if (nm.startsWith("delta-") && nm.stripPrefix("delta-").toLong <= batchId)
-                  graft.fs.SnapshotDir.deleteRecursively(p)
-              } finally ds.close()
-            } catch { case scala.util.control.NonFatal(_) => () }
+            // best-effort cleanup: the new watermark already retires
+            // these deltas, so even a failed LISTING only costs disk
+            val retired =
+              try deltaDirs(stateRoot)
+              catch { case scala.util.control.NonFatal(_) => Seq.empty }
+            retired.foreach { case (id, p) =>
+              // per-entry guard: a single undeletable delta must not
+              // abort the batch (it is retired by the watermark anyway)
+              if (id <= batchId)
+                try graft.fs.SnapshotDir.deleteRecursively(Paths.get(p))
+                catch { case scala.util.control.NonFatal(_) => () }
+            }
           }
         } finally cleanup()
       }
