@@ -69,35 +69,94 @@ object FsScan {
       modificationDatetime = new Timestamp(attrs.lastModifiedTime.toMillis),
       fileSize = attrs.size)
 
-  /** Walk one directory subtree iteratively (no recursion-depth limit,
-    * memory bounded by the directory stack), yielding regular files. */
-  private def walkSubtree(root: String, stats: ScanStats): Iterator[ScannedFile] = {
-    val out = ArrayBuffer.empty[ScannedFile]
-    val stack = scala.collection.mutable.Stack(Paths.get(root))
-    while (stack.nonEmpty) {
-      val dir = stack.pop()
-      try {
-        val ds = Files.newDirectoryStream(dir)
-        try {
-          ds.forEach { p =>
-            // Directories descend WITHOUT being classified: the reference's
-            // recursive scan feeds os.walk *filenames* to its classifier
-            // (indexer.py:207-212), so its special-files counter never
-            // includes directories. (Non-recursive iterdir mode DOES count
-            // them — see listOne.) Never descend through dir symlinks.
-            if (Files.isDirectory(p, LinkOption.NOFOLLOW_LINKS)) stack.push(p)
-            else classify(p, stats) match {
-              case Some(attrs) if attrs.isRegularFile => out += toRecord(p, attrs)
-              case _ => ()
-            }
-          }
-        } finally ds.close()
-      } catch {
-        case _: Exception => stats.permissionErrors.add(1)
+  /** Genuinely LAZY directory walk: one open DirectoryStream at a time,
+    * stat-on-demand, per-task memory O(directory stack), never
+    * O(files-in-subtree). An eager collect-then-iterate shape would put
+    * a whole hot directory (tens of millions of dirents at the 10^9-file
+    * scale this scan is designed for) into one task's heap; here a row
+    * is produced, handed to Spark's row pipeline, and dropped.
+    *
+    * Error tolerance matches the reference (indexer.py:41-48): an
+    * unopenable directory or a dirent that errors mid-iteration bumps
+    * the permission counter and the walk moves on — the remainder of a
+    * directory whose underlying stream fails is skipped, exactly like
+    * the previous eager form.
+    *
+    * `recurse=false` is the iterdir mode: subdirectories are not
+    * descended, and `countDirs` decides whether they hit the
+    * special-files counter (Python iterdir parity) or are silently
+    * skipped (os.walk parity — see [[scan]]). */
+  private final class DirWalker(root: Path, stats: ScanStats,
+      recurse: Boolean, countDirs: Boolean) extends Iterator[ScannedFile] {
+    private val stack = scala.collection.mutable.Stack(root)
+    private var stream: java.nio.file.DirectoryStream[Path] = _
+    private var entries: java.util.Iterator[Path] = _
+    private var nextRec: ScannedFile = _
+    advance()
+
+    private def closeStream(): Unit = {
+      if (stream != null) {
+        try stream.close() catch { case _: Exception => () }
+      }
+      stream = null; entries = null
+    }
+
+    /** Open directories off the stack until one yields a live stream;
+      * false when the stack is exhausted. */
+    private def openNext(): Boolean = {
+      while (stream == null) {
+        if (stack.isEmpty) return false
+        val dir = stack.pop()
+        try { stream = Files.newDirectoryStream(dir); entries = stream.iterator() }
+        catch { case _: Exception => stats.permissionErrors.add(1); closeStream() }
+      }
+      true
+    }
+
+    private def advance(): Unit = {
+      nextRec = null
+      while (nextRec == null) {
+        if (!openNext()) return
+        // DirectoryStream iterators throw DirectoryIteratorException on
+        // IO errors mid-iteration — count once, drop the rest of this
+        // directory (same contract as the previous eager walk)
+        val p =
+          try { if (entries.hasNext) entries.next() else null }
+          catch { case _: Exception =>
+            stats.permissionErrors.add(1); closeStream(); null }
+        if (p == null) closeStream()
+        // Directories descend WITHOUT being classified in recursive mode:
+        // the reference's recursive scan feeds os.walk *filenames* to its
+        // classifier (indexer.py:207-212), so its special-files counter
+        // never includes directories. Never descend through dir symlinks.
+        else if (Files.isDirectory(p, LinkOption.NOFOLLOW_LINKS)) {
+          if (recurse) stack.push(p)
+          else if (countDirs) { classify(p, stats); () }
+        } else classify(p, stats) match {
+          case Some(attrs) if attrs.isRegularFile => nextRec = toRecord(p, attrs)
+          case _ => ()
+        }
       }
     }
-    out.iterator
+
+    override def hasNext: Boolean = nextRec != null
+    override def next(): ScannedFile = {
+      if (nextRec == null) throw new NoSuchElementException("walk exhausted")
+      val r = nextRec
+      advance()
+      r
+    }
   }
+
+  /** Walk one directory subtree iteratively (no recursion-depth limit,
+    * memory bounded by the directory stack), yielding regular files. */
+  private def walkSubtree(root: String, stats: ScanStats): Iterator[ScannedFile] =
+    new DirWalker(Paths.get(root), stats, recurse = true, countDirs = false)
+
+  /** Test seam: the lazy walker with explicit modes. */
+  private[fs] def walker(root: String, stats: ScanStats,
+      recurse: Boolean, countDirs: Boolean): Iterator[ScannedFile] =
+    new DirWalker(Paths.get(root), stats, recurse, countDirs)
 
   /** List a directory's immediate REAL subdirectories (never through
     * symlinks); empty on permission errors — the walk seeds degrade,
@@ -190,20 +249,10 @@ object FsScan {
     * iterdir parity mode, where a directory DOES bump the special-files
     * counter (is_file is false for it in `_should_process_file`); the
     * recursive scan's root-level listing passes false — os.walk parity,
-    * directories are never classified there. */
+    * directories are never classified there. Lazy like [[walkSubtree]]:
+    * a flat directory with millions of entries streams through the
+    * task instead of buffering in it. */
   private def listOne(dir: String, stats: ScanStats,
-      countDirs: Boolean): Iterator[ScannedFile] = {
-    val out = ArrayBuffer.empty[ScannedFile]
-    try {
-      val ds = Files.newDirectoryStream(Paths.get(dir))
-      try ds.forEach { p =>
-        if (!countDirs && Files.isDirectory(p, LinkOption.NOFOLLOW_LINKS)) ()
-        else classify(p, stats) match {
-          case Some(attrs) if attrs.isRegularFile => out += toRecord(p, attrs)
-          case _ => ()
-        }
-      } finally ds.close()
-    } catch { case _: Exception => stats.permissionErrors.add(1) }
-    out.iterator
-  }
+      countDirs: Boolean): Iterator[ScannedFile] =
+    new DirWalker(Paths.get(dir), stats, recurse = false, countDirs = countDirs)
 }

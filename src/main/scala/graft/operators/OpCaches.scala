@@ -16,30 +16,30 @@ import org.apache.spark.sql.DataFrame
   * consumed. (DedupStream manages its per-batch caches with an explicit
   * cleanup thunk instead — its lifecycle is per-micro-batch.)
   *
-  * Weak keys: a DataFrame the caller no longer references falls out of
-  * the registry on GC (Spark's ContextCleaner reclaims its blocks the
-  * same way); unpersist() on an already-released frame is a no-op, so
-  * double release is safe.
+  * STRONG references, deliberately: Spark's CacheManager pins the
+  * cached plan regardless of whether the caller still references the
+  * DataFrame object, so a weak registry could lose its handle to a
+  * cache that is still occupying memory. The registry is tiny (a few
+  * DataFrame objects per query) and is cleared on every release.
+  * unpersist() on an already-released frame is a no-op, so double
+  * release is safe.
   */
 object OpCaches {
-  private val reg: java.util.Set[DataFrame] =
-    java.util.Collections.newSetFromMap(
-      new java.util.WeakHashMap[DataFrame, java.lang.Boolean]())
+  private val reg = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
   /** cache() the frame and register it for [[releaseAll]]. */
   private[graft] def track(df: DataFrame): DataFrame = {
     df.cache()
-    reg.synchronized { reg.add(df) }
+    reg.synchronized { reg += df }
     df
   }
 
   /** Unpersist every operator-internal cache registered so far. */
   def releaseAll(): Unit = reg.synchronized {
-    val it = reg.iterator()
-    while (it.hasNext) {
-      try it.next().unpersist()
+    reg.foreach { df =>
+      try df.unpersist()
       catch { case scala.util.control.NonFatal(_) => () }
-      it.remove()
     }
+    reg.clear()
   }
 }

@@ -274,6 +274,43 @@ class FsPipelineSpec extends SparkSpec {
     assert(IndexStore.load(spark, idx.toString).count() == 1)
   }
 
+  test("scan walker is lazy: files are statted on demand, not at iterator creation") {
+    // 1 root file consumed first, then the remaining 25 are DELETED
+    // mid-iteration: a lazy walker stats each entry only when pulled,
+    // so the deleted ones surface as per-file errors and yield no
+    // records; an eager collect-then-iterate walker would have statted
+    // all 26 up front and kept returning stale records.
+    val root = Files.createTempDirectory("graft-lazywalk")
+    ('a' to 'z').foreach(c => Files.write(root.resolve(s"$c.txt"), Array[Byte](1)))
+    val stats = new ScanStats(spark)
+    val it = FsScan.walker(root.toString, stats, recurse = true, countDirs = false)
+    val first = it.next() // exactly one row pulled so far
+    ('a' to 'z').map(c => root.resolve(s"$c.txt"))
+      .filterNot(_.getFileName.toString == first.filename)
+      .foreach(Files.delete)
+    val rest = it.toSeq
+    // the iterator legitimately holds ONE pre-fetched record (hasNext
+    // lookahead); anything beyond that means the walker statted the
+    // whole directory eagerly up front
+    assert(rest.size <= 1, s"stale records from eager buffering: ${rest.map(_.filename)}")
+    assert(stats.permissionErrors.value >= 24L)
+  }
+
+  test("walker iterdir modes: countDirs decides whether a subdir hits the counter") {
+    val root = Files.createTempDirectory("graft-iterdir")
+    Files.write(root.resolve("f.txt"), Array[Byte](1))
+    Files.createDirectories(root.resolve("sub"))
+    Files.write(root.resolve("sub/inner.txt"), Array[Byte](1))
+    val s1 = new ScanStats(spark)
+    val flat = FsScan.walker(root.toString, s1, recurse = false, countDirs = true).toSeq
+    assert(flat.map(_.filename) == Seq("f.txt") || flat.map(_.filename).sorted == Seq("f.txt"))
+    assert(s1.ignoredSpecialFiles.value == 1L) // the subdir, Python iterdir parity
+    val s2 = new ScanStats(spark)
+    val walk = FsScan.walker(root.toString, s2, recurse = false, countDirs = false).toSeq
+    assert(walk.map(_.filename) == Seq("f.txt"))
+    assert(s2.ignoredSpecialFiles.value == 0L) // os.walk parity: dirs never classified
+  }
+
   test("IndexStore.upsert is last-writer-wins on (path, filename)") {
     import spark.implicits._
     val idx = Files.createTempDirectory("graft-upsert")
