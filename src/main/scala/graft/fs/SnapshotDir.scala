@@ -68,11 +68,95 @@ object SnapshotDir {
       }.toMap
   }
 
+  /** Snapshot-meta keys recording a bucketed layout (see
+    * [[publishBucketed]]); [[readAt]] re-exposes such snapshots through
+    * the catalog so joins on the bucket column skip the Exchange. */
+  private[fs] val BucketColKey = "bucket_col"
+  private[fs] val BucketNKey = "bucket_n"
+
   /** Publish `df` as the new snapshot: parquet to snap-<nonce>, atomic
     * pointer flip, then best-effort retirement of the previous
     * snapshot and pre-existing crash orphans. `meta` is written inside
     * the snap dir BEFORE the flip (see [[loadMeta]]). */
-  def publish(df: DataFrame, root: String, meta: Map[String, String] = Map.empty): Unit = {
+  def publish(df: DataFrame, root: String, meta: Map[String, String] = Map.empty): Unit =
+    publishWith(root, meta) { dir => df.write.mode("overwrite").parquet(dir) }
+
+  /** Publish `df` hash-bucketed (+ sorted) on `bucketCol`. Spark's
+    * bucketing is TABLE metadata, not file metadata, so the snapshot is
+    * written through the catalog — an external table at the snap dir
+    * whose entry is dropped right after the write (external drop keeps
+    * files); the bucket spec is recorded in the snapshot meta and
+    * [[readAt]] re-registers a reader table over whichever snapshot the
+    * pointer resolves to. Equi-joins against the bucket column then see
+    * HashPartitioning on the snapshot side and DON'T shuffle it — the
+    * co-located-join layout for a 100 TB corpus index that a small
+    * delta joins every batch. */
+  def publishBucketed(df: DataFrame, root: String, bucketCol: String,
+      numBuckets: Int, meta: Map[String, String] = Map.empty): Unit = {
+    val spark = df.sparkSession
+    publishWith(root,
+      meta ++ Map(BucketColKey -> bucketCol, BucketNKey -> numBuckets.toString)) { dir =>
+      val tmp = s"graft_snap_pub_${System.nanoTime()}"
+      df.write.mode("overwrite")
+        .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
+        .option("path", dir).saveAsTable(tmp)
+      spark.sql(s"DROP TABLE `$tmp`") // external table: the files stay
+    }
+    dropStaleReaderTables(spark)
+  }
+
+  /** Read an already-RESOLVED snapshot dir, honoring a bucketed layout
+    * when its meta declares one: the data is exposed through a catalog
+    * table (deterministically named per snapshot, created once) so the
+    * bucketing survives into query plans. Plain snapshots read as
+    * plain parquet. */
+  def readAt(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+    val meta = metaAt(dir)
+    (meta.get(BucketColKey), meta.get(BucketNKey).flatMap(_.toIntOption)) match {
+      case (Some(bcol), Some(n)) =>
+        val snapName = Paths.get(dir).getFileName.toString
+        val tableName =
+          s"graft_snap_${snapName.filter(_.isDigit)}_${Integer.toHexString(dir.hashCode)}"
+        if (!spark.catalog.tableExists(tableName)) {
+          val cols = schema.fields
+            .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+          spark.sql(
+            s"""CREATE TABLE `$tableName` ($cols) USING PARQUET
+               |CLUSTERED BY (`$bcol`) SORTED BY (`$bcol`) INTO $n BUCKETS
+               |LOCATION '$dir'""".stripMargin)
+        }
+        spark.table(tableName)
+      case _ => spark.read.parquet(dir)
+    }
+  }
+
+  /** Drop reader tables whose snapshot dir has been retired (the table
+    * entry is metadata only — external, so dropping never touches
+    * data). Best-effort hygiene so long-running sessions don't
+    * accumulate dead catalog entries. */
+  private def dropStaleReaderTables(spark: SparkSession): Unit =
+    try {
+      spark.catalog.listTables().collect()
+        .filter(_.name.startsWith("graft_snap_"))
+        .filterNot(_.name.startsWith("graft_snap_pub_"))
+        .foreach { t =>
+          val loc = try {
+            spark.sql(s"DESCRIBE TABLE EXTENDED `${t.name}`").collect()
+              .find(_.getString(0) == "Location").map(_.getString(1))
+          } catch { case scala.util.control.NonFatal(_) => None }
+          val gone = loc.exists { l =>
+            val p = l.stripPrefix("file:")
+            !Files.exists(Paths.get(p))
+          }
+          if (gone) spark.sql(s"DROP TABLE IF EXISTS `${t.name}`")
+        }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** The publish orchestration shared by the plain and bucketed forms:
+    * freeze orphan candidates, run `write` into the new snap dir, meta,
+    * pointer flip, best-effort sweep. */
+  private def publishWith(root: String, meta: Map[String, String])
+      (write: String => Unit): Unit = {
     Files.createDirectories(Paths.get(root))
     val prev = currentDir(root)
     // crash-orphan candidates are frozen NOW, before this publish
@@ -90,7 +174,7 @@ object SnapshotDir {
       out.toSet
     }
     val snapName = s"snap-${System.nanoTime()}"
-    df.write.mode("overwrite").parquet(s"$root/$snapName")
+    write(s"$root/$snapName")
     if (meta.nonEmpty)
       Files.writeString(Paths.get(s"$root/$snapName/_snapmeta"),
         meta.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("\n"))

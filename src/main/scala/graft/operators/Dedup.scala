@@ -187,12 +187,30 @@ object Dedup {
     * index) compute/cache it once and pass it here, instead of paying
     * the tokenize+shingle pass twice. */
   def deltaPairsFromIndex(newIdx: DataFrame, index: DataFrame,
+      threshold: Double): DataFrame =
+    deltaPairsFromParts(newIdx, Seq(index), threshold)
+
+  /** [[deltaPairsFromIndex]] with the corpus index supplied in PARTS
+    * (e.g. a bucketed base snapshot plus plain delta dirs). The corpus
+    * join distributes over the union — each part joins the delta
+    * separately and only the JOIN OUTPUTS (pair rows, delta-bounded)
+    * are unioned — because a pre-join union would erase the base's
+    * bucketed outputPartitioning and force the 100 TB side through an
+    * Exchange every batch. Semantically identical to joining the
+    * unioned index: the parts are disjoint row sets, so the unioned
+    * join rows are exactly the join rows of the union. */
+  def deltaPairsFromParts(newIdx: DataFrame, indexParts: Seq[DataFrame],
       threshold: Double): DataFrame = {
+    require(indexParts.nonEmpty, "need at least one index part")
     // delta vs corpus: every match is a (corpus a, new b) pair
-    val vsCorpus = index.as("a")
-      .join(newIdx.as("b"), col("a.shingle") === col("b.shingle"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+    val joined = indexParts.map { part =>
+      part.as("a")
+        .join(newIdx.as("b"), col("a.shingle") === col("b.shingle"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+    }.reduce(_ unionByName _)
+    val vsCorpus = joined
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("n_common"))
     // delta vs delta: standard a < b inverted-index join
     val within = newIdx.as("a")

@@ -28,6 +28,17 @@ object PipelineQueries {
     "dd_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
     // Exact 3-gram Jaccard pairs via inverted shingle index (no O(n²)).
     "dd_ngram_jaccard" -> ((s, d) => Dedup.jaccardPairs(docs(s, d), n = 3, threshold = 0.5)),
+    // The PRODUCTION jaccard path: hot shingles (document frequency >
+    // maxDocFreq) are dropped from the inverted index before the
+    // self-join — the lever that bounds the join's f² fan-out when a
+    // corpus has viral boilerplate. The cap is deterministic, so the
+    // oracle applies the identical DF filter: this row pins the capped
+    // semantics (similarity measured IN the capped shingle space), not
+    // just the exact default. maxDocFreq=5 genuinely triggers on the
+    // testdata at both gate SFs (max shingle DF is 7 at sf0.01, 25 at
+    // sf0.1).
+    "dd_ngram_jaccard_capped" -> ((s, d) =>
+      Dedup.jaccardPairs(docs(s, d), n = 3, threshold = 0.5, maxDocFreq = Some(5L))),
     // MinHash + banded LSH candidates, exact-Jaccard verified.
     "dd_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(docs(s, d), n = 3, numHashes = 12, bands = 4, threshold = 0.5)),
@@ -76,6 +87,23 @@ object PipelineQueries {
         org.apache.spark.sql.functions.col("vec_id") === org.apache.spark.sql.functions.col("doc_id"))
         .select("vec_id", "embedding")
       Similarity.cosinePairsBlocked(e, threshold = 0.3)
+        .toDF("doc_a", "doc_b", "cosine")
+    }),
+    // The sub-quadratic semantic-dedup path, oracle-checked against the
+    // brute-force ground truth: hyperplane-LSH candidates + exact cosine
+    // re-rank must reproduce EVERY brute pair (hash compare = recall
+    // completeness; the exact re-rank makes precision exact by
+    // construction). Threshold 0.45 is the highest operating point with
+    // a non-trivial pair set on the near-isotropic testdata (max pair
+    // cosine is 0.51 at sf0.01 / 0.60 at sf0.1 — no ≥0.8 pairs exist);
+    // 32 tables × 4 bits is verified candidate-complete at both gate
+    // SFs (0 missed pairs; analytic miss rate ≈ 2e-3 per pair).
+    "dd_embedding_lsh" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val e = emb(s, d).join(docs(s, d).select(col("doc_id")),
+        col("vec_id") === col("doc_id"))
+        .select("vec_id", "embedding")
+      Similarity.cosinePairsLsh(e, threshold = 0.45, tables = 32, bits = 4)
         .toDF("doc_a", "doc_b", "cosine")
     }),
     // Brute-force cosine top-10 for queries {vec_id % 50 = 0}.
@@ -175,6 +203,35 @@ object PipelineQueries {
          |            JOIN sizes sb ON common.doc_b = sb.doc_id
          |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_ngram_jaccard_capped" ->
+      s"""WITH sh AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM documents),
+         |inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |hot AS (SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) > 5),
+         |inv AS (SELECT doc_id, shingle FROM inv0
+         |  WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.shingle = inv0.shingle)),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM inv GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_common,
+         |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+         |FROM common JOIN sizes sa ON common.doc_a = sa.doc_id
+         |            JOIN sizes sb ON common.doc_b = sb.doc_id
+         |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // ground truth for the LSH path = the exact brute pair set: a hash
+    // match means the candidate scheme missed NOTHING (see the query's
+    // comment; precision is exact by the cosine re-rank)
+    "dd_embedding_lsh" ->
+      s"""WITH j AS (SELECT vec_id, embedding FROM embeddings
+         |  JOIN documents ON vec_id = doc_id),
+         |e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM j)
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         |    (${dotSql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cosine
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |WHERE cosine >= 0.45 ORDER BY doc_a, doc_b""".stripMargin,
     "dd_minhash_lsh" -> {
       val mhs = (0 until 12).map(i =>
         s"list_min(list_transform(shingles, s -> md5('$i|' || s))) AS mh$i").mkString(",\n  ")

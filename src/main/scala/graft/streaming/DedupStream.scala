@@ -98,28 +98,38 @@ object DedupStream {
   private def liveDeltas(stateRoot: String, mark: Long): Seq[String] =
     deltaDirs(stateRoot).collect { case (id, p) if id > mark => p }
 
-  /** The whole kept-corpus shingle index: compacted base ∪ live deltas.
+  /** The kept-corpus shingle index in PARTS — head is the compacted
+    * base snapshot (read through [[SnapshotDir.readAt]], so a bucketed
+    * base keeps its HashPartitioning and the per-batch delta⋈base join
+    * never shuffles the corpus side), tail is the live delta dirs.
     * The base pointer is resolved ONCE and both the data and the
     * watermark come from that same resolved snapshot — re-resolving
     * for the watermark could pair an old base with a newer mark (and
     * wrongly retire deltas the old base never folded) if a concurrent
     * compaction flips the pointer mid-load. */
-  private[streaming] def loadIndex(spark: SparkSession, stateRoot: String): DataFrame = {
+  private[streaming] def loadIndexParts(spark: SparkSession,
+      stateRoot: String): Seq[DataFrame] = {
     val baseRoot = s"$stateRoot/base"
     val resolved = SnapshotDir.currentDir(baseRoot)
       .filter(d => Files.exists(Paths.get(d)))
     val (base, mark) = resolved match {
       case Some(d) =>
-        (spark.read.parquet(d),
+        (SnapshotDir.readAt(spark, d, indexSchema),
           SnapshotDir.metaAt(d).get("compacted_through").map(_.toLong).getOrElse(-1L))
       case None =>
         (spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexSchema), -1L)
     }
     val deltas = liveDeltas(stateRoot, mark)
-    if (deltas.isEmpty) base
-    else base.unionByName(spark.read.schema(indexSchema).parquet(deltas: _*))
+    if (deltas.isEmpty) Seq(base)
+    else Seq(base, spark.read.schema(indexSchema).parquet(deltas: _*))
   }
+
+  /** The whole index as one frame (parts unioned) — for consumers that
+    * don't join (counts, compaction rewrite). Joins should use the
+    * parts form; a pre-join union erases the base's bucketing. */
+  private[streaming] def loadIndex(spark: SparkSession, stateRoot: String): DataFrame =
+    loadIndexParts(spark, stateRoot).reduce(_ unionByName _)
 
   // ------------------------------------------------------------ per-batch step
 
@@ -129,6 +139,13 @@ object DedupStream {
     * cleanup() after consuming both DFs to drop the per-batch caches
     * (foreachBatch runs unboundedly; leaked cache blocks accumulate). */
   private[streaming] def decideBatch(batch: DataFrame, index: DataFrame,
+      n: Int, threshold: Double): (DataFrame, DataFrame, () => Unit) =
+    decideBatchParts(batch, Seq(index), n, threshold)
+
+  /** [[decideBatch]] with the index in parts (bucketed base + deltas) —
+    * the corpus join runs per part (Dedup.deltaPairsFromParts) so the
+    * base side's bucketing is not erased by a pre-join union. */
+  private[streaming] def decideBatchParts(batch: DataFrame, indexParts: Seq[DataFrame],
       n: Int, threshold: Double): (DataFrame, DataFrame, () => Unit) = {
     val newDocs = batch.select(col("doc_id"), col("text"))
       .filter(col("doc_id").isNotNull) // a null id can't be deduplicated or keyed
@@ -142,7 +159,7 @@ object DedupStream {
     // ONE tokenize+shingle pass feeds both the pair join and the kept-
     // shingle fold-in
     val newIdx = Dedup.shingleIndex(newDocs, n).cache()
-    val pairs = Dedup.deltaPairsFromIndex(newIdx, index, threshold)
+    val pairs = Dedup.deltaPairsFromParts(newIdx, indexParts, threshold)
       // replay guard: after a successful index publish, a replayed kept
       // doc matches its OWN corpus entry at jaccard 1.0 — not a dup
       .filter(col("doc_a") =!= col("doc_b"))
@@ -168,7 +185,8 @@ object DedupStream {
     val drops = pairedWithCorpus.unionByName(clusterDrops).distinct()
       // kept-wins invariant: a doc already in the kept corpus (replay of
       // a published batch) is never flipped to dropped
-      .join(index.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .join(indexParts.map(_.select("doc_id")).reduce(_ unionByName _).distinct(),
+        Seq("doc_id"), "left_anti")
       .withColumn("_drop", lit(true))
     val decisions = newDocs.join(drops, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(!col("_drop"), lit(true)).as("kept"))
@@ -185,19 +203,25 @@ object DedupStream {
   /** Start continuously deduplicating a document stream. Decisions
     * land as parquet appends in `outDir`; the kept-corpus shingle
     * index lives under `stateRoot` as base snapshot + per-batch deltas,
-    * compacted every `compactEvery` batches. */
+    * compacted every `compactEvery` batches. Compaction publishes the
+    * base BUCKETED by shingle into `numBuckets` buckets, so the
+    * dominant per-batch cost — delta ⋈ base — never shuffles the
+    * corpus side (on a cluster, size numBuckets to executors × cores;
+    * re-bucketing happens only at compaction, which already rewrites
+    * the base). */
   def continuousDedup(spark: SparkSession, stagingDir: String, stateRoot: String,
       outDir: String, checkpointDir: String, n: Int = 3, threshold: Double = 0.5,
       trigger: Trigger = Trigger.AvailableNow(), compactEvery: Long = 16L,
-      readOptions: Map[String, String] = Map.empty): StreamingQuery =
+      numBuckets: Int = 16, readOptions: Map[String, String] = Map.empty): StreamingQuery =
     readDocs(spark, stagingDir, readOptions).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         Files.createDirectories(Paths.get(stateRoot))
-        val index = loadIndex(s, stateRoot)
-        val (decisions, keptShingles, cleanup) = decideBatch(batch, index, n, threshold)
+        val indexParts = loadIndexParts(s, stateRoot)
+        val (decisions, keptShingles, cleanup) =
+          decideBatchParts(batch, indexParts, n, threshold)
         try {
           decisions.withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(outDir)
@@ -210,9 +234,9 @@ object DedupStream {
             // (crash before the flip → old base + old watermark, deltas
             // still live; after → new base whose watermark retires them).
             // Delta removal afterwards is best-effort cleanup only.
-            SnapshotDir.publish(
+            SnapshotDir.publishBucketed(
               loadIndex(s, stateRoot).dropDuplicates("shingle", "doc_id"),
-              s"$stateRoot/base",
+              s"$stateRoot/base", bucketCol = "shingle", numBuckets = numBuckets,
               meta = Map("compacted_through" -> batchId.toString))
             // best-effort cleanup: the new watermark already retires
             // these deltas, so even a failed LISTING only costs disk

@@ -119,6 +119,42 @@ class DedupStreamSpec extends SparkSpec {
     assert(kept2 == kept1, s"replay flipped decisions: $kept2 vs $kept1")
   }
 
+  test("compacted base is bucketed: the per-batch corpus join has no Exchange on the base side") {
+    val staging = Files.createTempDirectory("graft-ddbkt-in")
+    val state = Files.createTempDirectory("graft-ddbkt-state").toString
+    val out = Files.createTempDirectory("graft-ddbkt-out").toString
+    val ckpt = Files.createTempDirectory("graft-ddbkt-ckpt").toString
+    Seq((1L, "aa bb cc dd ee"), (2L, "zz yy xx ww vv"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(staging.toString)
+    val q = DedupStream.continuousDedup(spark, staging.toString, state, out, ckpt,
+      compactEvery = 1L, numBuckets = 4, trigger = Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    // the base part loads as a bucketed catalog table...
+    val base = DedupStream.loadIndexParts(spark, state).head
+    val delta = Seq(("aa bb cc", 9L, 3L)).toDF("shingle", "doc_id", "n_sh")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-family join a 100 TB base would take (a tiny
+      // test base broadcasts and hides the property under test)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = base.as("a").join(delta.as("b"), $"a.shingle" === $"b.shingle")
+      val plan = joined.queryExecution.executedPlan.toString
+      // ...whose side of the join reads bucketed with NO Exchange: the
+      // only Exchange in the plan is the (bounded) delta side
+      assert(plan.contains("Bucketed: true"), s"base scan not bucketed:\n$plan")
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges == 1, s"expected only the delta-side Exchange, plan:\n$plan")
+      // decisions through the parts path still work against the bucketed base
+      val (d, _, c) = DedupStream.decideBatchParts(
+        Seq((3L, "aa bb cc dd ee")).toDF("doc_id", "text"),
+        DedupStream.loadIndexParts(spark, state), 3, 0.5)
+      val kept = d.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      c()
+      assert(kept == Map(3L -> false)) // near-dup of kept corpus doc 1
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("null doc_id rows are excluded from decisions") {
     val docs = Seq((Some(7L), "aa bb cc"), (None, "dd ee ff"))
       .toDF("doc_id", "text")
