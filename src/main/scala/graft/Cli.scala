@@ -21,6 +21,7 @@ import graft.tables.Tables
   * graft.Cli --db DIR --stats
   * graft.Cli --db DIR --cleanup | --cleanup-empty-dirs
   * graft.Cli --db DIR --sql "SELECT ..."   (files view registered)
+  * graft.Cli --db DIR --serve [--port 8000]   (HTTP API over the index)
   * }}}
   */
 object Cli {
@@ -90,6 +91,15 @@ object Cli {
     } else if (opts.contains("sql")) {
       IndexStore.load(spark, db).createOrReplaceTempView("files")
       spark.sql(opts("sql")).show(1000, truncate = false)
+    } else if (opts.contains("serve")) {
+      // the reference's FastAPI backend (api_backend main.py:77-100)
+      // as a thin HTTP layer over the same index snapshot
+      val port = opts.get("port").filter(_.nonEmpty).map(_.toInt).getOrElse(8000)
+      val srv = new graft.serve.ApiServer(
+        spark, () => IndexStore.load(spark, db), db, port = port).start()
+      println(s"Serving http://127.0.0.1:${srv.boundPort} " +
+        "(endpoints: /health/ /search/ /duplicates/ /stats/ /stats/visualization)")
+      Thread.currentThread.join() // serve until killed
     } else sys.error("no action given — see scaladoc for usage")
   }
 

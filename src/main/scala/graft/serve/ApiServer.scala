@@ -1,0 +1,284 @@
+package graft.serve
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.{FileQueries, SearchRequest}
+
+/** Thin HTTP transport over the engine's query surface — the reference's
+  * FastAPI backend (api_backend/file_indexer_api/main.py:77-100,
+  * routers.py:35-212) re-served from Spark. DELIBERATELY zero new query
+  * semantics: every response is assembled by the same DataFrame
+  * functions the oracle gate already checks — searchApi/
+  * searchApiFiltered (B2 + fi_search_page_meta math),
+  * duplicateGroupsNested/duplicateGroupSummaries (D11 +
+  * fi_dup_page_meta math), statsApi + duplicateStats (D2-D4),
+  * sizeHistogram/extensionStats/timeline (fi_visualization) — this
+  * class only parses parameters and serializes rows.
+  *
+  * Endpoints (reference parity):
+  *   GET  /health/              → HealthCheck
+  *   GET+POST /search/          → SearchResponse (files, total_count, has_more)
+  *   GET+POST /duplicates/      → DuplicatesResponse (nested groups + totals)
+  *   GET  /stats/               → DatabaseStats
+  *   GET  /stats/visualization  → VisualizationData
+  *
+  * POST bodies are the reference's flat JSON request models
+  * (SearchRequest / DuplicatesRequest — all scalar fields), parsed by a
+  * minimal flat-object reader; GET query parameters take the same names.
+  *
+  * Scale note: the server is a driver-side veneer — each request builds
+  * a declarative plan and collects only the bounded page (limit ≤ 10k),
+  * so the heavy lifting stays distributed exactly as in the gated
+  * queries.
+  */
+final class ApiServer(spark: SparkSession, files: () => DataFrame,
+    databasePath: String, host: String = "127.0.0.1", port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
+  server.setExecutor(null) // serial: a test/demo transport, not a thread pool tuning exercise
+
+  /** The actual port after binding (pass port=0 for ephemeral). */
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): ApiServer = { wire(); server.start(); this }
+  def stop(): Unit = server.stop(0)
+
+  // ------------------------------------------------------------- plumbing
+
+  private def respond(x: HttpExchange, code: Int, json: String): Unit = {
+    val bytes = json.getBytes(StandardCharsets.UTF_8)
+    x.getResponseHeaders.set("Content-Type", "application/json")
+    x.sendResponseHeaders(code, bytes.length)
+    val os = x.getResponseBody
+    try os.write(bytes) finally os.close()
+    x.close()
+  }
+
+  private def handle(path: String)(f: Map[String, String] => String): Unit =
+    server.createContext(path, (x: HttpExchange) =>
+      try respond(x, 200, f(params(x)))
+      catch {
+        case e: IllegalArgumentException =>
+          respond(x, 400, s"""{"error": ${jstr(e.getMessage)}}""")
+        case scala.util.control.NonFatal(e) =>
+          respond(x, 500, s"""{"error": ${jstr(String.valueOf(e.getMessage))}}""")
+      })
+
+  /** GET query params ++ (for POST) flat-JSON body fields. */
+  private def params(x: HttpExchange): Map[String, String] = {
+    val fromQuery = Option(x.getRequestURI.getRawQuery).getOrElse("").split('&')
+      .toSeq.filter(_.contains('='))
+      .map { kv =>
+        val i = kv.indexOf('=')
+        java.net.URLDecoder.decode(kv.substring(0, i), "UTF-8") ->
+          java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8")
+      }.toMap
+    val fromBody =
+      if (x.getRequestMethod == "POST")
+        flatJson(new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+      else Map.empty[String, String]
+    fromQuery ++ fromBody
+  }
+
+  /** Minimal flat-JSON-object reader for the reference's request models
+    * (string / number / bool / null scalar fields only). */
+  private[serve] def flatJson(s: String): Map[String, String] =
+    ApiServer.flatJson(s)
+
+  private def jstr(s: String): String =
+    if (s == null) "null"
+    else "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"; case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Collected rows as a JSON array; explicit nulls kept (Spark's
+    * default to_json drops them, the reference models emit them). */
+  private def rowsJson(df: DataFrame): String =
+    df.select(to_json(struct(col("*")), new java.util.HashMap[String, String] {
+      put("ignoreNullFields", "false")
+    }).as("j")).collect().map(_.getString(0)).mkString("[", ",", "]")
+
+  private def long(p: Map[String, String], k: String): Option[Long] =
+    p.get(k).filter(_.nonEmpty).filterNot(_ == "null").map { v =>
+      v.toLongOption.getOrElse(throw new IllegalArgumentException(s"$k must be an integer"))
+    }
+  private def bool(p: Map[String, String], k: String): Option[Boolean] =
+    p.get(k).filter(_.nonEmpty).filterNot(_ == "null").map(_ == "true")
+  private def str(p: Map[String, String], k: String): Option[String] =
+    p.get(k).filter(_.nonEmpty).filterNot(_ == "null")
+
+  // ------------------------------------------------------------ endpoints
+
+  private def wire(): Unit = {
+    // GET /health/ (routers.py:35-57)
+    handle("/health") { _ =>
+      val n = try files().count() catch { case scala.util.control.NonFatal(_) => -1L }
+      val ok = n >= 0
+      s"""{"status": ${jstr(if (ok) "healthy" else "unhealthy")},
+         | "database_connected": $ok,
+         | "database_path": ${jstr(databasePath)},
+         | "total_files": ${math.max(n, 0)},
+         | "api_version": "0.1.0"}""".stripMargin
+    }
+
+    // GET+POST /search/ (routers.py:64-117; response math = the
+    // oracle-checked fi_search_page_meta)
+    handle("/search") { p =>
+      val req = SearchRequest(
+        filenamePattern = str(p, "filename_pattern"),
+        checksum = str(p, "checksum"),
+        pathPattern = str(p, "path_pattern"),
+        hasChecksum = bool(p, "has_checksum"),
+        minSize = long(p, "min_size"),
+        maxSize = long(p, "max_size"),
+        modifiedAfter = str(p, "modified_after"),
+        modifiedBefore = str(p, "modified_before"),
+        limit = long(p, "limit").getOrElse(100L).toInt,
+        offset = long(p, "offset").getOrElse(0L).toInt)
+      require(req.limit >= 1 && req.limit <= 10000, "limit must be in [1, 10000]")
+      require(req.offset >= 0, "offset must be >= 0")
+      val f = files()
+      val total = FileQueries.searchApiFiltered(f, req).count()
+      val page = FileQueries.searchApi(f, req)
+      val pageJson = rowsJson(page)
+      val inPage = math.min(req.limit.toLong, math.max(0L, total - req.offset))
+      s"""{"files": $pageJson, "total_count": $total,
+         | "has_more": ${req.offset + inPage < total}}""".stripMargin
+    }
+
+    // GET+POST /duplicates/ (routers.py:120-186; group page + totals =
+    // the oracle-checked fi_dup_page_meta / fi_duplicate_groups shapes,
+    // size filters and pattern→checksum expansion per database.py:225-345)
+    handle("/duplicates") { p =>
+      val minGroup = long(p, "min_group_size").getOrElse(2L).toInt
+      val limit = long(p, "limit").getOrElse(100L).toInt
+      val offset = long(p, "offset").getOrElse(0L).toInt
+      require(minGroup >= 2, "min_group_size must be >= 2")
+      require(limit >= 1 && limit <= 1000, "limit must be in [1, 1000]")
+      require(offset >= 0, "offset must be >= 0")
+      val sizePreds: Seq[Column] =
+        long(p, "min_file_size").map(col("file_size") >= _).toSeq ++
+        long(p, "max_file_size").map(col("file_size") <= _).toSeq
+      val sized = sizePreds.foldLeft(files())((df, c) => df.filter(c))
+      // pattern → checksum expansion (database.py:225-292): duplicates
+      // of files matching the pattern, database-wide
+      val patterns = str(p, "filename_pattern").map(col("filename").like(_)).toSeq ++
+        str(p, "path_pattern").map(col("path").like(_)).toSeq
+      val base =
+        if (patterns.isEmpty) sized
+        else {
+          val keys = patterns.foldLeft(sized.filter(col("checksum").isNotNull))(
+            (df, c) => df.filter(c)).select("checksum").distinct()
+          sized.join(broadcast(keys), Seq("checksum"), "left_semi")
+        }
+      val totalGroups = FileQueries.duplicateGroupSummaries(base, minGroup).count()
+      val page = FileQueries.duplicateGroupsNested(base, minGroup, limit, offset)
+      val rows = page.select(
+        sum(col("file_count")).as("tdf"), sum(col("wasted_space")).as("tws"),
+        count(lit(1)).as("n")).collect().head
+      val (tdf, tws, n) =
+        (if (rows.isNullAt(0)) 0L else rows.getLong(0),
+         if (rows.isNullAt(1)) 0L else rows.getLong(1),
+         rows.getLong(2))
+      s"""{"duplicate_groups": ${rowsJson(page)},
+         | "total_groups": $totalGroups,
+         | "total_duplicate_files": $tdf,
+         | "total_wasted_space": $tws,
+         | "has_more": ${offset + n < totalGroups}}""".stripMargin
+    }
+
+    // GET /stats/visualization (routers.py:203-212, database.py:459-520)
+    // — registered BEFORE /stats: JDK contexts are prefix-matched and
+    // the longest prefix wins, but both must exist
+    handle("/stats/visualization") { _ =>
+      val f = files()
+      val sizes = FileQueries.sizeHistogram(f)
+        .select(col("size_range"), col("file_count").as("count"), col("total_size"))
+      val exts = FileQueries.extensionStats(f)
+        .select(col("extension"), col("file_count").as("count"),
+          col("total_size"), col("avg_size").as("average_size"))
+      // the reference anchors at CURRENT_DATE (database.py:523); the
+      // serving layer does the same — determinism only matters for the
+      // oracle-gated twin (fi_visualization), which pins an anchor
+      val asOf = java.time.LocalDate.now().atStartOfDay().toString.replace('T', ' ')
+      val tl = FileQueries.timeline(f, asOf)
+        .select(col("month"), col("file_count").as("count"), col("total_size"))
+      s"""{"size_distribution": ${rowsJson(sizes)},
+         | "extension_stats": ${rowsJson(exts)},
+         | "modification_timeline": ${rowsJson(tl)}}""".stripMargin
+    }
+
+    // GET /stats/ (routers.py:192-200, database.py:395-457)
+    handle("/stats") { _ =>
+      val f = files()
+      val s = FileQueries.statsApi(f).collect().head
+      val d = FileQueries.duplicateStats(f).collect().head
+      // type-agnostic: the column surfaces as Timestamp or (for
+      // TIMESTAMP_NTZ parquet) LocalDateTime depending on the source
+      def ts(i: Int): String =
+        if (s.isNullAt(i)) "null" else jstr(String.valueOf(s.get(i)))
+      val avg = if (s.getLong(0) == 0) 0.0 else s.getDouble(4)
+      s"""{"total_files": ${s.getLong(0)},
+         | "total_size": ${s.getLong(1)},
+         | "files_with_checksums": ${s.getLong(2)},
+         | "files_without_checksums": ${s.getLong(3)},
+         | "duplicate_files": ${d.getLong(1)},
+         | "duplicate_groups": ${d.getLong(0)},
+         | "average_file_size": $avg,
+         | "largest_file_size": ${if (s.isNullAt(5)) 0 else s.getLong(5)},
+         | "smallest_file_size": ${if (s.isNullAt(6)) 0 else s.getLong(6)},
+         | "most_recent_modification": ${ts(7)},
+         | "oldest_modification": ${ts(8)},
+         | "unique_directories": ${s.getLong(9)}}""".stripMargin
+    }
+  }
+}
+
+object ApiServer {
+  /** Parse one flat JSON object {k: scalar, ...} into string values
+    * (numbers/bools keep their literal text; nulls map to "null",
+    * which the typed getters treat as absent). Nested values are not
+    * needed by any reference request model. */
+  private[serve] def flatJson(s: String): Map[String, String] = {
+    val t = s.trim
+    if (t.isEmpty || t == "{}") return Map.empty
+    require(t.startsWith("{") && t.endsWith("}"), "body must be a JSON object")
+    val kv = """"((?:[^"\\]|\\.)*)"\s*:\s*("(?:[^"\\]|\\.)*"|-?[0-9.eE+]+|true|false|null)""".r
+    kv.findAllMatchIn(t).map { m =>
+      val k = unescape(m.group(1))
+      val raw = m.group(2)
+      val v =
+        if (raw.startsWith("\"")) unescape(raw.substring(1, raw.length - 1))
+        else raw
+      k -> v
+    }.toMap
+  }
+
+  private def unescape(s: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => out += '\n'; i += 2
+          case 'r' => out += '\r'; i += 2
+          case 't' => out += '\t'; i += 2
+          case 'u' if i + 6 <= s.length =>
+            out += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case c => out += c; i += 2
+        }
+      } else { out += s.charAt(i); i += 1 }
+    }
+    out.toString
+  }
+}

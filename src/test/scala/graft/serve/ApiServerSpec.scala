@@ -1,0 +1,123 @@
+package graft.serve
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.SparkSpec
+import graft.tables.Tables
+
+/** Endpoint smoke tests for the thin HTTP layer: the query semantics
+  * behind every endpoint are oracle-gated elsewhere (fi_search_api,
+  * fi_search_page_meta, fi_duplicate_groups, fi_dup_page_meta,
+  * fi_stats_api, fi_visualization); these tests check the TRANSPORT —
+  * routing, parameter parsing (GET and flat-JSON POST), response
+  * assembly, and error mapping. */
+class ApiServerSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val server =
+    new ApiServer(spark, () => Tables.files(spark, sfDir), sfDir, port = 0).start()
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def get(path: String): (Int, String) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${server.boundPort}$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def post(path: String, body: String): (Int, String) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${server.boundPort}$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body))
+        .header("Content-Type", "application/json").build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("health reports connected with the corpus size") {
+    val (code, body) = get("/health/")
+    assert(code == 200)
+    assert(body.contains("\"status\": \"healthy\""))
+    assert(body.contains("\"database_connected\": true"))
+    val n = Tables.files(spark, sfDir).count()
+    assert(body.contains(s""""total_files": $n"""))
+  }
+
+  test("GET /search/ pages and reports has_more with the gated math") {
+    val (code, body) = get("/search/?filename_pattern=%255.txt&limit=3&offset=0")
+    assert(code == 200)
+    assert(body.contains("\"files\": ["))
+    assert(body.contains("\"total_count\":"))
+    // 3-row page of a larger result set → more pages exist
+    assert("\"filename\":".r.findAllIn(body).size == 3)
+    assert(body.contains("\"has_more\": true"))
+    // a filter nothing matches → empty page, no more
+    val (c2, b2) = get("/search/?filename_pattern=zzz-nope&limit=5")
+    assert(c2 == 200 && b2.contains("\"files\": []") && b2.contains("\"has_more\": false"))
+  }
+
+  test("POST /search/ accepts the reference's flat JSON request model") {
+    val (code, body) = post("/search/",
+      """{"filename_pattern": "%5.txt", "has_checksum": true, "limit": 2, "offset": 1}""")
+    assert(code == 200)
+    assert("\"filename\":".r.findAllIn(body).size == 2)
+    assert(body.contains("\"has_more\": true"))
+  }
+
+  test("GET /duplicates/ returns nested groups with totals") {
+    val (code, body) = get("/duplicates/?min_group_size=2&limit=5")
+    assert(code == 200)
+    assert(body.contains("\"duplicate_groups\": ["))
+    assert(body.contains("\"wasted_space\":"))
+    assert(body.contains("\"files\":[")) // nested member structs
+    assert(body.contains("\"total_groups\":"))
+    assert(body.contains("\"total_duplicate_files\":"))
+  }
+
+  test("POST /duplicates/ with a pattern expands to all copies database-wide") {
+    val (code, body) = post("/duplicates/",
+      """{"filename_pattern": "%5.txt", "min_group_size": 2, "limit": 3}""")
+    assert(code == 200)
+    assert(body.contains("\"duplicate_groups\": ["))
+  }
+
+  test("/stats/ serves the DatabaseStats shape") {
+    val (code, body) = get("/stats/")
+    assert(code == 200, body)
+    for (k <- Seq("total_files", "total_size", "files_with_checksums",
+        "files_without_checksums", "duplicate_files", "duplicate_groups",
+        "average_file_size", "largest_file_size", "smallest_file_size",
+        "most_recent_modification", "oldest_modification", "unique_directories"))
+      assert(body.contains(s""""$k":"""), s"missing $k in $body")
+  }
+
+  test("/stats/visualization serves all three chart sections") {
+    val (code, body) = get("/stats/visualization")
+    assert(code == 200)
+    assert(body.contains("\"size_distribution\": ["))
+    assert(body.contains("\"extension_stats\": ["))
+    assert(body.contains("\"modification_timeline\": ["))
+    assert(body.contains("\"size_range\":"))
+  }
+
+  test("invalid parameters map to 400 with an error body") {
+    val (code, body) = get("/search/?limit=0")
+    assert(code == 400)
+    assert(body.contains("\"error\":"))
+    val (c2, _) = get("/duplicates/?min_group_size=1")
+    assert(c2 == 400)
+    val (c3, b3) = get("/search/?limit=notanumber")
+    assert(c3 == 400 && b3.contains("integer"))
+  }
+
+  test("flat JSON body parsing: strings, numbers, bools, nulls, escapes") {
+    val m = ApiServer.flatJson(
+      """{"a": "x\"y", "n": 42, "b": true, "z": null, "u": "A"}""")
+    assert(m("a") == "x\"y")
+    assert(m("n") == "42")
+    assert(m("b") == "true")
+    assert(m("z") == "null")
+    assert(m("u") == "A")
+  }
+}
