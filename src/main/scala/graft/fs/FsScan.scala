@@ -87,12 +87,20 @@ object FsScan {
     * special-files counter (Python iterdir parity) or are silently
     * skipped (os.walk parity — see [[scan]]). */
   private final class DirWalker(root: Path, stats: ScanStats,
-      recurse: Boolean, countDirs: Boolean) extends Iterator[ScannedFile] {
+      recurse: Boolean, countDirs: Boolean)
+      extends Iterator[ScannedFile] with AutoCloseable {
     private val stack = scala.collection.mutable.Stack(root)
     private var stream: java.nio.file.DirectoryStream[Path] = _
     private var entries: java.util.Iterator[Path] = _
     private var nextRec: ScannedFile = _
+    // a partially-consumed iterator (limit/take, task failure) would
+    // otherwise leak its open DirectoryStream fd — close with the task
+    // when running inside one, and expose close() for direct callers
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => close()))
     advance()
+
+    override def close(): Unit = { closeStream(); stack.clear(); nextRec = null }
 
     private def closeStream(): Unit = {
       if (stream != null) {

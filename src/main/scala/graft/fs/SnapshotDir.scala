@@ -144,9 +144,17 @@ object SnapshotDir {
             spark.sql(s"DESCRIBE TABLE EXTENDED `${t.name}`").collect()
               .find(_.getString(0) == "Location").map(_.getString(1))
           } catch { case scala.util.control.NonFatal(_) => None }
+          // only a LOCAL location can be probed with java.nio — a
+          // cluster URI (hdfs://, s3a://) would always look absent and
+          // we'd drop the LIVE reader table right after every publish.
+          // Non-local stale entries are harmless metadata; they are
+          // rewritten when their snapshot name is reused (never) and
+          // invisible otherwise.
           val gone = loc.exists { l =>
-            val p = l.stripPrefix("file:")
-            !Files.exists(Paths.get(p))
+            val scheme = try new java.net.URI(l).getScheme
+              catch { case _: Exception => null }
+            (scheme == null || scheme == "file") &&
+              !Files.exists(Paths.get(l.stripPrefix("file:")))
           }
           if (gone) spark.sql(s"DROP TABLE IF EXISTS `${t.name}`")
         }

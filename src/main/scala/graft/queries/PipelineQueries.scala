@@ -89,6 +89,21 @@ object PipelineQueries {
       Similarity.cosinePairsBlocked(e, threshold = 0.3)
         .toDF("doc_a", "doc_b", "cosine")
     }),
+    // The INCREMENTAL dedup path, oracle-checked: documents split into a
+    // persisted "corpus" (doc_id % 10 != 0) and a "delta" of new arrivals
+    // (doc_id % 10 = 0); deltaPairs joins the delta against the corpus
+    // shingle index plus itself — never corpus × corpus. Ground truth is
+    // the full jaccard pair set restricted to pairs touching the delta
+    // (per-doc shingle sets are corpus-independent, so the restriction
+    // is exact). This is the daily-ingest shape at 100 TB: cost
+    // O(delta ⋈ index).
+    "dd_delta_pairs" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val all = docs(s, d)
+      val delta = all.filter(col("doc_id") % 10 === 0)
+      val corpus = all.filter(col("doc_id") % 10 =!= 0)
+      Dedup.deltaPairs(delta, Dedup.shingleIndex(corpus, n = 3), n = 3, threshold = 0.5)
+    }),
     // The sub-quadratic semantic-dedup path, oracle-checked against the
     // brute-force ground truth: hyperplane-LSH candidates + exact cosine
     // re-rank must reproduce EVERY brute pair (hash compare = recall
@@ -219,6 +234,23 @@ object PipelineQueries {
          |FROM common JOIN sizes sa ON common.doc_a = sa.doc_id
          |            JOIN sizes sb ON common.doc_b = sb.doc_id
          |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // ground truth for the incremental path = the full pair set
+    // restricted to pairs that touch the delta (doc_id % 10 = 0)
+    "dd_delta_pairs" ->
+      s"""WITH sh AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM documents),
+         |sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh FROM sh),
+         |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+         |FROM common JOIN sizes sa ON common.doc_a = sa.doc_id
+         |            JOIN sizes sb ON common.doc_b = sb.doc_id
+         |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+         |  AND (doc_a % 10 = 0 OR doc_b % 10 = 0)
          |ORDER BY doc_a, doc_b""".stripMargin,
     // ground truth for the LSH path = the exact brute pair set: a hash
     // match means the candidate scheme missed NOTHING (see the query's

@@ -62,8 +62,15 @@ final class ApiServer(spark: SparkSession, files: () => DataFrame,
 
   private def handle(path: String)(f: Map[String, String] => String): Unit =
     server.createContext(path, (x: HttpExchange) =>
-      try respond(x, 200, f(params(x)))
-      catch {
+      try {
+        // JDK contexts raw-prefix match ("/searchfoo" would hit
+        // "/search") — reject anything but the exact endpoint, with or
+        // without the trailing slash, like the reference's router does
+        val rest = x.getRequestURI.getPath.stripPrefix(path)
+        if (rest.nonEmpty && rest != "/")
+          respond(x, 404, s"""{"error": "not found"}""")
+        else respond(x, 200, f(params(x)))
+      } catch {
         case e: IllegalArgumentException =>
           respond(x, 400, s"""{"error": ${jstr(e.getMessage)}}""")
         case scala.util.control.NonFatal(e) =>
@@ -112,8 +119,15 @@ final class ApiServer(spark: SparkSession, files: () => DataFrame,
     p.get(k).filter(_.nonEmpty).filterNot(_ == "null").map { v =>
       v.toLongOption.getOrElse(throw new IllegalArgumentException(s"$k must be an integer"))
     }
+  // FastAPI-style bool coercion: True/1/yes/on all mean true; anything
+  // unrecognized is a 400, never a silent false (which would invert
+  // has_checksum filters)
   private def bool(p: Map[String, String], k: String): Option[Boolean] =
-    p.get(k).filter(_.nonEmpty).filterNot(_ == "null").map(_ == "true")
+    p.get(k).filter(_.nonEmpty).filterNot(_ == "null").map(_.toLowerCase match {
+      case "true" | "1" | "yes" | "on" => true
+      case "false" | "0" | "no" | "off" => false
+      case v => throw new IllegalArgumentException(s"$k: not a boolean: $v")
+    })
   private def str(p: Map[String, String], k: String): Option[String] =
     p.get(k).filter(_.nonEmpty).filterNot(_ == "null")
 
@@ -169,9 +183,13 @@ final class ApiServer(spark: SparkSession, files: () => DataFrame,
       val sizePreds: Seq[Column] =
         long(p, "min_file_size").map(col("file_size") >= _).toSeq ++
         long(p, "max_file_size").map(col("file_size") <= _).toSeq
-      val sized = sizePreds.foldLeft(files())((df, c) => df.filter(c))
-      // pattern → checksum expansion (database.py:225-292): duplicates
-      // of files matching the pattern, database-wide
+      val f = files()
+      val sized = sizePreds.foldLeft(f)((df, c) => df.filter(c))
+      // pattern → checksum expansion (database.py:225-292): target
+      // checksums come from files matching pattern AND size filters
+      // (the reference's where_filter covers both), but the expansion
+      // then spans ALL files with those checksums — database-wide,
+      // unfiltered (database.py:243-253)
       val patterns = str(p, "filename_pattern").map(col("filename").like(_)).toSeq ++
         str(p, "path_pattern").map(col("path").like(_)).toSeq
       val base =
@@ -179,22 +197,24 @@ final class ApiServer(spark: SparkSession, files: () => DataFrame,
         else {
           val keys = patterns.foldLeft(sized.filter(col("checksum").isNotNull))(
             (df, c) => df.filter(c)).select("checksum").distinct()
-          sized.join(broadcast(keys), Seq("checksum"), "left_semi")
+          f.join(broadcast(keys), Seq("checksum"), "left_semi")
         }
       val totalGroups = FileQueries.duplicateGroupSummaries(base, minGroup).count()
-      val page = FileQueries.duplicateGroupsNested(base, minGroup, limit, offset)
-      val rows = page.select(
-        sum(col("file_count")).as("tdf"), sum(col("wasted_space")).as("tws"),
-        count(lit(1)).as("n")).collect().head
-      val (tdf, tws, n) =
-        (if (rows.isNullAt(0)) 0L else rows.getLong(0),
-         if (rows.isNullAt(1)) 0L else rows.getLong(1),
-         rows.getLong(2))
-      s"""{"duplicate_groups": ${rowsJson(page)},
+      // ONE pass over the bounded page (≤1000 groups): collect the JSON
+      // row next to its numeric columns; the response totals are sums
+      // over rows already in hand, not extra distributed aggregates
+      val pageRows = FileQueries.duplicateGroupsNested(base, minGroup, limit, offset)
+        .select(to_json(struct(col("*")), new java.util.HashMap[String, String] {
+          put("ignoreNullFields", "false")
+        }).as("j"), col("file_count"), col("wasted_space"))
+        .collect()
+      val tdf = pageRows.map(_.getLong(1)).sum
+      val tws = pageRows.map(_.getLong(2)).sum
+      s"""{"duplicate_groups": ${pageRows.map(_.getString(0)).mkString("[", ",", "]")},
          | "total_groups": $totalGroups,
          | "total_duplicate_files": $tdf,
          | "total_wasted_space": $tws,
-         | "has_more": ${offset + n < totalGroups}}""".stripMargin
+         | "has_more": ${offset + pageRows.length < totalGroups}}""".stripMargin
     }
 
     // GET /stats/visualization (routers.py:203-212, database.py:459-520)
@@ -253,7 +273,7 @@ object ApiServer {
     val t = s.trim
     if (t.isEmpty || t == "{}") return Map.empty
     require(t.startsWith("{") && t.endsWith("}"), "body must be a JSON object")
-    val kv = """"((?:[^"\\]|\\.)*)"\s*:\s*("(?:[^"\\]|\\.)*"|-?[0-9.eE+]+|true|false|null)""".r
+    val kv = """"((?:[^"\\]|\\.)*)"\s*:\s*("(?:[^"\\]|\\.)*"|-?[0-9][0-9.eE+\-]*|true|false|null)""".r
     kv.findAllMatchIn(t).map { m =>
       val k = unescape(m.group(1))
       val raw = m.group(2)

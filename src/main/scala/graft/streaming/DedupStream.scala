@@ -87,7 +87,9 @@ object DedupStream {
     val ds = Files.newDirectoryStream(Paths.get(stateRoot))
     try ds.forEach { p =>
       p.getFileName.toString match {
-        case DeltaName(id) => out += ((id.toLong, p.toString))
+        // toLongOption: a >19-digit run matches \d+ but overflows Long —
+        // treat it like any other lookalike entry, don't crash the batch
+        case DeltaName(id) => id.toLongOption.foreach(n => out += ((n, p.toString)))
         case _ => ()
       }
     } finally ds.close()

@@ -296,6 +296,16 @@ class FsPipelineSpec extends SparkSpec {
     assert(stats.permissionErrors.value >= 24L)
   }
 
+  test("walker close() releases the open directory stream mid-iteration") {
+    val root = Files.createTempDirectory("graft-walkclose")
+    ('a' to 'e').foreach(c => Files.write(root.resolve(s"$c.txt"), Array[Byte](1)))
+    val it = FsScan.walker(root.toString, new ScanStats(spark),
+      recurse = true, countDirs = false)
+    assert(it.hasNext)
+    it.asInstanceOf[AutoCloseable].close()
+    assert(!it.hasNext) // closed walker yields nothing further
+  }
+
   test("walker iterdir modes: countDirs decides whether a subdir hits the counter") {
     val root = Files.createTempDirectory("graft-iterdir")
     Files.write(root.resolve("f.txt"), Array[Byte](1))

@@ -109,15 +109,30 @@ class ApiServerSpec extends SparkSpec {
     assert(c2 == 400)
     val (c3, b3) = get("/search/?limit=notanumber")
     assert(c3 == 400 && b3.contains("integer"))
+    // boolean coercion: FastAPI-style spellings work, garbage is a 400
+    // (never a silent false, which would INVERT a has_checksum filter)
+    val (c4, b4) = get("/search/?has_checksum=True&limit=1")
+    assert(c4 == 200 && !b4.contains("\"checksum\":null"), b4)
+    val (c5, _) = get("/search/?has_checksum=maybe")
+    assert(c5 == 400)
+  }
+
+  test("unknown paths under a context prefix are 404, not mis-served") {
+    assert(get("/searchfoo")._1 == 404)      // raw prefix of /search
+    assert(get("/statsX")._1 == 404)         // raw prefix of /stats
+    assert(get("/search/extra")._1 == 404)
+    assert(get("/search")._1 == 200)         // both spellings serve
+    assert(get("/stats")._1 == 200)
   }
 
   test("flat JSON body parsing: strings, numbers, bools, nulls, escapes") {
     val m = ApiServer.flatJson(
-      """{"a": "x\"y", "n": 42, "b": true, "z": null, "u": "A"}""")
+      """{"a": "x\"y", "n": 42, "b": true, "z": null, "u": "A", "e": -1.5e-3}""")
     assert(m("a") == "x\"y")
     assert(m("n") == "42")
     assert(m("b") == "true")
     assert(m("z") == "null")
     assert(m("u") == "A")
+    assert(m("e") == "-1.5e-3") // exponent signs survive the number token
   }
 }
