@@ -120,8 +120,10 @@ object SnapshotDir {
         if (!spark.catalog.tableExists(tableName)) {
           val cols = schema.fields
             .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+          // IF NOT EXISTS: two concurrent loads of the same snapshot may
+          // both miss the tableExists fast path — idempotent create
           spark.sql(
-            s"""CREATE TABLE `$tableName` ($cols) USING PARQUET
+            s"""CREATE TABLE IF NOT EXISTS `$tableName` ($cols) USING PARQUET
                |CLUSTERED BY (`$bcol`) SORTED BY (`$bcol`) INTO $n BUCKETS
                |LOCATION '$dir'""".stripMargin)
         }

@@ -87,25 +87,44 @@ private class FsMetaReaderFactory extends PartitionReaderFactory {
     new FsMetaReader(partition.asInstanceOf[FsMetaPartition])
 }
 
+/** Streams one open DirectoryStream at a time — per-task memory is
+  * O(directory stack), never O(entries-in-directory) (a hot directory
+  * with tens of millions of dirents would otherwise buffer them all
+  * before the first row). Spark calls [[close]] on task end, including
+  * failures, so the open stream never outlives its task. */
 private class FsMetaReader(part: FsMetaPartition) extends PartitionReader[InternalRow] {
   private val stack = scala.collection.mutable.Stack(Paths.get(part.dir))
-  private var current: Iterator[java.nio.file.Path] = Iterator.empty
+  private var stream: java.nio.file.DirectoryStream[java.nio.file.Path] = _
+  private var entries: java.util.Iterator[java.nio.file.Path] = _
   private var row: InternalRow = _
 
-  private def listDir(dir: java.nio.file.Path): Iterator[java.nio.file.Path] =
-    try {
-      val ds = Files.newDirectoryStream(dir)
-      try {
-        val buf = ArrayBuffer.empty[java.nio.file.Path]
-        ds.forEach(p => buf += p)
-        buf.iterator
-      } finally ds.close()
-    } catch { case _: Exception => Iterator.empty }
+  private def closeStream(): Unit = {
+    if (stream != null) { try stream.close() catch { case _: Exception => () } }
+    stream = null; entries = null
+  }
+
+  /** Open directories off the stack until one yields a live stream;
+    * false when exhausted. Unopenable dirs are skipped (per-entry
+    * error tolerance, matching FsScan). */
+  private def openNext(): Boolean = {
+    while (stream == null) {
+      if (stack.isEmpty) return false
+      val dir = stack.pop()
+      try { stream = Files.newDirectoryStream(dir); entries = stream.iterator() }
+      catch { case _: Exception => closeStream() }
+    }
+    true
+  }
 
   override def next(): Boolean = {
     while (true) {
-      if (current.hasNext) {
-        val p = current.next()
+      if (!openNext()) return false
+      // a mid-iteration IO error drops the remainder of this directory
+      val p =
+        try { if (entries.hasNext) entries.next() else null }
+        catch { case _: Exception => closeStream(); null }
+      if (p == null) closeStream()
+      else {
         try {
           val attrs = Files.readAttributes(p,
             classOf[java.nio.file.attribute.BasicFileAttributes],
@@ -121,13 +140,11 @@ private class FsMetaReader(part: FsMetaPartition) extends PartitionReader[Intern
             stack.push(p)
           }
         } catch { case _: Exception => () } // tolerate per-entry errors
-      } else if (stack.nonEmpty) {
-        current = listDir(stack.pop())
-      } else return false
+      }
     }
     false
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = ()
+  override def close(): Unit = closeStream()
 }
