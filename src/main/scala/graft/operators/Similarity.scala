@@ -63,6 +63,22 @@ object LshPlanes {
     }: _*)
   }
 
+  /** ALL tables' bucket keys as ONE native expression over the RAW
+    * embedding column: array<string>, index = table (posexplode gives
+    * (tbl, bkey) pairs directly). Value-identical to per-table
+    * [[keyColOf]] over `VectorOps.toDouble(emb)` (HyperplaneKeysSpec),
+    * but the planes ride as instance data instead of tables × bits
+    * inlined literal arrays — the literal form's generated source is
+    * plan-unique, so EVERY fresh DataFrame paid seconds of janino
+    * compilation (the dominant cost of the LSH queries; see
+    * HyperplaneKeysExpr). */
+  def keysCol(emb: org.apache.spark.sql.Column,
+      tablePlanes: Seq[Seq[Seq[Int]]]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.functions.HyperplaneKeysExpr(
+      GraftSqlBridge.expression(emb), tablePlanes))
+  }
+
   def sparkConcat(parts: Seq[String]): String = parts.mkString("concat(", ", ", ")")
   def duckConcat(parts: Seq[String]): String = parts.mkString("(", " || ", ")")
 }
@@ -164,23 +180,31 @@ object Similarity {
   def cosinePairsLsh(emb: DataFrame, threshold: Double,
       tables: Int = 16, bits: Int = 5): DataFrame = {
     val planes = LshPlanes.planesFor(tables, bits, seed = 977L)
-    val bucketStructs = (0 until tables).map { t =>
-      struct(lit(t).as("tbl"),
-        LshPlanes.keyColOf(VectorOps.toDouble(col("embedding")), planes(t)).as("bkey"))
-    }
-    val buckets = emb.select(col("vec_id"), explode(array(bucketStructs: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkey").as("bkey"))
-    val cand = buckets.toDF("ida", "tbl", "bkey")
+    // one native expression for all table keys (posexplode → (tbl, bkey));
+    // identical keys to the per-table HOF columns, none of their
+    // per-plan janino compilation (LshPlanes.keysCol)
+    val buckets = emb.select(col("vec_id"),
+      posexplode(LshPlanes.keysCol(col("embedding"), planes)).as(Seq("tbl", "bkey")))
+    // Score FIRST, dedupe LAST: the candidate multiset (tables ×
+    // collisions) is never shuffled through a distinct — every
+    // bucket-mate row goes straight to the (cheap, 64-mult) cosine,
+    // the threshold filter kills ~all of it, and only the tiny
+    // survivor set pays a dedup. The scoring duplication factor is
+    // bounded by `tables` and is ~2× in practice — far cheaper than a
+    // full-candidate-set shuffle, which measured 2× slower here and
+    // grows with the corpus at 100 TB. (An exactly-once emission
+    // filter carrying both key arrays through the join was measured
+    // 10× WORSE — the fat join rows cost more than the dedup saved.)
+    val e = prepared(emb).select("vec_id", "v", "nrm")
+    buckets.toDF("ida", "tbl", "bkey")
       .join(buckets.toDF("idb", "tbl", "bkey"), Seq("tbl", "bkey"))
       .filter(col("ida") < col("idb"))
-      .select("ida", "idb").distinct()
-    val e = prepared(emb).select("vec_id", "v", "nrm")
-    cand
       .join(e.toDF("ida", "va", "na"), "ida")
       .join(e.toDF("idb", "vb", "nb"), "idb")
       .select(col("ida").as("vec_a"), col("idb").as("vec_b"),
         (VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
+      .distinct()
       .orderBy("vec_a", "vec_b")
   }
 
@@ -205,16 +229,13 @@ object Similarity {
     * only. */
   def topkLsh(emb: DataFrame, queryMod: Long = 50L, k: Int = 5): DataFrame = {
     import LshPlanes._
-    val bucketStructs = (0 until numTables).map { t =>
-      struct(lit(t).as("tbl"), keyCol(VectorOps.toDouble(col("embedding")), t).as("bkey"))
-    }
     // The bucket table and normalized vectors are the reusable "LSH
     // index" artifacts: narrow (id, tbl, bkey) / (id, v, nrm) rows,
     // each consumed by 2+ plan branches — cache instead of recomputing
     // per branch (at scale these would be persisted index tables).
     val buckets = OpCaches.track(
-      emb.select(col("vec_id"), explode(array(bucketStructs: _*)).as("tb"))
-        .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkey").as("bkey")))
+      emb.select(col("vec_id"),
+        posexplode(keysCol(col("embedding"), planes)).as(Seq("tbl", "bkey"))))
     val qb = buckets.filter(col("vec_id") % queryMod === 0)
       .toDF("query_id", "tbl", "bkey")
     val cand = broadcast(qb)

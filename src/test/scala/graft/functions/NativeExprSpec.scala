@@ -89,6 +89,33 @@ class NativeExprSpec extends SparkSpec {
     assert(df.select(eq.as("eq")).collect().forall(_.getBoolean(0)))
   }
 
+  test("HyperplaneKeysExpr == per-table keyColOf HOF columns, bit-identical") {
+    import graft.operators.LshPlanes
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(80)(Array.fill(64)(rnd.nextFloat() * 2 - 1)) :+
+      Array.fill(64)(0.0f) // all-zero vector: every dot is exactly 0 ⇒ all '1'
+    val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "emb")
+    for ((tables, bits) <- Seq((4, 5), (7, 3))) {
+      val planes = LshPlanes.planesFor(tables, bits, seed = 977L)
+      val native = colOf(HyperplaneKeysExpr(
+        GraftSqlBridge.expression(col("emb")), planes))
+      val hof = (0 until tables).map(t =>
+        LshPlanes.keyColOf(VectorOps.toDouble(col("emb")), planes(t)))
+      val eq = (0 until tables).map(t => native(t) === hof(t)).reduce(_ && _)
+      assert(df.select(eq.as("eq")).collect().forall(_.getBoolean(0)),
+        s"key divergence at tables=$tables bits=$bits")
+    }
+    // null element / wrong length ⇒ every bit '0', like null dots in the HOF
+    val weird = Seq(
+      (1L, Seq[Option[Float]](Some(1f), None)),        // null element
+      (2L, Seq[Option[Float]](Some(1f), Some(2f)))     // length 2 ≠ 64
+    ).toDF("id", "emb")
+    val p1 = LshPlanes.planesFor(2, 3, seed = 977L)
+    val out = weird.select(colOf(HyperplaneKeysExpr(
+      GraftSqlBridge.expression(col("emb")), p1)).as("k")).collect()
+    assert(out.forall(_.getSeq[String](0).forall(_ == "000")))
+  }
+
   test("WinnowMinExpr == array_min over md5 of all 5-grams, incl. short strings") {
     val df = Seq("abcd", "a", "hello world this is long enough", "ééé unicode ça va")
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
