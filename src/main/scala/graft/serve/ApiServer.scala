@@ -41,7 +41,12 @@ final class ApiServer(spark: SparkSession, files: () => DataFrame,
     databasePath: String, host: String = "127.0.0.1", port: Int = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
-  server.setExecutor(null) // serial: a test/demo transport, not a thread pool tuning exercise
+  // small pool: Spark actions are thread-safe and share the scheduler
+  // fairly, and a long /duplicates must not serialize /health probes
+  // behind it; sizing beyond a handful belongs to a real gateway
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+    val t = new Thread(r, "graft-api"); t.setDaemon(true); t
+  }))
 
   /** The actual port after binding (pass port=0 for ephemeral). */
   def boundPort: Int = server.getAddress.getPort

@@ -125,6 +125,21 @@ class ApiServerSpec extends SparkSpec {
     assert(get("/stats")._1 == 200)
   }
 
+  test("concurrent requests are served in parallel (pool), all successfully") {
+    import java.util.concurrent.Executors
+    val pool = Executors.newFixedThreadPool(4)
+    try {
+      val futures = (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int =
+            if (i % 2 == 0) get("/health/")._1
+            else get("/search/?filename_pattern=%255.txt&limit=2")._1
+        })
+      }
+      assert(futures.map(_.get()).forall(_ == 200))
+    } finally pool.shutdown()
+  }
+
   test("flat JSON body parsing: strings, numbers, bools, nulls, escapes") {
     val m = ApiServer.flatJson(
       """{"a": "x\"y", "n": 42, "b": true, "z": null, "u": "A", "e": -1.5e-3}""")
