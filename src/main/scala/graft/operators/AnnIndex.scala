@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.fs.SnapshotDir
+import graft.functions.VectorOps
+
+/** PERSISTED hyperplane-LSH index — the "index once, query many"
+  * production shape for similarity search at corpus scale. The
+  * per-query operators ([[Similarity.topkLsh]]) recompute bucket keys
+  * and normalized vectors on every call; at 100 TB those are one-time
+  * build artifacts, written here through the same atomic snapshot
+  * protocol as the file index (SnapshotDir) and BUCKETED so queries
+  * never shuffle the corpus:
+  *
+  *  - `<root>/buckets`: (vec_id, tb) — tb = "<table>:<key>" combined
+  *    bucket key, hash-bucketed BY tb. A query's candidate probe is an
+  *    equi-join on tb whose corpus side reads pre-partitioned (no
+  *    Exchange; only the tiny query-key side moves).
+  *  - `<root>/vectors`: (vec_id, v, nrm) — the exact-rerank payload,
+  *    hash-bucketed BY vec_id, so fetching candidate vectors
+  *    co-locates on the bucketed corpus side too.
+  *
+  * The plane-set parameters (tables, bits, seed) ride the buckets
+  * snapshot's atomic meta: a reader always derives EXACTLY the plane
+  * set its snapshot was built with — recall tuning (more tables) is a
+  * rebuild, never a skewed mix.
+  *
+  * Results are identical to [[Similarity.topkBrute]] restricted to
+  * LSH candidates (exact cosine re-rank, same left-fold arithmetic) —
+  * spec-checked against [[Similarity.topkLsh]] with the same planes.
+  */
+object AnnIndex {
+
+  private val bucketsSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("tb", StringType)))
+  private val vectorsSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("v", ArrayType(DoubleType)),
+    StructField("nrm", DoubleType)))
+
+  /** Build (or atomically replace) the index under `root`. */
+  def build(emb: DataFrame, root: String, tables: Int = 16, bits: Int = 5,
+      seed: Long = 42L, numBuckets: Int = 16): Unit = {
+    val planes = LshPlanes.planesFor(tables, bits, seed)
+    val buckets = emb.select(col("vec_id"),
+        posexplode(LshPlanes.keysCol(col("embedding"), planes)).as(Seq("tbl", "bkey")))
+      .select(col("vec_id"),
+        concat(col("tbl").cast("string"), lit(":"), col("bkey")).as("tb"))
+    SnapshotDir.publishBucketed(buckets, s"$root/buckets",
+      bucketCol = "tb", numBuckets = numBuckets,
+      meta = Map("tables" -> tables.toString, "bits" -> bits.toString,
+        "seed" -> seed.toString))
+    val vectors = Similarity.prepared(emb).select("vec_id", "v", "nrm")
+    SnapshotDir.publishBucketed(vectors, s"$root/vectors",
+      bucketCol = "vec_id", numBuckets = numBuckets)
+  }
+
+  /** The plane parameters the CURRENT buckets snapshot was built with. */
+  private def planeParams(root: String): (Int, Int, Long) = {
+    val meta = SnapshotDir.loadMeta(s"$root/buckets")
+    (meta.getOrElse("tables", sys.error(s"no index at $root")).toInt,
+      meta("bits").toInt, meta("seed").toLong)
+  }
+
+  /** Approximate top-k neighbors for each row of `queries`
+    * ((query_id, embedding)): candidates = corpus vectors sharing any
+    * bucket with the query, re-ranked by exact cosine. The corpus
+    * buckets and vectors both read pre-bucketed — the only shuffles
+    * are the (bounded) query keys and candidate ids. */
+  def topk(spark: SparkSession, root: String, queries: DataFrame, k: Int = 5): DataFrame = {
+    val (tables, bits, seed) = planeParams(root)
+    val planes = LshPlanes.planesFor(tables, bits, seed)
+    val corpusBuckets = SnapshotDir.currentDir(s"$root/buckets")
+      .map(d => SnapshotDir.readAt(spark, d, bucketsSchema))
+      .getOrElse(sys.error(s"no buckets snapshot at $root"))
+    val vectors = SnapshotDir.currentDir(s"$root/vectors")
+      .map(d => SnapshotDir.readAt(spark, d, vectorsSchema))
+      .getOrElse(sys.error(s"no vectors snapshot at $root"))
+
+    val qKeys = queries.select(col("query_id"),
+        posexplode(LshPlanes.keysCol(col("embedding"), planes)).as(Seq("tbl", "bkey")))
+      .select(col("query_id"),
+        concat(col("tbl").cast("string"), lit(":"), col("bkey")).as("tb"))
+    val qVecs = Similarity.prepared(
+        queries.select(col("query_id").as("vec_id"), col("embedding")))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+
+    val cand = broadcast(qKeys)
+      .join(corpusBuckets, Seq("tb"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id")).distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))
+    cand
+      .join(vectors.toDF("cand_id", "cv", "cn"), "cand_id")
+      .join(broadcast(qVecs), "query_id")
+      .select(col("query_id"), col("cand_id"),
+        (VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy("query_id", "rnk")
+  }
+}

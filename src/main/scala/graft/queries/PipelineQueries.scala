@@ -125,6 +125,24 @@ object PipelineQueries {
     "ss_topk_brute" -> ((s, d) => Similarity.topkBrute(emb(s, d), queryMod = 50L, k = 10)),
     // LSH-bucketed approximate top-5 (same query set).
     "ss_topk_lsh" -> ((s, d) => Similarity.topkLsh(emb(s, d), queryMod = 50L, k = 5)),
+    // The PERSISTED-index form of the same search: build the LSH index
+    // through the atomic snapshot protocol (bucketed corpus artifacts),
+    // then answer the identical query set from it — oracle-checked
+    // end-to-end (build → publish → bucketed read → probe → re-rank)
+    // against the same ground truth as ss_topk_lsh (identical plane
+    // family ⇒ identical candidates and exact re-rank scores). This is
+    // the "index once, query many" path a 100 TB deployment actually
+    // runs; the per-query operator recomputes what this one persists.
+    "ss_topk_ann_index" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val root = java.nio.file.Files.createTempDirectory("graft-annq").toString
+      val e = emb(s, d)
+      graft.operators.AnnIndex.build(e, root,
+        tables = LshPlanes.numTables, bits = LshPlanes.bitsPerTable, seed = 42L)
+      val queries = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.operators.AnnIndex.topk(s, root, queries, k = 5)
+    }),
     // IVF approximate top-5 (k-means cells, nProbe=4 of 16). No DuckDB
     // oracle (approximate; centroid training isn't SQL) → rows-only
     // check; recall is spec-tested against brute force in IvfSpec.
@@ -199,6 +217,31 @@ object PipelineQueries {
 
   /** DuckDB twin of VectorOps.norm. */
   private def normSql(v: String): String = s"sqrt(${dotSql(v, v)})"
+
+  /** DuckDB ground truth shared by ss_topk_lsh (per-query operator) and
+    * ss_topk_ann_index (persisted-index path): same plane family, same
+    * candidates, same exact re-rank. */
+  private lazy val topkLshSql: String = {
+    import LshPlanes._
+    val bucketSelects = (0 until numTables).map(t =>
+      s"SELECT vec_id, $t AS tbl, ${keySql("embedding", t, base = 1, duckConcat)} AS bkey FROM embeddings")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |buckets AS (
+       |  $bucketSelects),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS cand_id
+       |  FROM buckets q JOIN buckets b ON q.tbl = b.tbl AND q.bkey = b.bkey
+       |  WHERE q.vec_id % 50 = 0 AND q.vec_id <> b.vec_id),
+       |scored AS (SELECT query_id, cand_id,
+       |    (${dotSql("ea.embedding", "eb.embedding")}) / (ea.nrm * eb.nrm) AS cosine
+       |  FROM cand JOIN e ea ON cand.query_id = ea.vec_id
+       |            JOIN e eb ON cand.cand_id = eb.vec_id),
+       |r AS (SELECT query_id, cand_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rnk
+       |  FROM scored)
+       |SELECT query_id, cand_id, cosine, rnk FROM r WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "dd_exact" ->
@@ -385,27 +428,10 @@ object PipelineQueries {
          |  FROM scored)
          |SELECT query_id, cand_id, cosine, rnk FROM r WHERE rnk <= 10
          |ORDER BY query_id, rnk""".stripMargin,
-    "ss_topk_lsh" -> {
-      import LshPlanes._
-      val bucketSelects = (0 until numTables).map(t =>
-        s"SELECT vec_id, $t AS tbl, ${keySql("embedding", t, base = 1, duckConcat)} AS bkey FROM embeddings")
-        .mkString("\n  UNION ALL ")
-      s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
-         |buckets AS (
-         |  $bucketSelects),
-         |cand AS (SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS cand_id
-         |  FROM buckets q JOIN buckets b ON q.tbl = b.tbl AND q.bkey = b.bkey
-         |  WHERE q.vec_id % 50 = 0 AND q.vec_id <> b.vec_id),
-         |scored AS (SELECT query_id, cand_id,
-         |    (${dotSql("ea.embedding", "eb.embedding")}) / (ea.nrm * eb.nrm) AS cosine
-         |  FROM cand JOIN e ea ON cand.query_id = ea.vec_id
-         |            JOIN e eb ON cand.cand_id = eb.vec_id),
-         |r AS (SELECT query_id, cand_id, cosine,
-         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rnk
-         |  FROM scored)
-         |SELECT query_id, cand_id, cosine, rnk FROM r WHERE rnk <= 5
-         |ORDER BY query_id, rnk""".stripMargin
-    },
+    "ss_topk_lsh" -> topkLshSql,
+    // the persisted-index run answers the IDENTICAL query with the
+    // identical plane family — one ground truth, two execution paths
+    "ss_topk_ann_index" -> topkLshSql,
     "ss_topk_ivf_recall" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS mean_recall_ok
         |FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id % 50 = 0)""".stripMargin,

@@ -1,0 +1,49 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The persisted ANN index must return exactly what the per-query LSH
+  * operator computes with the same plane set, and its query plans must
+  * read the corpus pre-bucketed (that is its reason to exist). */
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = (0L until 120L).map { i =>
+    (i, Array.tabulate(64)(d => ((i * 37 + d * 11) % 17 - 8).toFloat / 8f))
+  }.toDF("vec_id", "embedding")
+
+  test("topk over the persisted index == topkLsh with the same planes") {
+    val root = Files.createTempDirectory("graft-annidx").toString
+    // same plane family as Similarity.topkLsh's default (4×5, seed 42)
+    AnnIndex.build(emb, root, tables = LshPlanes.numTables,
+      bits = LshPlanes.bitsPerTable, seed = 42L, numBuckets = 4)
+
+    val queries = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val fromIndex = AnnIndex.topk(spark, root, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val direct = Similarity.topkLsh(emb, queryMod = 20L, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    OpCaches.releaseAll()
+    assert(fromIndex == direct, s"index=${fromIndex.size} direct=${direct.size}")
+    assert(fromIndex.nonEmpty)
+  }
+
+  test("queries read the corpus pre-bucketed (no corpus-side Exchange)") {
+    val root = Files.createTempDirectory("graft-annidx2").toString
+    AnnIndex.build(emb, root, tables = 4, bits = 4, numBuckets = 4)
+    val queries = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val plan = AnnIndex.topk(spark, root, queries, k = 3)
+      .queryExecution.executedPlan.toString
+    // both corpus artifacts scan as bucketed tables
+    assert("Bucketed: true".r.findAllIn(plan).size >= 2, plan)
+    // rebuild replaces the snapshot atomically; queries keep working
+    AnnIndex.build(emb, root, tables = 4, bits = 4, numBuckets = 4)
+    assert(AnnIndex.topk(spark, root, queries, k = 3).count() > 0)
+  }
+}
