@@ -46,6 +46,19 @@ case class HyperplaneKeysExpr(child: Expression, planes: Seq[Seq[Seq[Int]]])
   private lazy val p: Array[Array[Array[Double]]] =
     planes.map(_.map(_.map(_.toDouble).toArray).toArray).toArray
 
+  // HOF parity for a NULL input array: each dot is null, each
+  // `when(null >= 0, "1").otherwise("0")` is '0' — the row keeps its
+  // all-'0' keys instead of dropping out of bucketing (UnaryExpression's
+  // default null-propagation would silently remove it from every LSH
+  // bucket table, diverging from the oracle's CASE WHEN form).
+  override def nullable: Boolean = false
+  private lazy val allZeroKeys = new GenericArrayData(
+    p.map(table => UTF8String.fromString("0" * table.length): Any))
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) allZeroKeys else nullSafeEval(v)
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()

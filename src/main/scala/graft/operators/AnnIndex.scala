@@ -42,10 +42,27 @@ object AnnIndex {
     StructField("v", ArrayType(DoubleType)),
     StructField("nrm", DoubleType)))
 
-  /** Build (or atomically replace) the index under `root`. */
+  /** Build (or atomically replace) the index under `root`. VECTORS
+    * publish first; the BUCKETS snapshot then records, in its own
+    * atomic meta, the exact vectors snapshot it was built with — a
+    * reader resolves the buckets pointer ONCE and gets a consistent
+    * (planes, buckets, vectors) triple. A crash between the two
+    * publishes leaves the old buckets pointing at the old vectors
+    * snapshot name; if that snapshot was already retired, the read
+    * fails LOUDLY instead of silently re-ranking against stale vectors.
+    * Single-writer by contract, like every SnapshotDir root. */
   def build(emb: DataFrame, root: String, tables: Int = 16, bits: Int = 5,
       seed: Long = 42L, numBuckets: Int = 16): Unit = {
     val planes = LshPlanes.planesFor(tables, bits, seed)
+    val vectors = Similarity.prepared(emb).select("vec_id", "v", "nrm")
+    SnapshotDir.publishBucketed(vectors, s"$root/vectors",
+      bucketCol = "vec_id", numBuckets = numBuckets)
+    // just the snapshot NAME (currentDir returns the full path): the
+    // reader re-roots it under its own view of `root`
+    val vectorsSnap = java.nio.file.Paths.get(
+      SnapshotDir.currentDir(s"$root/vectors")
+        .getOrElse(sys.error(s"vectors publish left no snapshot at $root")))
+      .getFileName.toString
     val buckets = emb.select(col("vec_id"),
         posexplode(LshPlanes.keysCol(col("embedding"), planes)).as(Seq("tbl", "bkey")))
       .select(col("vec_id"),
@@ -53,33 +70,32 @@ object AnnIndex {
     SnapshotDir.publishBucketed(buckets, s"$root/buckets",
       bucketCol = "tb", numBuckets = numBuckets,
       meta = Map("tables" -> tables.toString, "bits" -> bits.toString,
-        "seed" -> seed.toString))
-    val vectors = Similarity.prepared(emb).select("vec_id", "v", "nrm")
-    SnapshotDir.publishBucketed(vectors, s"$root/vectors",
-      bucketCol = "vec_id", numBuckets = numBuckets)
-  }
-
-  /** The plane parameters the CURRENT buckets snapshot was built with. */
-  private def planeParams(root: String): (Int, Int, Long) = {
-    val meta = SnapshotDir.loadMeta(s"$root/buckets")
-    (meta.getOrElse("tables", sys.error(s"no index at $root")).toInt,
-      meta("bits").toInt, meta("seed").toLong)
+        "seed" -> seed.toString, "vectors_snap" -> vectorsSnap))
   }
 
   /** Approximate top-k neighbors for each row of `queries`
     * ((query_id, embedding)): candidates = corpus vectors sharing any
     * bucket with the query, re-ranked by exact cosine. The corpus
     * buckets and vectors both read pre-bucketed — the only shuffles
-    * are the (bounded) query keys and candidate ids. */
+    * are the (bounded) query keys and candidate ids.
+    *
+    * The buckets pointer is resolved ONCE; planes AND the paired
+    * vectors snapshot both come from that snapshot's atomic meta (a
+    * re-resolution could pair one build's planes with another's data —
+    * the divergence class SnapshotDir.loadMeta documents). */
   def topk(spark: SparkSession, root: String, queries: DataFrame, k: Int = 5): DataFrame = {
-    val (tables, bits, seed) = planeParams(root)
-    val planes = LshPlanes.planesFor(tables, bits, seed)
-    val corpusBuckets = SnapshotDir.currentDir(s"$root/buckets")
-      .map(d => SnapshotDir.readAt(spark, d, bucketsSchema))
+    val bucketsDir = SnapshotDir.currentDir(s"$root/buckets")
       .getOrElse(sys.error(s"no buckets snapshot at $root"))
-    val vectors = SnapshotDir.currentDir(s"$root/vectors")
-      .map(d => SnapshotDir.readAt(spark, d, vectorsSchema))
-      .getOrElse(sys.error(s"no vectors snapshot at $root"))
+    val meta = SnapshotDir.metaAt(bucketsDir)
+    val (tables, bits, seed) = (
+      meta.getOrElse("tables", sys.error(s"no index meta at $bucketsDir")).toInt,
+      meta("bits").toInt, meta("seed").toLong)
+    val planes = LshPlanes.planesFor(tables, bits, seed)
+    val corpusBuckets = SnapshotDir.readAt(spark, bucketsDir, bucketsSchema)
+    val vectors = SnapshotDir.readAt(spark,
+      s"$root/vectors/${meta.getOrElse("vectors_snap",
+        sys.error(s"buckets meta at $bucketsDir lacks vectors_snap"))}",
+      vectorsSchema)
 
     val qKeys = queries.select(col("query_id"),
         posexplode(LshPlanes.keysCol(col("embedding"), planes)).as(Seq("tbl", "bkey")))

@@ -135,7 +135,11 @@ object PipelineQueries {
     // runs; the per-query operator recomputes what this one persists.
     "ss_topk_ann_index" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      val root = java.nio.file.Files.createTempDirectory("graft-annq").toString
+      // deterministic per-sf root, NOT a fresh temp dir: the snapshot
+      // protocol retires the previous build on every publish, so
+      // repeated runs (bench double-runs, verify rounds) keep disk
+      // bounded at one index copy instead of accumulating orphans
+      val root = s"${sys.props("java.io.tmpdir")}/graft-annq-${math.abs(d.hashCode)}"
       val e = emb(s, d)
       graft.operators.AnnIndex.build(e, root,
         tables = LshPlanes.numTables, bits = LshPlanes.bitsPerTable, seed = 42L)

@@ -44,15 +44,16 @@ final class ApiServer(spark: SparkSession, files: () => DataFrame,
   // small pool: Spark actions are thread-safe and share the scheduler
   // fairly, and a long /duplicates must not serialize /health probes
   // behind it; sizing beyond a handful belongs to a real gateway
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4, r => {
     val t = new Thread(r, "graft-api"); t.setDaemon(true); t
-  }))
+  })
+  server.setExecutor(pool)
 
   /** The actual port after binding (pass port=0 for ephemeral). */
   def boundPort: Int = server.getAddress.getPort
 
   def start(): ApiServer = { wire(); server.start(); this }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() } // fixed pools never die on their own
 
   // ------------------------------------------------------------- plumbing
 

@@ -105,15 +105,20 @@ class NativeExprSpec extends SparkSpec {
       assert(df.select(eq.as("eq")).collect().forall(_.getBoolean(0)),
         s"key divergence at tables=$tables bits=$bits")
     }
-    // null element / wrong length ⇒ every bit '0', like null dots in the HOF
+    // null element / wrong length / NULL ARRAY ⇒ every bit '0', like
+    // null dots in the HOF (a null array must keep its all-'0' keys,
+    // not vanish from bucketing — UnaryExpression's default null
+    // propagation would silently drop the row)
     val weird = Seq(
-      (1L, Seq[Option[Float]](Some(1f), None)),        // null element
-      (2L, Seq[Option[Float]](Some(1f), Some(2f)))     // length 2 ≠ 64
+      (1L, Some(Seq[Option[Float]](Some(1f), None))),    // null element
+      (2L, Some(Seq[Option[Float]](Some(1f), Some(2f)))),// length 2 ≠ 64
+      (3L, None)                                         // null array
     ).toDF("id", "emb")
     val p1 = LshPlanes.planesFor(2, 3, seed = 977L)
     val out = weird.select(colOf(HyperplaneKeysExpr(
       GraftSqlBridge.expression(col("emb")), p1)).as("k")).collect()
-    assert(out.forall(_.getSeq[String](0).forall(_ == "000")))
+    assert(out.length == 3)
+    assert(out.forall(r => !r.isNullAt(0) && r.getSeq[String](0).forall(_ == "000")))
   }
 
   test("WinnowMinExpr == array_min over md5 of all 5-grams, incl. short strings") {

@@ -34,6 +34,8 @@ class AnnIndexSpec extends SparkSpec {
   }
 
   test("queries read the corpus pre-bucketed (no corpus-side Exchange)") {
+    import graft.fs.SnapshotDir
+    import org.apache.spark.sql.types._
     val root = Files.createTempDirectory("graft-annidx2").toString
     AnnIndex.build(emb, root, tables = 4, bits = 4, numBuckets = 4)
     val queries = emb.filter(col("vec_id") === 0)
@@ -42,6 +44,32 @@ class AnnIndexSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     // both corpus artifacts scan as bucketed tables
     assert("Bucketed: true".r.findAllIn(plan).size >= 2, plan)
+
+    // the property by construction, not just by label: joining each
+    // bucketed artifact on its bucket column must produce NO Exchange
+    // on the corpus side — broadcast probe has zero Exchanges; a
+    // shuffle join against `vectors` has exactly one (the probe side)
+    val bucketsDir = SnapshotDir.currentDir(s"$root/buckets").get
+    val corpusBuckets = SnapshotDir.readAt(spark, bucketsDir, StructType(Seq(
+      StructField("vec_id", LongType), StructField("tb", StringType))))
+    val probe = broadcast(Seq((0L, "0:0000")).toDF("query_id", "tb"))
+      .join(corpusBuckets, Seq("tb"))
+    // the query side broadcasts (BroadcastExchange of a handful of keys
+    // is the point); what must NOT appear is a shuffle of the corpus
+    val probePlan = probe.queryExecution.executedPlan.toString
+    assert(!probePlan.contains("Exchange hashpartitioning"), probePlan)
+    val vectorsSnap = SnapshotDir.metaAt(bucketsDir)("vectors_snap")
+    val vectors = SnapshotDir.readAt(spark, s"$root/vectors/$vectorsSnap",
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("v", ArrayType(DoubleType)), StructField("nrm", DoubleType))))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fetch = Seq(1L, 2L).toDF("vec_id").join(vectors, Seq("vec_id"))
+      val fplan = fetch.queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(fplan).size == 1, fplan) // candidate side only
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
     // rebuild replaces the snapshot atomically; queries keep working
     AnnIndex.build(emb, root, tables = 4, bits = 4, numBuckets = 4)
     assert(AnnIndex.topk(spark, root, queries, k = 3).count() > 0)
