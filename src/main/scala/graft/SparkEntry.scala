@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ExtQueries, FileQueries, ParityQueries, PipelineQueries, TpchQueries}
+import graft.queries.{CorpusQueries, ExtQueries, FileQueries, ParityQueries, PipelineQueries, TpchQueries}
 import graft.tables.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,12 +20,12 @@ object SparkEntry {
   /** One entry per implemented operator: SURVEY.md §2 inventory (fi_*)
     * plus the training-data-pipeline surface (ta_/dd_/ss_/mm_*). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries ++ PipelineQueries.queries ++ ExtQueries.queries ++
-      TpchQueries.queries
+    ParityQueries.queries ++ PipelineQueries.queries ++ CorpusQueries.queries ++
+      ExtQueries.queries ++ TpchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    ParityQueries.oracle ++ PipelineQueries.oracle ++ ExtQueries.oracle ++
-      TpchQueries.oracle
+    ParityQueries.oracle ++ PipelineQueries.oracle ++ CorpusQueries.oracle ++
+      ExtQueries.oracle ++ TpchQueries.oracle
 }

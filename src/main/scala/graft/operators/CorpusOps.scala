@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between dedup and training: benchmark decontamination, deterministic
+  * sampling, and token-budget shard packing.
+  *
+  * Scale design:
+  *
+  *  - [[contaminationPairs]] joins the TRAIN inverted n-gram index
+  *    against the TEST one — held-out benchmark suites are tiny by
+  *    definition, so the test index broadcasts and the train corpus
+  *    never shuffles for the probe; only genuinely-overlapping
+  *    (train, test) pairs reach the aggregate.
+  *  - [[hashSample]] is stateless — a narrow filter on a hash prefix,
+  *    no shuffle, resumable and stable under corpus growth (a doc's
+  *    membership never depends on other docs).
+  *  - [[stratifiedSample]] is a per-stratum top-k by hash order; the
+  *    rank filter compiles to Spark's WindowGroupLimit, which prunes
+  *    each map partition to k rows BEFORE the shuffle, so the sort
+  *    never sees more than tasks×k rows per stratum.
+  *  - [[packShards]] computes a corpus-wide running token total with
+  *    the classic two-phase scan: per-block cumulative sums in
+  *    parallel, plus a prefix-offset per block computed over the
+  *    (tiny, one row per block) block-total table. The only
+  *    single-partition window runs over blocks, not documents —
+  *    100 TB at blockSize 10^6 is ~10^5 offset rows.
+  */
+object CorpusOps {
+
+  /** Word n-gram shingles as an inverted index (doc_id, shingle),
+    * reusing the dedup shingle definition (distinct n-grams). */
+  private def inverted(docs: DataFrame, n: Int): DataFrame =
+    Dedup.withShingles(docs, n)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+
+  /** Benchmark decontamination: (train, test) document pairs sharing
+    * at least `minOverlap` distinct word `n`-grams. `isTest` splits
+    * the corpus (a real pipeline passes the benchmark suite as the
+    * test side; here it is a predicate over one table so the oracle
+    * can see the same split).
+    *
+    * Decontamination wants LONG grams (a 5-gram colliding by chance
+    * is rare; a 13-gram practically never) — contrast with the
+    * 3-grams dedup uses for recall. */
+  def contaminationPairs(docs: DataFrame, isTest: Column, n: Int = 5,
+      minOverlap: Long = 3L): DataFrame = {
+    val inv = inverted(docs, n)
+    val test = broadcast(inv.filter(isTest).select(
+      col("doc_id").as("test_id"), col("shingle")))
+    inv.filter(!isTest).select(col("doc_id").as("train_id"), col("shingle"))
+      .join(test, Seq("shingle"))
+      .groupBy("train_id", "test_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .orderBy("train_id", "test_id")
+  }
+
+  /** The decontaminated keep-list: train documents with NO flagged
+    * overlap against the test side — the end product a training run
+    * actually consumes. Anti join against the (small) flagged set. */
+  def decontaminatedKeep(docs: DataFrame, isTest: Column, n: Int = 5,
+      minOverlap: Long = 3L): DataFrame = {
+    val bad = contaminationPairs(docs, isTest, n, minOverlap)
+      .select(col("train_id").as("doc_id")).distinct()
+    docs.filter(!isTest)
+      .join(broadcast(bad), Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic Bernoulli-by-hash sample: keep a document iff the
+    * first two hex digits of md5(doc_id) fall at or below `hexCeil`
+    * ("19" ⇒ 26/256 ≈ 10.2%). Membership is a pure function of the
+    * doc id — stable across runs, machines, and corpus growth, and
+    * train/eval splits can be carved from disjoint hash ranges. */
+  def hashSample(docs: DataFrame, hexCeil: String = "19"): DataFrame =
+    docs.filter(substring(md5(col("doc_id").cast("string")), 1, 2) <= hexCeil)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+
+  /** Stratified sample: the `quota` documents per stratum (language)
+    * that sort first by md5(doc_id) — i.e. a deterministic uniform
+    * draw within each stratum, the standard way to rebalance a
+    * multilingual corpus. The rank-filter shape lets Spark insert
+    * WindowGroupLimit: each map task keeps only its local top-`quota`
+    * per stratum before the shuffle. */
+  def stratifiedSample(docs: DataFrame, quota: Int = 20): DataFrame = {
+    val h = md5(col("doc_id").cast("string"))
+    docs.select(col("doc_id"), col("lang"), h.as("h"))
+      .withColumn("rk", row_number()
+        .over(Window.partitionBy("lang").orderBy(col("h"), col("doc_id")))
+        .cast("int"))
+      .filter(col("rk") <= quota)
+      .select("doc_id", "lang", "rk")
+      .orderBy("lang", "rk")
+  }
+
+  /** Token-budget shard packing: documents in doc_id order fill shard
+    * 0 until `budget` whitespace tokens are consumed, then shard 1,
+    * and so on — `shard_id = tokens_before_this_doc div budget` (greedy
+    * fill; a doc straddling a boundary belongs to the shard it started
+    * in). This is how a corpus becomes fixed-size training shards with
+    * a deterministic, order-preserving layout.
+    *
+    * Two-phase cumulative sum (a global `sum() over (order by ...)`
+    * window would drag the whole corpus through ONE partition):
+    * documents cumulate inside blocks of `blockSize` ids in parallel,
+    * and each block adds a starting offset computed from the per-block
+    * totals — a table with one row per block, small enough that its
+    * own prefix window is driver-trivial and broadcastable. */
+  def packShards(docs: DataFrame, budget: Long = 2048L,
+      blockSize: Long = 64L): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      expr(s"doc_id div $blockSize").as("blk"))
+    val offsets = toks.groupBy("blk").agg(sum("n_tokens").as("blk_tokens"))
+      .withColumn("offset", coalesce(
+        sum("blk_tokens").over(
+          Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("blk", "offset")
+    toks.join(broadcast(offsets), Seq("blk"))
+      .withColumn("cum_before", col("offset") + coalesce(
+        sum("n_tokens").over(Window.partitionBy("blk").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"cum_before div $budget").as("shard_id"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.operators.CorpusOps
+import graft.tables.Tables
+
+/** Corpus-curation operators (decontamination, deterministic sampling,
+  * shard packing) as oracle-paired query instances over `documents` —
+  * the pipeline stages that sit between dedup and training.
+  *
+  * The train/test split used throughout is `doc_id % 17 = 0` ⇒ test
+  * (≈6% of docs), expressed identically in the oracle so both engines
+  * see the same benchmark suite.
+  */
+object CorpusQueries {
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  private val isTest = col("doc_id") % 17 === 0
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Benchmark decontamination: train docs sharing ≥3 distinct word
+    // 5-grams with any test doc. Long grams (not dedup's 3-grams):
+    // a 5-gram colliding by chance is rare, so overlap is evidence of
+    // actual leakage, and the threshold trims coincidences.
+    "tp_contamination" -> ((s, d) =>
+      CorpusOps.contaminationPairs(docs(s, d), isTest, n = 5, minOverlap = 3L)),
+    // The decontaminated keep-list — what a training run consumes.
+    "tp_decontam_keep" -> ((s, d) =>
+      CorpusOps.decontaminatedKeep(docs(s, d), isTest, n = 5, minOverlap = 3L)),
+    // Deterministic ~10% Bernoulli-by-hash sample (hex prefix ≤ '19').
+    "tp_hash_sample" -> ((s, d) => CorpusOps.hashSample(docs(s, d), hexCeil = "19")),
+    // 20 docs per language, drawn by hash order within each stratum.
+    "tp_stratified_sample" -> ((s, d) =>
+      CorpusOps.stratifiedSample(docs(s, d), quota = 20)),
+    // Greedy token-budget shard assignment (2048 tokens per shard),
+    // two-phase cumulative sum (blockSize 64 ⇒ the testdata exercises
+    // MANY blocks, so the offset path is genuinely covered).
+    "tp_pack_shards" -> ((s, d) =>
+      CorpusOps.packShards(docs(s, d), budget = 2048L, blockSize = 64L))
+  )
+
+  private val T = "string_split(text, ' ')"
+  private def shinglesSql(n: Int): String =
+    s"list_distinct(list_transform(generate_series(1, greatest(len($T) - ${n - 1}, 1)), " +
+      s"i -> array_to_string(list_slice($T, i, i + ${n - 1}), ' ')))"
+
+  /** Shared CTE prefix: inverted 5-gram index split train/test. */
+  private val invSplitSql: String =
+    s"""WITH sh AS (SELECT doc_id, ${shinglesSql(5)} AS shingles FROM documents),
+       |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |te AS (SELECT * FROM inv WHERE doc_id % 17 = 0),
+       |tr AS (SELECT * FROM inv WHERE doc_id % 17 <> 0)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "tp_contamination" ->
+      s"""$invSplitSql
+         |SELECT tr.doc_id AS train_id, te.doc_id AS test_id, count(*) AS n_overlap
+         |FROM tr JOIN te ON tr.shingle = te.shingle
+         |GROUP BY 1, 2 HAVING count(*) >= 3
+         |ORDER BY train_id, test_id""".stripMargin,
+    "tp_decontam_keep" ->
+      s"""$invSplitSql,
+         |bad AS (SELECT tr.doc_id FROM tr JOIN te ON tr.shingle = te.shingle
+         |  GROUP BY tr.doc_id, te.doc_id HAVING count(*) >= 3)
+         |SELECT doc_id, lang, n_chars FROM documents d
+         |WHERE d.doc_id % 17 <> 0
+         |  AND NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = d.doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "tp_hash_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19'
+        |ORDER BY doc_id""".stripMargin,
+    "tp_stratified_sample" ->
+      """SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang, CAST(row_number() OVER (
+        |      PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+    "tp_pack_shards" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($T) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM t)
+         |SELECT doc_id, n_tokens, cum_before // 2048 AS shard_id
+         |FROM c ORDER BY doc_id""".stripMargin
+  )
+}

@@ -112,6 +112,42 @@ object FileQueries {
         Seq("path", "filename"), "left_semi")
       .orderBy(col("path"), col("filename"))
 
+  /** B8, bloom-prefiltered form — the shape for probe sets too big to
+    * broadcast raw (say 10^8 ingest paths against a 10^10-row index):
+    * fold the probe keys DISTRIBUTED into a fixed-size bloom filter
+    * (`df.stat.bloomFilter` is a treeAggregate — keys never collect to
+    * the driver), ship the filter to every scan task, and drop
+    * non-members before any join. The exact semi join then runs only
+    * over the surviving fraction (true matches + fpp), restoring
+    * exactness — bloom filters have no false negatives, so the result
+    * is IDENTICAL to [[existingProbe]] and shares its oracle. */
+  def existingProbeBloom(index: DataFrame, batch: DataFrame,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val b = batch.select("path", "filename")
+    // composite key with a separator no path can contain, so
+    // ("a","b c") never collides with ("a b","c")
+    def key(df: DataFrame): Column =
+      concat_ws("\u0000", df("path"), df("filename"))
+    val keyed = b.select(key(b).as("k"))
+    val nKeys = keyed.count()
+    // zero probe keys: the answer is vacuously empty, and Spark's
+    // bloom aggregate returns null bytes over zero rows — skip the
+    // prefilter and let the empty semi join say so
+    if (nKeys == 0L) return existingProbe(index, batch)
+    val bloom = keyed.stat.bloomFilter("k", nKeys, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val pre = index.filter(GraftSqlBridge.column(
+      graft.functions.BloomContainsExpr(
+        GraftSqlBridge.expression(key(index)), bytes)))
+    pre.join(broadcast(b), Seq("path", "filename"), "left_semi")
+      .orderBy(col("path"), col("filename"))
+  }
+
   /** C1 — duplicate finder (indexer.py:751-794). The reference
     * self-joins `files` on checksum with rowid inequality; that is a
     * full O(n²-ish) shuffle at scale. One window count over a single

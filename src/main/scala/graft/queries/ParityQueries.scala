@@ -48,6 +48,14 @@ object ParityQueries {
       val f = files(s, d)
       existingProbe(f, f.filter(col("filename").like("%.log")))
     }),
+    // B8 at scale — bloom-prefiltered probe: distributed bloom build,
+    // scan-side membership filter, exact verify join over survivors.
+    // Identical rows to fi_existing_probe (no false negatives), so it
+    // shares that oracle.
+    "fi_existing_probe_bloom" -> ((s, d) => {
+      val f = files(s, d)
+      existingProbeBloom(f, f.filter(col("filename").like("%.log")))
+    }),
     // C1 — duplicate finder, window form (indexer.py:751-794)
     "fi_duplicates" -> ((s, d) => duplicates(files(s, d))),
     // C2/D11 — duplicate groups + members + wasted_space (database.py:294-379)
@@ -290,6 +298,12 @@ object ParityQueries {
       """SELECT * FROM files WHERE file_size = 610929 AND checksum IS NULL
         |ORDER BY path, filename""".stripMargin),
     "fi_existing_probe" -> w(
+      """SELECT f.* FROM files f
+        |WHERE EXISTS (SELECT 1 FROM files b
+        |  WHERE b.filename LIKE '%.log' AND b.path = f.path AND b.filename = f.filename)
+        |ORDER BY f.path, f.filename""".stripMargin),
+    // bloom prefilter + exact verify ⇒ same rows as the exact probe
+    "fi_existing_probe_bloom" -> w(
       """SELECT f.* FROM files f
         |WHERE EXISTS (SELECT 1 FROM files b
         |  WHERE b.filename LIKE '%.log' AND b.path = f.path AND b.filename = f.filename)

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkDocs(rows: Seq[(Long, String)]) =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", expr("CASE WHEN doc_id % 3 = 0 THEN 'en' WHEN doc_id % 3 = 1 THEN 'de' ELSE 'fr' END"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("contaminationPairs flags planted leakage, not disjoint docs") {
+    val leaked = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = mkDocs(Seq(
+      17L -> leaked,                                   // test (17 % 17 == 0)
+      100L -> s"prefix words here $leaked and a suffix", // train, contains the test text
+      101L -> "completely different content with no shared phrases at all",
+      34L -> "another test doc that nobody copied from anywhere else"))
+    val pairs = CorpusOps.contaminationPairs(docs, col("doc_id") % 17 === 0,
+      n = 5, minOverlap = 3L).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((100L, 17L)))
+    // overlap = number of shared distinct 5-grams; the leaked sentence
+    // has 10 tokens ⇒ 6 five-grams, all present in doc 100
+    assert(pairs.head.getLong(2) == 6L)
+
+    val keep = CorpusOps.decontaminatedKeep(docs, col("doc_id") % 17 === 0,
+      n = 5, minOverlap = 3L).select("doc_id").as[Long].collect().toSet
+    assert(keep == Set(101L)) // 100 contaminated; 17/34 are test side
+  }
+
+  test("contaminationPairs plan: no cartesian, test side broadcast") {
+    val docs = mkDocs((1L to 60L).map(i => i -> s"word$i filler tokens common phrase number $i here"))
+    val plan = CorpusOps.contaminationPairs(docs, col("doc_id") % 17 === 0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("hashSample is deterministic and splits disjointly by hex range") {
+    val docs = mkDocs((1L to 400L).map(i => i -> s"doc $i"))
+    val a = CorpusOps.hashSample(docs, "19").select("doc_id").as[Long].collect().toSet
+    val b = CorpusOps.hashSample(docs, "19").select("doc_id").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)
+    // ~10% of 400 with binomial spread
+    assert(a.size > 15 && a.size < 90, s"got ${a.size}")
+    // a disjoint later range never overlaps: membership is a pure
+    // function of the hash prefix, so ranges partition the corpus
+    val c = CorpusOps.hashSample(docs, "ff").select("doc_id").as[Long].collect().toSet
+    assert(c.size == 400) // full range = everything
+  }
+
+  test("stratifiedSample == brute reference; WindowGroupLimit prunes pre-shuffle") {
+    val docs = mkDocs((1L to 300L).map(i => i -> s"doc $i"))
+    val got = CorpusOps.stratifiedSample(docs, quota = 7)
+    val brute = docs.select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rk", row_number()
+        .over(Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))).cast("int"))
+      .filter(col("rk") <= 7).select("doc_id", "lang", "rk").orderBy("lang", "rk")
+    assert(got.collect().toSeq == brute.collect().toSeq)
+    assert(got.groupBy("lang").count().collect().forall(_.getLong(1) == 7L))
+    // the rank filter must push a per-partition group limit below the
+    // shuffle — without it every stratum sorts its full membership
+    assert(got.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      got.queryExecution.executedPlan.toString)
+  }
+
+  test("packShards two-phase == global-window reference, with id gaps and odd block size") {
+    // sparse non-contiguous ids: blocks of wildly different sizes,
+    // including empty ones
+    val ids = Seq(1L, 2L, 3L, 50L, 51L, 700L, 701L, 702L, 703L, 9000L)
+    val docs = mkDocs(ids.map(i => i -> (s"tok " * (i % 37 + 1).toInt).trim))
+    val got = CorpusOps.packShards(docs, budget = 40L, blockSize = 7L).collect()
+    val ref = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(
+        sum("n_tokens").over(Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("cum_before div 40").as("shard_id"))
+      .orderBy("doc_id").collect()
+    assert(got.toSeq == ref.toSeq)
+    // shard ids are monotone in doc order and start at 0
+    val shards = got.map(_.getLong(2))
+    assert(shards.head == 0L && shards.sliding(2).forall(p => p(0) <= p(1)))
+  }
+
+  test("packShards: the only unpartitioned window runs over block totals, not documents") {
+    val docs = mkDocs((1L to 500L).map(i => i -> s"some tokens for doc $i"))
+    val plan = CorpusOps.packShards(docs, budget = 64L, blockSize = 16L)
+      .queryExecution.optimizedPlan.toString
+    // two windows: the doc-level one partitioned by blk, the offset one
+    // over the aggregated block table (input = Aggregate, rows = #blocks)
+    val windows = "Window ".r.findAllIn(plan).size
+    assert(windows == 2, plan)
+    assert(plan.contains("windowspecdefinition(blk"), plan)
+  }
+}

@@ -123,4 +123,22 @@ class FileQueriesSpec extends SparkSpec {
     val hits = FileQueries.substringSearch(files, "txt")
     assert(hits.count() == 3) // one.txt, two.txt, three.TXT
   }
+
+  test("existingProbeBloom == exact probe (no false negatives survive the verify join)") {
+    val batch = files.filter($"filename".like("%.tar.gz") || $"filename" === "six")
+    val exact = FileQueries.existingProbe(files, batch).collect().toSeq
+    val bloomed = FileQueries.existingProbeBloom(files, batch).collect().toSeq
+    assert(bloomed == exact && exact.length == 3)
+    // empty probe set still answers (empty), rather than erroring on a
+    // zero-item bloom
+    val none = files.filter($"filename" === "no-such-file")
+    assert(FileQueries.existingProbeBloom(files, none).count() == 0)
+    // the prefilter really is a scan-side Filter on the bloom
+    // expression below the verify join (check the ANALYZED plan: over
+    // a LocalRelation the optimizer legitimately folds the filter into
+    // the local rows; on a parquet scan it stays as a scan filter)
+    val plan = FileQueries.existingProbeBloom(files, batch)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("graft_bloom_contains"), plan)
+  }
 }
