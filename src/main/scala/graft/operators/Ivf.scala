@@ -30,13 +30,13 @@ object Ivf {
   /** Squared euclidean distance to a literal centroid = |v|² − 2·v·c +
     * |c|² — only the −2·v·c term varies per centroid, so rank by
     * v·c − |c|²/2 (argmin dist ≡ argmax of that). */
-  private def score(v: Column, centroid: Array[Double]): Column = {
+  private[operators] def score(v: Column, centroid: Array[Double]): Column = {
     val c2 = centroid.map(x => x * x).sum / 2.0
     VectorOps.dot(v, typedLit(centroid.toSeq)) - lit(c2)
   }
 
   /** Cell id (0-based argmax of [[score]]) for each row's `v`. */
-  private def assign(centroids: Seq[Array[Double]]): Column = {
+  private[operators] def assign(centroids: Seq[Array[Double]]): Column = {
     val scores = array(centroids.map(c => score(col("v"), c)): _*)
     (array_position(scores, array_max(scores)) - 1).cast("int")
   }

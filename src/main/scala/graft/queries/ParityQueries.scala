@@ -138,6 +138,32 @@ object ParityQueries {
         expr("percentile(file_size, 0.75D)").as("p75"),
         expr("percentile(file_size, 0.9D)").as("p90"),
         expr("percentile(file_size, 0.37D)").as("size_p37"))),
+    // Approximate percentiles — the 100 TB path for the quantile
+    // surface: exact `percentile` buffers every value per group (a
+    // full sort's worth of memory), while `approx_percentile` is a
+    // one-pass mergeable quantile summary with a rated rank error of
+    // 1/accuracy. Contract row (same pattern as fi_stats_approx):
+    // exact values hash-compare against DuckDB's quantile_cont, and
+    // booleans assert the sketch landed within 10% relative value
+    // error — far above accuracy 10000's rank error on this data, so
+    // the row fails only if the sketch genuinely breaks.
+    "fi_size_percentiles_approx" -> ((s, d) => {
+      val withinPct = 0.10
+      def within(a: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =
+        when(e === 0, a === 0)
+          .otherwise(abs(a.cast("double") / e.cast("double") - 1.0) <= withinPct)
+      files(s, d).agg(
+          expr("percentile(file_size, 0.5D)").as("exact_p50"),
+          expr("percentile(file_size, 0.9D)").as("exact_p90"),
+          expr("percentile(file_size, 0.99D)").as("exact_p99"),
+          expr("approx_percentile(file_size, 0.5D, 10000)").as("a50"),
+          expr("approx_percentile(file_size, 0.9D, 10000)").as("a90"),
+          expr("approx_percentile(file_size, 0.99D, 10000)").as("a99"))
+        .select(col("exact_p50"), col("exact_p90"), col("exact_p99"),
+          within(col("a50"), col("exact_p50")).as("p50_in_bounds"),
+          within(col("a90"), col("exact_p90")).as("p90_in_bounds"),
+          within(col("a99"), col("exact_p99")).as("p99_in_bounds"))
+    }),
     // Approximate distinct counts (HLL) — the 100 TB path for D4-style
     // cardinalities. DuckDB can't reproduce Spark's HLL++ values, but
     // the CONTRACT is checkable: emit the exact distincts plus booleans
@@ -404,6 +430,14 @@ object ParityQueries {
         |  quantile_cont(file_size, 0.75) AS p75,
         |  quantile_cont(file_size, 0.9) AS p90,
         |  quantile_cont(file_size, 0.37) AS size_p37
+        |FROM files""".stripMargin),
+    "fi_size_percentiles_approx" -> w(
+      """SELECT quantile_cont(file_size, 0.5) AS exact_p50,
+        |  quantile_cont(file_size, 0.9) AS exact_p90,
+        |  quantile_cont(file_size, 0.99) AS exact_p99,
+        |  TRUE AS p50_in_bounds,
+        |  TRUE AS p90_in_bounds,
+        |  TRUE AS p99_in_bounds
         |FROM files""".stripMargin),
     "fi_stats_approx" -> w(
       """SELECT COUNT(DISTINCT checksum) AS exact_checksums,

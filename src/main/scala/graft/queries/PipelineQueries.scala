@@ -159,20 +159,30 @@ object PipelineQueries {
     // so the asserted bound is 0.4. The oracle projects the exact query
     // count and a literal TRUE; the hash fails iff recall degrades.
     "ss_topk_ivf_recall" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.functions.col
       val e = emb(s, d)
-      val ivf = graft.operators.Ivf.topkIvf(e, queryMod = 50L, k = 5)
-        .select(col("query_id"), col("cand_id"))
-      val brute = Similarity.topkBrute(e, queryMod = 50L, k = 5)
-        .select(col("query_id"), col("cand_id"))
-      val hits = brute.join(ivf, Seq("query_id", "cand_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
-      brute.groupBy("query_id").agg(count(lit(1)).as("n_brute"))
-        .join(hits, Seq("query_id"), "left")
-        .select((coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_brute"))
-          .as("recall"))
-        .agg(count(lit(1)).as("n_queries"),
-          (avg(col("recall")) >= 0.4).as("mean_recall_ok"))
+      recallContract(e, graft.operators.Ivf.topkIvf(e, queryMod = 50L, k = 5)
+        .select(col("query_id"), col("cand_id")))
+    }),
+    // The PERSISTED-IVF path under the same contract: build the index
+    // through the snapshot protocol (inverted lists bucketed by cell,
+    // centroids in atomic meta), answer the identical query set from
+    // it. Training is deterministic (decimal-exact averaging), so this
+    // is bit-identical to ss_topk_ivf — spec-checked in IvfIndexSpec;
+    // the oracle row pins the recall CONTRACT of the production
+    // "train once, probe many" deployment shape.
+    "ss_topk_ivf_index_recall" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      // deterministic per-sf root: repeated runs re-publish through the
+      // snapshot protocol (one index copy on disk) instead of
+      // accumulating orphan temp dirs
+      val root = s"${sys.props("java.io.tmpdir")}/graft-ivfq-${math.abs(d.hashCode)}"
+      val e = emb(s, d)
+      graft.operators.IvfIndex.build(e, root, nCentroids = 16, iters = 2)
+      val queries = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      recallContract(e, graft.operators.IvfIndex.topk(s, root, queries, k = 5, nProbe = 4)
+        .select(col("query_id"), col("cand_id")))
     }),
     // Token counting — whitespace tokens, distinct tokens, mean length.
     "ta_token_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))),
@@ -187,6 +197,24 @@ object PipelineQueries {
     // Document fingerprinting — full / prefix / winnowing-min hashes.
     "ta_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(docs(s, d)))
   )
+
+  /** The ANN recall contract shared by the recomputed and persisted
+    * IVF paths: mean recall@5 vs the exact scan must clear 0.4 (the
+    * near-isotropic-testdata bound — see ss_topk_ivf_recall's comment).
+    * `ann` = (query_id, cand_id) for queries {vec_id % 50 == 0}. */
+  private def recallContract(corpus: DataFrame, ann: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val brute = Similarity.topkBrute(corpus, queryMod = 50L, k = 5)
+      .select(col("query_id"), col("cand_id"))
+    val hits = brute.join(ann, Seq("query_id", "cand_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    brute.groupBy("query_id").agg(count(lit(1)).as("n_brute"))
+      .join(hits, Seq("query_id"), "left")
+      .select((coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_brute"))
+        .as("recall"))
+      .agg(count(lit(1)).as("n_queries"),
+        (avg(col("recall")) >= 0.4).as("mean_recall_ok"))
+  }
 
   private val T = "string_split(text, ' ')"
 
@@ -437,6 +465,10 @@ object PipelineQueries {
     // identical plane family — one ground truth, two execution paths
     "ss_topk_ann_index" -> topkLshSql,
     "ss_topk_ivf_recall" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS mean_recall_ok
+        |FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id % 50 = 0)""".stripMargin,
+    // identical contract for the persisted-index path
+    "ss_topk_ivf_index_recall" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS mean_recall_ok
         |FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id % 50 = 0)""".stripMargin,
     "ta_token_stats" ->
