@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.nio.file.StandardCopyOption
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -57,17 +59,111 @@ object IvfIndex {
       meta = Map("centroids" -> encode(centroids)))
   }
 
+  // ------------------------------------------------- incremental appends
+
+  private val DeltaName = """delta-(\d+)""".r
+
+  /** Delta dirs under the cells root as (seq, path). Lookalike entries
+    * (`delta-tmp-*`, overflowing digit runs) are skipped per-entry, so
+    * a junk name can never truncate the live-delta list silently. */
+  private def deltaDirs(root: String): Seq[(Long, String)] = {
+    val cells = java.nio.file.Paths.get(s"$root/cells")
+    if (!java.nio.file.Files.isDirectory(cells)) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val ds = java.nio.file.Files.newDirectoryStream(cells)
+    try ds.forEach { p =>
+      p.getFileName.toString match {
+        case DeltaName(id) => id.toLongOption.foreach(n => out += ((n, p.toString)))
+        case _ => ()
+      }
+    } finally ds.close()
+    out.toSeq.sortBy(_._1)
+  }
+
+  /** Append NEW vectors without a rebuild: assign them to the EXISTING
+    * centroids (from the base snapshot being appended to) and land them
+    * as an immutable `delta-<seq>` directory next to the base — O(delta)
+    * work, the daily-ingest shape (a retrain + full republish rewrites
+    * the whole corpus per arrival batch). [[topk]] probes base ∪ live
+    * deltas; [[compact]] periodically folds deltas into a fresh
+    * bucketed base, exactly the base+delta+watermark protocol of the
+    * streaming dedup index ([[graft.streaming.DedupStream]]).
+    *
+    * Crash-safe: data lands in a `delta-tmp-*` dir (ignored by every
+    * reader) and is atomically renamed into place — a crash leaves only
+    * ignorable garbage. Contract: single writer per root (as for every
+    * SnapshotDir root) and appended vec_ids are new (append-only
+    * corpus). Centroids never move on append, so recall vs a retrained
+    * index decays only with corpus drift — watch the recall contract
+    * row (`ss_topk_ivf_index_recall`) and rebuild when it sags.
+    *
+    * @return the sequence number of the published delta */
+  def append(emb: DataFrame, root: String): Long = {
+    val cellsDir = SnapshotDir.currentDir(s"$root/cells")
+      .getOrElse(sys.error(s"no IVF snapshot at $root — build before append"))
+    val meta = SnapshotDir.metaAt(cellsDir)
+    val centroids = decode(meta.getOrElse("centroids",
+      sys.error(s"IVF snapshot at $cellsDir lacks centroids meta")))
+    val mark = meta.get("compacted_through").map(_.toLong).getOrElse(-1L)
+    val seq = (mark +: deltaDirs(root).map(_._1)).max + 1L
+    val tmp = java.nio.file.Paths.get(s"$root/cells/delta-tmp-${java.util.UUID.randomUUID()}")
+    Similarity.prepared(emb)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .withColumn("cell", Ivf.assign(centroids))
+      .write.mode("overwrite").parquet(tmp.toString)
+    java.nio.file.Files.move(tmp, tmp.resolveSibling(s"delta-$seq"),
+      StandardCopyOption.ATOMIC_MOVE)
+    seq
+  }
+
+  /** Fold live deltas into a fresh bucketed base (same centroids), with
+    * the `compacted_through` watermark published atomically WITH the new
+    * base: a crash before the pointer flip leaves old base + live
+    * deltas; after it, the new base's watermark retires them, so the
+    * trailing per-delta removal is best-effort cleanup only. */
+  def compact(spark: SparkSession, root: String, numBuckets: Int = 16): Unit = {
+    val cellsDir = SnapshotDir.currentDir(s"$root/cells")
+      .getOrElse(sys.error(s"no IVF snapshot at $root"))
+    val meta = SnapshotDir.metaAt(cellsDir)
+    val mark = meta.get("compacted_through").map(_.toLong).getOrElse(-1L)
+    val live = deltaDirs(root).filter(_._1 > mark)
+    if (live.isEmpty) return
+    val all = SnapshotDir.readAt(spark, cellsDir, cellsSchema)
+      .unionByName(spark.read.schema(cellsSchema).parquet(live.map(_._2): _*))
+    SnapshotDir.publishBucketed(all, s"$root/cells",
+      bucketCol = "cell", numBuckets = numBuckets,
+      meta = Map("centroids" -> meta("centroids"),
+        "compacted_through" -> live.map(_._1).max.toString))
+    live.foreach { case (_, p) =>
+      try SnapshotDir.deleteRecursively(java.nio.file.Paths.get(p))
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   /** Approximate top-k neighbors for each row of `queries`
     * ((query_id, embedding)): per query, pick the nProbe best cells by
     * centroid score, probe ONLY those inverted lists (bucketed corpus
-    * side — no Exchange), exact cosine re-rank. */
+    * side — no Exchange) plus any live append deltas, exact cosine
+    * re-rank. The base and each delta are probed as SEPARATE joins
+    * unioned afterwards, so the union never erases the base's bucketed
+    * layout; delta sides are small by the append contract and join the
+    * broadcast probe without shuffling either. Base, centroids, and
+    * watermark all come from ONE resolved snapshot — re-resolving could
+    * pair an old base with a newer watermark across a concurrent
+    * compaction's pointer flip. */
   def topk(spark: SparkSession, root: String, queries: DataFrame,
       k: Int = 5, nProbe: Int = 4): DataFrame = {
     val cellsDir = SnapshotDir.currentDir(s"$root/cells")
       .getOrElse(sys.error(s"no IVF snapshot at $root"))
-    val centroids = decode(SnapshotDir.metaAt(cellsDir).getOrElse("centroids",
+    val meta = SnapshotDir.metaAt(cellsDir)
+    val centroids = decode(meta.getOrElse("centroids",
       sys.error(s"IVF snapshot at $cellsDir lacks centroids meta")))
-    val cells = SnapshotDir.readAt(spark, cellsDir, cellsSchema)
+    val mark = meta.get("compacted_through").map(_.toLong).getOrElse(-1L)
+    val base = SnapshotDir.readAt(spark, cellsDir, cellsSchema)
+    val liveDeltas = deltaDirs(root).collect { case (id, p) if id > mark => p }
+    val corpusParts =
+      if (liveDeltas.isEmpty) Seq(base)
+      else Seq(base, spark.read.schema(cellsSchema).parquet(liveDeltas: _*))
 
     val q = Similarity.prepared(
         queries.select(col("query_id").as("vec_id"), col("embedding")))
@@ -82,15 +178,19 @@ object IvfIndex {
       .select("query_id", "qv", "qn", "cell")
 
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))
-    broadcast(qCells)
-      .join(cells.select(col("vec_id").as("cand_id"), col("v").as("cv"),
-        col("nrm").as("cn"), col("cell")), "cell")
-      .filter(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"),
-        (VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
-      // no distinct needed: the join key is the CANDIDATE's cell and
-      // each candidate lives in exactly one, so a (query, candidate)
-      // pair can only join once even though the query probes nProbe cells
+    corpusParts.map { part =>
+      broadcast(qCells)
+        .join(part.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+          col("nrm").as("cn"), col("cell")), "cell")
+        .filter(col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"),
+          (VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+    }
+      // no distinct needed: the join key is the CANDIDATE's cell, each
+      // candidate lives in exactly one cell and (by the append contract)
+      // in exactly one part, so a (query, candidate) pair joins once
+      // even though the query probes nProbe cells
+      .reduce(_ unionByName _)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .orderBy("query_id", "rnk")

@@ -192,6 +192,8 @@ object PipelineQueries {
     "ta_vocab_top" -> ((s, d) => TextAnalysis.vocabTop(docs(s, d), k = 20)),
     // Quality scoring — length / stopword / vocabulary-diversity signals.
     "ta_quality" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d))),
+    // Gopher-style repetition cuts — top-token / top-bigram shares.
+    "ta_repetition" -> ((s, d) => TextAnalysis.repetitionStats(docs(s, d))),
     // Language-ID n-gram heuristic — argmax of char-bigram profiles.
     "ta_lang_id" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     // Document fingerprinting — full / prefix / winnowing-min hashes.
@@ -496,6 +498,30 @@ object PipelineQueries {
          |    + (CAST(1.0 AS DOUBLE) - CAST(len(list_filter($T, t -> t IN ('the', 'a'))) AS DOUBLE) / len($T)) * 0.3
          |    + CAST(len(list_distinct($T)) AS DOUBLE) / len($T) * 0.3 AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_repetition" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, $T AS T, len($T) AS n,
+         |    list_transform(generate_series(1, len($T) - 1),
+         |                   i -> $T[i] || ' ' || $T[i + 1]) AS BG
+         |  FROM documents),
+         |ta AS (
+         |  SELECT doc_id, max(c) AS top_tok, count(*) AS u
+         |  FROM (SELECT doc_id, t, count(*) AS c
+         |        FROM (SELECT doc_id, unnest(T) AS t FROM b) GROUP BY doc_id, t)
+         |  GROUP BY doc_id),
+         |ba AS (
+         |  SELECT doc_id, max(c) AS top_bg
+         |  FROM (SELECT doc_id, g, count(*) AS c
+         |        FROM (SELECT doc_id, unnest(BG) AS g FROM b) GROUP BY doc_id, g)
+         |  GROUP BY doc_id)
+         |SELECT b.doc_id,
+         |  CAST(ta.top_tok AS DOUBLE) / b.n AS top_token_frac,
+         |  CAST(b.n - ta.u AS DOUBLE) / b.n AS dup_token_frac,
+         |  CAST(coalesce(ba.top_bg, 0) AS DOUBLE) / greatest(b.n - 1, 1) AS top_bigram_frac,
+         |  (CAST(ta.top_tok AS DOUBLE) / b.n >= 0.125
+         |   OR CAST(coalesce(ba.top_bg, 0) AS DOUBLE) / greatest(b.n - 1, 1) >= 0.05) AS repetitive
+         |FROM b JOIN ta USING (doc_id) LEFT JOIN ba USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "ta_lang_id" ->
       s"""SELECT doc_id, lang,
          |  $sEnSql AS score_en, $sDeSql AS score_de, $sFrSql AS score_fr,

@@ -38,6 +38,52 @@ class IvfIndexSpec extends SparkSpec {
     assert(rt.length == 2 && rt.zip(cs).forall { case (a, b) => a.sameElements(b) })
   }
 
+  test("append + topk == build-everything topk with the same centroids; compact preserves") {
+    val rootA = Files.createTempDirectory("graft-ivfapp-a").toString
+    val rootB = Files.createTempDirectory("graft-ivfapp-b").toString
+    val oldVecs = emb.filter(col("vec_id") < 90)
+    val newVecs = emb.filter(col("vec_id") >= 90)
+    val queries = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+
+    // A: base on old vectors, then the new batch appended as a delta.
+    IvfIndex.build(oldVecs, rootA, nCentroids = 8, iters = 2, numBuckets = 4)
+    val seq = IvfIndex.append(newVecs, rootA)
+    assert(seq == 0L)
+    val appended = IvfIndex.topk(spark, rootA, queries, k = 5, nProbe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+
+    // B: the reference — ONE build over everything with the IDENTICAL
+    // centroids (copied from A's base meta, so the only difference is
+    // base+delta vs monolithic layout).
+    import graft.fs.SnapshotDir
+    val cs = IvfIndex.decode(
+      SnapshotDir.metaAt(SnapshotDir.currentDir(s"$rootA/cells").get)("centroids"))
+    SnapshotDir.publishBucketed(
+      Similarity.prepared(emb).select(col("vec_id"), col("v"), col("nrm"))
+        .withColumn("cell", Ivf.assign(cs)),
+      s"$rootB/cells", bucketCol = "cell", numBuckets = 4,
+      meta = Map("centroids" -> IvfIndex.encode(cs)))
+    val monolithic = IvfIndex.topk(spark, rootB, queries, k = 5, nProbe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(appended == monolithic, s"appended=${appended.size} mono=${monolithic.size}")
+    assert(appended.exists { case (_, cand, _, _) => cand >= 90 },
+      "appended vectors never surfaced as candidates")
+
+    // compact folds the delta into a fresh bucketed base: same answers,
+    // no live deltas, watermark retires even an undeleted delta dir
+    IvfIndex.compact(spark, rootA, numBuckets = 4)
+    val compacted = IvfIndex.topk(spark, rootA, queries, k = 5, nProbe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(compacted == appended)
+    // a stale delta at-or-below the watermark must be IGNORED, not re-probed
+    Files.createDirectories(java.nio.file.Paths.get(s"$rootA/cells/delta-0"))
+    val afterStale = IvfIndex.topk(spark, rootA, queries, k = 5, nProbe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(afterStale == appended)
+    OpCaches.releaseAll()
+  }
+
   test("probe reads the inverted lists pre-bucketed (no corpus-side Exchange)") {
     import graft.fs.SnapshotDir
     import org.apache.spark.sql.types._

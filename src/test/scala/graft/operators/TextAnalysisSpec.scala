@@ -40,6 +40,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1).getAs[String]("predicted_lang") == "de")
   }
 
+  test("repetitionStats: exact fractions, single-token doc safe") {
+    val df = mk(
+      (1L, "a a a b c d e f", "en"), // 8 toks: top 'a'×3; bigram 'a a'×2 of 7
+      (2L, "solo", "en"),            // 1 token: no bigrams, no division by 0
+      (3L, "x y x y x y", "en"))     // top 'x'×3 of 6; 'x y'×3 of 5
+    val out = TextAnalysis.repetitionStats(df).collect()
+    assert(out(0).getAs[Double]("top_token_frac") == 3.0 / 8.0)
+    assert(out(0).getAs[Double]("dup_token_frac") == 2.0 / 8.0)
+    assert(out(0).getAs[Double]("top_bigram_frac") == 2.0 / 7.0)
+    assert(out(0).getAs[Boolean]("repetitive")) // 0.375 >= 0.125
+    assert(out(1).getAs[Double]("top_token_frac") == 1.0)
+    assert(out(1).getAs[Double]("dup_token_frac") == 0.0)
+    assert(out(1).getAs[Double]("top_bigram_frac") == 0.0)
+    assert(out(2).getAs[Double]("top_bigram_frac") == 3.0 / 5.0)
+  }
+
   test("fingerprints: identical texts share all three fingerprints") {
     val df = mk((1L, "some shared text body", "en"), (2L, "some shared text body", "en"),
       (3L, "another body", "en"))
