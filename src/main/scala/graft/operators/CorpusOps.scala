@@ -133,4 +133,28 @@ object CorpusOps {
         expr(s"cum_before div $budget").as("shard_id"))
       .orderBy("doc_id")
   }
+
+  /** Corpus mixing table: per-source document/token totals, each
+    * source's share of all tokens, and the repeat factor that would
+    * equalize token share across sources (the mixture-weight table a
+    * training run consumes, cf. the published per-source weights of
+    * The Pile and Dolma).
+    *
+    * One partial+final hash aggregate over the corpus; the window
+    * functions that turn totals into shares run over the AGGREGATED
+    * frame — one row per source — so the single-partition window is
+    * O(#sources), never O(corpus). */
+  def sourceMix(docs: DataFrame): DataFrame = {
+    val agg = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val all = Window.partitionBy()
+    agg.select(
+      col("source"), col("n_docs"), col("n_tokens"),
+      (col("n_tokens").cast("double") / sum("n_tokens").over(all))
+        .as("token_share"),
+      (sum("n_tokens").over(all).cast("double") /
+        (count(lit(1)).over(all) * col("n_tokens"))).as("uniform_weight"))
+      .orderBy("source")
+  }
 }

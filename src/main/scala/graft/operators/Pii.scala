@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PII detection and redaction — the scrub pass a corpus goes through
+  * before training (emails, phone numbers, IP addresses, card-shaped
+  * digit runs masked to typed placeholder tokens, cf. the redaction
+  * step in public corpus pipelines such as Dolma and BigCode's
+  * StarCoder data).
+  *
+  * Pure per-row `regexp_replace` / `regexp_count` projections: columns
+  * prune to (doc_id, text), nothing shuffles, everything stays inside
+  * whole-stage codegen — the operator costs one scan at any corpus
+  * size. Patterns deliberately use only the regex subset with
+  * identical semantics in Java (Spark) and RE2 (the DuckDB oracle):
+  * character classes, bounded repetition, non-capturing groups, `\b` —
+  * no backreferences or lookaround.
+  *
+  * Masking order matters and is fixed: card-shaped runs are masked
+  * BEFORE phone-shaped ones (a 16-digit card contains phone-shaped
+  * substrings), and emails before anything else (an email's local part
+  * may contain digit runs).
+  */
+object Pii {
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val CardRe  = "\\b\\d{4}[ -]\\d{4}[ -]\\d{4}[ -]\\d{4}\\b"
+  val PhoneRe = "\\b\\d{3}[ .-]\\d{3}[ .-]\\d{4}\\b"
+  val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Per-document PII counts plus the redacted text. Cascade
+    * semantics: each stage counts AND masks on the output of the
+    * previous stage, so a digit run inside an already-masked email is
+    * never double-counted as a phone number. */
+  def redact(docs: DataFrame): DataFrame = {
+    val t0 = col("text")
+    val t1 = regexp_replace(t0, EmailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, CardRe, "<CARD>")
+    val t3 = regexp_replace(t2, PhoneRe, "<PHONE>")
+    val redacted = regexp_replace(t3, Ipv4Re, "<IP>")
+    val nEmail = regexp_count(t0, lit(EmailRe))
+    val nCard  = regexp_count(t1, lit(CardRe))
+    val nPhone = regexp_count(t2, lit(PhoneRe))
+    val nIp    = regexp_count(t3, lit(Ipv4Re))
+    docs.select(
+      col("doc_id"),
+      nEmail.cast("long").as("n_emails"),
+      nCard.cast("long").as("n_cards"),
+      nPhone.cast("long").as("n_phones"),
+      nIp.cast("long").as("n_ips"),
+      (nEmail + nCard + nPhone + nIp === 0).as("pii_free"),
+      redacted.as("redacted"))
+      .orderBy("doc_id")
+  }
+}

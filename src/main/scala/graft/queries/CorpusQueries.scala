@@ -38,7 +38,9 @@ object CorpusQueries {
     // two-phase cumulative sum (blockSize 64 ⇒ the testdata exercises
     // MANY blocks, so the offset path is genuinely covered).
     "tp_pack_shards" -> ((s, d) =>
-      CorpusOps.packShards(docs(s, d), budget = 2048L, blockSize = 64L))
+      CorpusOps.packShards(docs(s, d), budget = 2048L, blockSize = 64L)),
+    // Mixture-weight table: per-source token shares + equalizing weights.
+    "tp_source_mix" -> ((s, d) => CorpusOps.sourceMix(docs(s, d)))
   )
 
   private val T = "string_split(text, ' ')"
@@ -86,6 +88,16 @@ object CorpusQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
          |  FROM t)
          |SELECT doc_id, n_tokens, cum_before // 2048 AS shard_id
-         |FROM c ORDER BY doc_id""".stripMargin
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "tp_source_mix" ->
+      s"""WITH a AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(len($T)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source)
+         |SELECT source, n_docs, n_tokens,
+         |  CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS BIGINT) AS token_share,
+         |  CAST(CAST(sum(n_tokens) OVER () AS BIGINT) AS DOUBLE)
+         |    / (count(*) OVER () * n_tokens) AS uniform_weight
+         |FROM a ORDER BY source""".stripMargin
   )
 }

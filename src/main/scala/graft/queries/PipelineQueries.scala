@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, LshPlanes, Similarity, TextAnalysis}
+import graft.operators.{Dedup, LshPlanes, Pii, Similarity, TextAnalysis}
 import graft.tables.Tables
 
 /** Training-data-pipeline operators (text analysis, dedup, similarity
@@ -194,6 +194,8 @@ object PipelineQueries {
     "ta_quality" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d))),
     // Gopher-style repetition cuts — top-token / top-bigram shares.
     "ta_repetition" -> ((s, d) => TextAnalysis.repetitionStats(docs(s, d))),
+    // PII scrub — typed masks + per-category counts, cascade order.
+    "ta_pii" -> ((s, d) => Pii.redact(docs(s, d))),
     // Language-ID n-gram heuristic — argmax of char-bigram profiles.
     "ta_lang_id" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     // Document fingerprinting — full / prefix / winnowing-min hashes.
@@ -522,6 +524,24 @@ object PipelineQueries {
          |   OR CAST(coalesce(ba.top_bg, 0) AS DOUBLE) / greatest(b.n - 1, 1) >= 0.05) AS repetitive
          |FROM b JOIN ta USING (doc_id) LEFT JOIN ba USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "ta_pii" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, text AS t0,
+         |         regexp_replace(text, '${Pii.EmailRe}', '<EMAIL>', 'g') AS t1
+         |  FROM documents),
+         |r2 AS (SELECT *, regexp_replace(t1, '${Pii.CardRe}', '<CARD>', 'g') AS t2 FROM r),
+         |r3 AS (SELECT *, regexp_replace(t2, '${Pii.PhoneRe}', '<PHONE>', 'g') AS t3 FROM r2)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t0, '${Pii.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t1, '${Pii.CardRe}')) AS BIGINT) AS n_cards,
+         |  CAST(len(regexp_extract_all(t2, '${Pii.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(t3, '${Pii.Ipv4Re}')) AS BIGINT) AS n_ips,
+         |  (len(regexp_extract_all(t0, '${Pii.EmailRe}'))
+         |   + len(regexp_extract_all(t1, '${Pii.CardRe}'))
+         |   + len(regexp_extract_all(t2, '${Pii.PhoneRe}'))
+         |   + len(regexp_extract_all(t3, '${Pii.Ipv4Re}')) = 0) AS pii_free,
+         |  regexp_replace(t3, '${Pii.Ipv4Re}', '<IP>', 'g') AS redacted
+         |FROM r3 ORDER BY doc_id""".stripMargin,
     "ta_lang_id" ->
       s"""SELECT doc_id, lang,
          |  $sEnSql AS score_en, $sDeSql AS score_de, $sFrSql AS score_fr,

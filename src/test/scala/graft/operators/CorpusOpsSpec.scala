@@ -89,6 +89,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(shards.head == 0L && shards.sliding(2).forall(p => p(0) <= p(1)))
   }
 
+  test("sourceMix: shares sum to 1, uniform weights equalize token mass") {
+    val docs = mkDocs(Seq(
+      1L -> "a b c d e f g h",      // 8 tokens
+      2L -> "a b c d",              // 4 tokens
+      3L -> "a b c d",              // 4 tokens  → src0 has 8, src1 has 8
+      4L -> "x y z w"))             // 4 tokens  → src2 has 4
+      .withColumn("source", expr("CASE WHEN doc_id = 1 THEN 's0' WHEN doc_id = 4 THEN 's2' ELSE 's1' END"))
+    val out = CorpusOps.sourceMix(docs).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("s0", "s1", "s2"))
+    assert(out.map(_.getLong(2)).toSeq == Seq(8L, 8L, 4L))
+    assert(math.abs(out.map(_.getDouble(3)).sum - 1.0) < 1e-12)
+    // weight × n_tokens is the same for every source: total / #sources
+    val mass = out.map(r => r.getDouble(4) * r.getLong(2))
+    assert(mass.forall(m => math.abs(m - 20.0 / 3) < 1e-9), mass.toSeq)
+  }
+
   test("packShards: the only unpartitioned window runs over block totals, not documents") {
     val docs = mkDocs((1L to 500L).map(i => i -> s"some tokens for doc $i"))
     val plan = CorpusOps.packShards(docs, budget = 64L, blockSize = 16L)
