@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.fs.SnapshotDir
+import graft.fs.{DeltaDirs, SnapshotDir}
 import graft.functions.VectorOps
 
 /** PERSISTED IVF index — the second "index once, query many" ANN
@@ -47,38 +47,40 @@ object IvfIndex {
     s.split(";").toSeq.map(_.split(",").map(_.toDouble))
 
   /** Train centroids and publish the assigned corpus atomically under
-    * `root` (single-writer by contract, like every SnapshotDir root). */
+    * `root` (single-writer by contract, like every SnapshotDir root).
+    *
+    * `emb` is the FULL corpus by contract, so a rebuild over an index
+    * that has live appends retires every existing delta: the published
+    * watermark covers them (they'd otherwise resurface as live against
+    * the new base, cell-assigned with the OLD centroids and duplicating
+    * every re-built vector), and the next [[compact]] sweeps the
+    * directories. */
   def build(emb: DataFrame, root: String, nCentroids: Int = 16,
       iters: Int = 2, numBuckets: Int = 16): Unit = {
+    val prevMark = SnapshotDir.currentDir(s"$root/cells")
+      .map(d => watermark(SnapshotDir.metaAt(d))).getOrElse(-1L)
+    val retireThrough =
+      (prevMark +: DeltaDirs.list(s"$root/cells").map(_._1)).max
     val centroids = Ivf.trainCentroids(emb, nCentroids, iters)
     val cells = Similarity.prepared(emb)
       .select(col("vec_id"), col("v"), col("nrm"))
       .withColumn("cell", Ivf.assign(centroids))
     SnapshotDir.publishBucketed(cells, s"$root/cells",
       bucketCol = "cell", numBuckets = numBuckets,
-      meta = Map("centroids" -> encode(centroids)))
+      meta = Map("centroids" -> encode(centroids)) ++
+        (if (retireThrough >= 0L)
+           Map("compacted_through" -> retireThrough.toString)
+         else Map.empty))
   }
 
   // ------------------------------------------------- incremental appends
 
-  private val DeltaName = """delta-(\d+)""".r
+  private def watermark(meta: Map[String, String]): Long =
+    meta.get("compacted_through").map(_.toLong).getOrElse(-1L)
 
-  /** Delta dirs under the cells root as (seq, path). Lookalike entries
-    * (`delta-tmp-*`, overflowing digit runs) are skipped per-entry, so
-    * a junk name can never truncate the live-delta list silently. */
-  private def deltaDirs(root: String): Seq[(Long, String)] = {
-    val cells = java.nio.file.Paths.get(s"$root/cells")
-    if (!java.nio.file.Files.isDirectory(cells)) return Seq.empty
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
-    val ds = java.nio.file.Files.newDirectoryStream(cells)
-    try ds.forEach { p =>
-      p.getFileName.toString match {
-        case DeltaName(id) => id.toLongOption.foreach(n => out += ((n, p.toString)))
-        case _ => ()
-      }
-    } finally ds.close()
-    out.toSeq.sortBy(_._1)
-  }
+  private def centroidsOf(meta: Map[String, String], cellsDir: String): String =
+    meta.getOrElse("centroids",
+      sys.error(s"IVF snapshot at $cellsDir lacks centroids meta"))
 
   /** Append NEW vectors without a rebuild: assign them to the EXISTING
     * centroids (from the base snapshot being appended to) and land them
@@ -91,53 +93,70 @@ object IvfIndex {
     *
     * Crash-safe: data lands in a `delta-tmp-*` dir (ignored by every
     * reader) and is atomically renamed into place — a crash leaves only
-    * ignorable garbage. Contract: single writer per root (as for every
-    * SnapshotDir root) and appended vec_ids are new (append-only
-    * corpus). Centroids never move on append, so recall vs a retrained
-    * index decays only with corpus drift — watch the recall contract
-    * row (`ss_topk_ivf_index_recall`) and rebuild when it sags.
+    * ignorable garbage. Replay: pass the ingest batch id as `seq`
+    * (mirroring the dedup stream's `delta-<batchId>` keying) and a
+    * retry of an already-published — or already-compacted — sequence is
+    * a no-op, making the append exactly-once per batch id; with `seq`
+    * unset the sequence is auto-assigned and a retried crash-after-
+    * rename duplicates the batch (at-least-once). Contract: single
+    * writer per root (as for every SnapshotDir root) and appended
+    * vec_ids are new (append-only corpus). Centroids never move on
+    * append, so recall vs a retrained index decays only with corpus
+    * drift — watch the recall contract row (`ss_topk_ivf_index_recall`)
+    * and rebuild when it sags.
     *
     * @return the sequence number of the published delta */
-  def append(emb: DataFrame, root: String): Long = {
+  def append(emb: DataFrame, root: String, seq: Option[Long] = None): Long = {
     val cellsDir = SnapshotDir.currentDir(s"$root/cells")
       .getOrElse(sys.error(s"no IVF snapshot at $root — build before append"))
     val meta = SnapshotDir.metaAt(cellsDir)
-    val centroids = decode(meta.getOrElse("centroids",
-      sys.error(s"IVF snapshot at $cellsDir lacks centroids meta")))
-    val mark = meta.get("compacted_through").map(_.toLong).getOrElse(-1L)
-    val seq = (mark +: deltaDirs(root).map(_._1)).max + 1L
+    val centroids = decode(centroidsOf(meta, cellsDir))
+    val mark = watermark(meta)
+    val existing = DeltaDirs.list(s"$root/cells")
+    val chosen = seq.getOrElse((mark +: existing.map(_._1)).max + 1L)
+    if (seq.isDefined && (chosen <= mark || existing.exists(_._1 == chosen)))
+      return chosen // replay of a published (possibly compacted) batch
     val tmp = java.nio.file.Paths.get(s"$root/cells/delta-tmp-${java.util.UUID.randomUUID()}")
     Similarity.prepared(emb)
       .select(col("vec_id"), col("v"), col("nrm"))
       .withColumn("cell", Ivf.assign(centroids))
       .write.mode("overwrite").parquet(tmp.toString)
-    java.nio.file.Files.move(tmp, tmp.resolveSibling(s"delta-$seq"),
+    java.nio.file.Files.move(tmp, tmp.resolveSibling(s"delta-$chosen"),
       StandardCopyOption.ATOMIC_MOVE)
-    seq
+    chosen
   }
 
   /** Fold live deltas into a fresh bucketed base (same centroids), with
     * the `compacted_through` watermark published atomically WITH the new
     * base: a crash before the pointer flip leaves old base + live
-    * deltas; after it, the new base's watermark retires them, so the
-    * trailing per-delta removal is best-effort cleanup only. */
+    * deltas; after it, the new base's watermark retires them.
+    *
+    * Delta removal is DEFERRED one generation: this call sweeps only
+    * deltas the PREVIOUS watermark already retired, and leaves the
+    * just-folded ones on disk for in-flight readers that resolved the
+    * old base moments before the flip — deleting them immediately would
+    * silently TRUNCATE such a reader's results (it would list no live
+    * deltas for a base whose watermark doesn't cover them), which is
+    * strictly worse than the loud file-not-found the base swap can
+    * produce. The stragglers cost disk until the next compact/build. */
   def compact(spark: SparkSession, root: String, numBuckets: Int = 16): Unit = {
     val cellsDir = SnapshotDir.currentDir(s"$root/cells")
       .getOrElse(sys.error(s"no IVF snapshot at $root"))
     val meta = SnapshotDir.metaAt(cellsDir)
-    val mark = meta.get("compacted_through").map(_.toLong).getOrElse(-1L)
-    val live = deltaDirs(root).filter(_._1 > mark)
+    val mark = watermark(meta)
+    val (retired, live) = DeltaDirs.list(s"$root/cells").partition(_._1 <= mark)
+    retired.foreach { case (_, p) =>
+      // per-entry guard: an undeletable retired delta only costs disk
+      try SnapshotDir.deleteRecursively(java.nio.file.Paths.get(p))
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     if (live.isEmpty) return
     val all = SnapshotDir.readAt(spark, cellsDir, cellsSchema)
       .unionByName(spark.read.schema(cellsSchema).parquet(live.map(_._2): _*))
     SnapshotDir.publishBucketed(all, s"$root/cells",
       bucketCol = "cell", numBuckets = numBuckets,
-      meta = Map("centroids" -> meta("centroids"),
+      meta = Map("centroids" -> centroidsOf(meta, cellsDir),
         "compacted_through" -> live.map(_._1).max.toString))
-    live.foreach { case (_, p) =>
-      try SnapshotDir.deleteRecursively(java.nio.file.Paths.get(p))
-      catch { case scala.util.control.NonFatal(_) => () }
-    }
   }
 
   /** Approximate top-k neighbors for each row of `queries`
@@ -156,11 +175,10 @@ object IvfIndex {
     val cellsDir = SnapshotDir.currentDir(s"$root/cells")
       .getOrElse(sys.error(s"no IVF snapshot at $root"))
     val meta = SnapshotDir.metaAt(cellsDir)
-    val centroids = decode(meta.getOrElse("centroids",
-      sys.error(s"IVF snapshot at $cellsDir lacks centroids meta")))
-    val mark = meta.get("compacted_through").map(_.toLong).getOrElse(-1L)
+    val centroids = decode(centroidsOf(meta, cellsDir))
+    val mark = watermark(meta)
     val base = SnapshotDir.readAt(spark, cellsDir, cellsSchema)
-    val liveDeltas = deltaDirs(root).collect { case (id, p) if id > mark => p }
+    val liveDeltas = DeltaDirs.live(s"$root/cells", mark)
     val corpusParts =
       if (liveDeltas.isEmpty) Seq(base)
       else Seq(base, spark.read.schema(cellsSchema).parquet(liveDeltas: _*))

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
-import graft.fs.SnapshotDir
+import graft.fs.{DeltaDirs, SnapshotDir}
 import graft.operators.Dedup
 
 /** Continuous near-duplicate deduplication: the streaming form of the
@@ -74,31 +74,8 @@ object DedupStream {
     SnapshotDir.loadMeta(s"$stateRoot/base")
       .get("compacted_through").map(_.toLong).getOrElse(-1L)
 
-  private val DeltaName = """delta-(\d+)""".r
-
-  /** All delta dirs as (batchId, path). Entries that merely *resemble*
-    * a delta dir (e.g. `delta-tmp`) are ignored via the regex match —
-    * but real IO errors PROPAGATE: swallowing them here would silently
-    * return a partial delta list and under-dedup against a truncated
-    * index. A missing state root (first batch) is the one benign case. */
-  private def deltaDirs(stateRoot: String): Seq[(Long, String)] = {
-    if (!Files.isDirectory(Paths.get(stateRoot))) return Seq.empty
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
-    val ds = Files.newDirectoryStream(Paths.get(stateRoot))
-    try ds.forEach { p =>
-      p.getFileName.toString match {
-        // toLongOption: a >19-digit run matches \d+ but overflows Long —
-        // treat it like any other lookalike entry, don't crash the batch
-        case DeltaName(id) => id.toLongOption.foreach(n => out += ((n, p.toString)))
-        case _ => ()
-      }
-    } finally ds.close()
-    out.toSeq.sortBy(_._1)
-  }
-
-  /** Delta dirs with batch id > `mark`. */
-  private def liveDeltas(stateRoot: String, mark: Long): Seq[String] =
-    deltaDirs(stateRoot).collect { case (id, p) if id > mark => p }
+  // delta listing (lookalike skipping, overflow guards) is the shared
+  // [[graft.fs.DeltaDirs]] protocol, also used by the persisted IVF index
 
   /** The kept-corpus shingle index in PARTS — head is the compacted
     * base snapshot (read through [[SnapshotDir.readAt]], so a bucketed
@@ -122,7 +99,7 @@ object DedupStream {
         (spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexSchema), -1L)
     }
-    val deltas = liveDeltas(stateRoot, mark)
+    val deltas = DeltaDirs.live(stateRoot, mark)
     if (deltas.isEmpty) Seq(base)
     else Seq(base, spark.read.schema(indexSchema).parquet(deltas: _*))
   }
@@ -243,7 +220,7 @@ object DedupStream {
             // best-effort cleanup: the new watermark already retires
             // these deltas, so even a failed LISTING only costs disk
             val retired =
-              try deltaDirs(stateRoot)
+              try DeltaDirs.list(stateRoot)
               catch { case scala.util.control.NonFatal(_) => Seq.empty }
             retired.foreach { case (id, p) =>
               // per-entry guard: a single undeletable delta must not

@@ -70,17 +70,52 @@ class IvfIndexSpec extends SparkSpec {
     assert(appended.exists { case (_, cand, _, _) => cand >= 90 },
       "appended vectors never surfaced as candidates")
 
-    // compact folds the delta into a fresh bucketed base: same answers,
-    // no live deltas, watermark retires even an undeleted delta dir
+    // compact folds the delta into a fresh bucketed base: same answers.
+    // GC is DEFERRED a generation — the just-folded delta-0 stays on
+    // disk for in-flight readers but is retired by the watermark.
     IvfIndex.compact(spark, rootA, numBuckets = 4)
+    assert(Files.isDirectory(java.nio.file.Paths.get(s"$rootA/cells/delta-0")))
     val compacted = IvfIndex.topk(spark, rootA, queries, k = 5, nProbe = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     assert(compacted == appended)
-    // a stale delta at-or-below the watermark must be IGNORED, not re-probed
-    Files.createDirectories(java.nio.file.Paths.get(s"$rootA/cells/delta-0"))
-    val afterStale = IvfIndex.topk(spark, rootA, queries, k = 5, nProbe = 3).collect()
+    // the NEXT compact sweeps what the previous watermark retired
+    IvfIndex.compact(spark, rootA, numBuckets = 4)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$rootA/cells/delta-0")))
+    assert(IvfIndex.topk(spark, rootA, queries, k = 5, nProbe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet == appended)
+    OpCaches.releaseAll()
+  }
+
+  test("append replay by batch id is a no-op; rebuild retires live deltas") {
+    val root = Files.createTempDirectory("graft-ivfrep").toString
+    val clean = Files.createTempDirectory("graft-ivfcln").toString
+    val queries = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    IvfIndex.build(emb.filter(col("vec_id") < 90), root,
+      nCentroids = 8, iters = 2, numBuckets = 4)
+    val batch = emb.filter(col("vec_id") >= 90)
+    assert(IvfIndex.append(batch, root, seq = Some(7L)) == 7L)
+    val once = IvfIndex.topk(spark, root, queries, k = 5, nProbe = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
-    assert(afterStale == appended)
+    // crash-replay of the SAME batch id publishes nothing new
+    assert(IvfIndex.append(batch, root, seq = Some(7L)) == 7L)
+    assert(graft.fs.DeltaDirs.list(s"$root/cells").map(_._1) == Seq(7L))
+    assert(IvfIndex.topk(spark, root, queries, k = 5, nProbe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet == once)
+
+    // a full rebuild covers the corpus, so the old delta must be
+    // retired (NOT resurrected against the new base): results match a
+    // fresh build in a clean root bit-for-bit (training is deterministic)
+    IvfIndex.build(emb, root, nCentroids = 8, iters = 2, numBuckets = 4)
+    IvfIndex.build(emb, clean, nCentroids = 8, iters = 2, numBuckets = 4)
+    val rebuilt = IvfIndex.topk(spark, root, queries, k = 5, nProbe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val fresh = IvfIndex.topk(spark, clean, queries, k = 5, nProbe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(rebuilt == fresh)
+    // replaying a batch id at-or-below the rebuild's watermark is a no-op
+    assert(IvfIndex.append(batch, root, seq = Some(7L)) == 7L)
+    assert(graft.fs.DeltaDirs.live(s"$root/cells", 7L).isEmpty)
     OpCaches.releaseAll()
   }
 

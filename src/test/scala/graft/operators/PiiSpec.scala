@@ -1,18 +1,14 @@
 package graft.operators
 
-import org.apache.spark.sql.functions._
-
 import graft.SparkSpec
 
 class PiiSpec extends SparkSpec {
   import spark.implicits._
 
   private def run(texts: String*) =
-    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
-      .toDF("doc_id", "text")
-      .pipe(Pii.redact).collect()
-
-  implicit class Pipe[A](a: A) { def pipe[B](f: A => B): B = f(a) }
+    Pii.redact(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")).collect()
 
   test("masks each category with its typed token and counts it") {
     val out = run(
