@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, LshPlanes, Pii, Similarity, TextAnalysis}
+import graft.operators.{CorpusOps, Dedup, LshPlanes, Pii, Similarity, TextAnalysis}
 import graft.tables.Tables
 
 /** Training-data-pipeline operators (text analysis, dedup, similarity
@@ -70,6 +70,41 @@ object PipelineQueries {
           sum(when(col("is_en") && col("is_good"), 1L).otherwise(0L)).as("n_quality"),
           sum(when(col("is_en") && col("is_good") && coalesce(col("is_kept"), lit(false)),
             1L).otherwise(0L)).as("n_final"))
+    }),
+    // Capstone END PRODUCT: the training manifest itself — every doc
+    // surviving language → quality → dedup keep-list → benchmark
+    // decontamination, packed into token-budget shards. This is the
+    // table a training run actually reads; each stage is the
+    // individually-oracle-proven operator, composed. Stage ORDER is
+    // the 100 TB shape: the cheap narrow predicates (lang, quality,
+    // test-split) run FIRST on one scan, and the expensive pair
+    // operators — keep-list dedup and decontamination — see only the
+    // filtered candidates (the test side of decontamination stays
+    // unfiltered: a benchmark doc must flag a train doc regardless of
+    // the benchmark's own quality). Dedup representatives are
+    // therefore chosen AMONG candidates — if a cluster's min-id copy
+    // failed quality, the next copy represents it, exactly as a real
+    // filter-then-dedup pipeline behaves.
+    "tp_training_manifest" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val all = docs(s, d)
+      val isTest = col("doc_id") % 17 === 0
+      val candidates = all
+        .filter(TextAnalysis.isEnglishCol && TextAnalysis.qualityCol >= 0.6 &&
+          !isTest)
+      val kept = Dedup.keepList(candidates)
+        .select(col("doc_id"), lit(true).as("is_kept"))
+      val clean = CorpusOps.decontaminatedKeep(
+          candidates.unionByName(all.filter(isTest)), isTest,
+          n = 5, minOverlap = 3L)
+        .select(col("doc_id"), lit(true).as("is_clean"))
+      val survivors = candidates.select("doc_id", "text")
+        .join(kept, Seq("doc_id"), "left")
+        .join(clean, Seq("doc_id"), "left")
+        .filter(coalesce(col("is_kept"), lit(false)) &&
+          coalesce(col("is_clean"), lit(false)))
+        .select("doc_id", "text")
+      CorpusOps.packShards(survivors, budget = 2048L, blockSize = 64L)
     }),
     // SimHash near-dup pairs, hamming ≤ 3, 8-bit-chunk blocked.
     "dd_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(docs(s, d), maxHamming = 3)),
@@ -548,6 +583,55 @@ object PipelineQueries {
          |  CASE WHEN $sEnSql >= $sDeSql AND $sEnSql >= $sFrSql THEN 'en'
          |       WHEN $sDeSql >= $sFrSql THEN 'de' ELSE 'fr' END AS predicted_lang
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "tp_training_manifest" ->
+      s"""WITH RECURSIVE cand AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE $sEnSql >= $sDeSql AND $sEnSql >= $sFrSql
+         |    AND $qualitySql >= 0.6 AND doc_id % 17 <> 0),
+         |ek AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+         |    FROM cand)
+         |  WHERE doc_id = keep_id),
+         |sh AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM ek),
+         |sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh FROM sh),
+         |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |p AS (
+         |  SELECT doc_a, doc_b FROM common
+         |  JOIN sizes sa ON common.doc_a = sa.doc_id
+         |  JOIN sizes sb ON common.doc_b = sb.doc_id
+         |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5),
+         |e AS (SELECT doc_a AS v, doc_b AS u FROM p
+         |      UNION ALL SELECT doc_b AS v, doc_a AS u FROM p),
+         |r(v, u) AS (
+         |  SELECT DISTINCT v, v AS u FROM e
+         |  UNION
+         |  SELECT r.v, e.u FROM r JOIN e ON r.u = e.v),
+         |lab AS (SELECT v, min(u) AS cluster FROM r GROUP BY v),
+         |keep AS (SELECT ek.doc_id FROM ek
+         |  WHERE NOT EXISTS (SELECT 1 FROM lab
+         |    WHERE lab.v = ek.doc_id AND lab.cluster <> ek.doc_id)),
+         |te5 AS (
+         |  SELECT doc_id, unnest(${shinglesSql(5)}) AS shingle
+         |  FROM documents WHERE doc_id % 17 = 0),
+         |tr5 AS (SELECT doc_id, unnest(${shinglesSql(5)}) AS shingle FROM cand),
+         |bad AS (SELECT tr5.doc_id FROM tr5 JOIN te5 ON tr5.shingle = te5.shingle
+         |  GROUP BY tr5.doc_id, te5.doc_id HAVING count(*) >= 3),
+         |surv AS (
+         |  SELECT d.doc_id, CAST(len($T) AS BIGINT) AS n_tokens
+         |  FROM cand d
+         |  JOIN keep ON keep.doc_id = d.doc_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = d.doc_id)),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM surv)
+         |SELECT doc_id, n_tokens, cum_before // 2048 AS shard_id
+         |FROM c ORDER BY doc_id""".stripMargin,
     "tp_corpus_funnel" ->
       s"""WITH RECURSIVE ek AS (
          |  SELECT doc_id, text FROM (
