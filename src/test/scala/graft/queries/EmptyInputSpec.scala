@@ -58,6 +58,23 @@ class EmptyInputSpec extends SparkSpec {
     assert(funnel.count() == 0)
   }
 
+  test("round-3 operators tolerate empty and degenerate docs") {
+    import spark.implicits._
+    val emptyDocs = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(graft.operators.TextAnalysis.repetitionStats(emptyDocs).count() == 0)
+    assert(graft.operators.Pii.redact(emptyDocs).count() == 0)
+    assert(graft.operators.CorpusOps.sourceMix(emptyDocs).count() == 0)
+    assert(graft.operators.CorpusOps.packShards(emptyDocs).count() == 0)
+    // empty-STRING text: split(" ") yields one empty token, not a crash
+    val degenerate = Seq((1L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rep = graft.operators.TextAnalysis.repetitionStats(degenerate).collect()
+    assert(rep.length == 1 && rep(0).getAs[Double]("top_token_frac") == 1.0)
+    val pii = graft.operators.Pii.redact(degenerate).collect()
+    assert(pii.length == 1 && pii(0).getAs[Boolean]("pii_free"))
+  }
+
   test("incremental index against a missing snapshot behaves as first full index") {
     val root = Files.createTempDirectory("graft-empty-inc")
     Files.write(root.resolve("only.txt"), "content".getBytes)
