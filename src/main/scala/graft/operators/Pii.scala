@@ -31,8 +31,12 @@ object Pii {
   /** Per-document PII counts plus the redacted text. Cascade
     * semantics: each stage counts AND masks on the output of the
     * previous stage, so a digit run inside an already-masked email is
-    * never double-counted as a phone number. */
-  def redact(docs: DataFrame): DataFrame = {
+    * never double-counted as a phone number.
+    *
+    * Pure projection with NO required ordering — works unchanged on a
+    * STREAMING DataFrame (the continuous-ingest scrub). [[redact]] is
+    * the batch/oracle form that adds the deterministic output order. */
+  def scrub(docs: DataFrame): DataFrame = {
     val t0 = col("text")
     val t1 = regexp_replace(t0, EmailRe, "<EMAIL>")
     val t2 = regexp_replace(t1, CardRe, "<CARD>")
@@ -50,6 +54,8 @@ object Pii {
       nIp.cast("long").as("n_ips"),
       (nEmail + nCard + nPhone + nIp === 0).as("pii_free"),
       redacted.as("redacted"))
-      .orderBy("doc_id")
   }
+
+  /** [[scrub]] with the deterministic doc_id output order (batch). */
+  def redact(docs: DataFrame): DataFrame = scrub(docs).orderBy("doc_id")
 }
