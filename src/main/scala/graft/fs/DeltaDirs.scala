@@ -17,13 +17,16 @@ object DeltaDirs {
     * digit runs that overflow Long) are skipped per-entry — a junk
     * name can never silently truncate the list — while real IO errors
     * PROPAGATE: swallowing them would return a partial list and
-    * silently under-read the index. A missing `dir` is the one benign
-    * case (no deltas yet). */
+    * silently under-read the index. A MISSING `dir` is the one benign
+    * case (no deltas yet) — detected by the open itself, not a
+    * pre-check like `Files.isDirectory`, which returns false on
+    * permission/transient IO errors and would turn them into exactly
+    * the silent empty list this contract forbids. */
   def list(dir: String): Seq[(Long, String)] = {
-    val d = Paths.get(dir)
-    if (!Files.isDirectory(d)) return Seq.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
-    val ds = Files.newDirectoryStream(d)
+    val ds =
+      try Files.newDirectoryStream(Paths.get(dir))
+      catch { case _: java.nio.file.NoSuchFileException => return Seq.empty }
     try ds.forEach { p =>
       p.getFileName.toString match {
         case DeltaName(id) => id.toLongOption.foreach(n => out += ((n, p.toString)))
@@ -37,4 +40,25 @@ object DeltaDirs {
     * has NOT folded. */
   def live(dir: String, mark: Long): Seq[String] =
     list(dir).collect { case (id, p) if id > mark => p }
+
+  /** The `compacted_through` watermark of a resolved base snapshot's
+    * meta: the seq through which deltas are folded (-1 = none). The
+    * ONE decoder for the protocol — IvfIndex and DedupStream both
+    * read it from here so the default can't drift. */
+  def watermark(meta: Map[String, String]): Long =
+    meta.get("compacted_through").map(_.toLong).getOrElse(-1L)
+
+  /** Crash-orphaned `delta-tmp-*` staging dirs under `dir`. Under the
+    * single-writer contract no append is in flight while maintenance
+    * runs, so every staging dir present then is a crash orphan. */
+  def orphanedTmp(dir: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ds =
+      try Files.newDirectoryStream(Paths.get(dir))
+      catch { case _: java.nio.file.NoSuchFileException => return Seq.empty }
+    try ds.forEach { p =>
+      if (p.getFileName.toString.startsWith("delta-tmp-")) out += p.toString
+    } finally ds.close()
+    out.toSeq
+  }
 }

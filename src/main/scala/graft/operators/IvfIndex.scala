@@ -76,7 +76,7 @@ object IvfIndex {
   // ------------------------------------------------- incremental appends
 
   private def watermark(meta: Map[String, String]): Long =
-    meta.get("compacted_through").map(_.toLong).getOrElse(-1L)
+    DeltaDirs.watermark(meta)
 
   private def centroidsOf(meta: Map[String, String], cellsDir: String): String =
     meta.getOrElse("centroids",
@@ -93,17 +93,23 @@ object IvfIndex {
     *
     * Crash-safe: data lands in a `delta-tmp-*` dir (ignored by every
     * reader) and is atomically renamed into place — a crash leaves only
-    * ignorable garbage. Replay: pass the ingest batch id as `seq`
-    * (mirroring the dedup stream's `delta-<batchId>` keying) and a
-    * retry of an already-published — or already-compacted — sequence is
-    * a no-op, making the append exactly-once per batch id; with `seq`
-    * unset the sequence is auto-assigned and a retried crash-after-
-    * rename duplicates the batch (at-least-once). Contract: single
-    * writer per root (as for every SnapshotDir root) and appended
-    * vec_ids are new (append-only corpus). Centroids never move on
-    * append, so recall vs a retrained index decays only with corpus
-    * drift — watch the recall contract row (`ss_topk_ivf_index_recall`)
-    * and rebuild when it sags.
+    * garbage that the next [[compact]] sweeps. Replay: pass the ingest
+    * batch id as `seq` (mirroring the dedup stream's `delta-<batchId>`
+    * keying) and a retry of an already-published — or already-compacted
+    * — sequence is a no-op, making the append exactly-once per batch
+    * id. THE ID IS THE IDENTITY: `seq` must come from a monotonically
+    * increasing per-root sequence that is never restarted (a streaming
+    * checkpoint's batchId qualifies; a RESET checkpoint does not — ids
+    * reused for different data are indistinguishable from crash
+    * replays and their batches are silently dropped, so a pipeline
+    * that re-keys must rebuild the index instead). With `seq` unset
+    * the sequence is auto-assigned and a retried crash-after-rename
+    * duplicates the batch (at-least-once). Contract: single writer per
+    * root (as for every SnapshotDir root) and appended vec_ids are new
+    * (append-only corpus). Centroids never move on append, so recall
+    * vs a retrained index decays only with corpus drift — watch the
+    * recall contract row (`ss_topk_ivf_index_recall`) and rebuild when
+    * it sags.
     *
     * @return the sequence number of the published delta */
   def append(emb: DataFrame, root: String, seq: Option[Long] = None): Long = {
@@ -138,15 +144,24 @@ object IvfIndex {
     * silently TRUNCATE such a reader's results (it would list no live
     * deltas for a base whose watermark doesn't cover them), which is
     * strictly worse than the loud file-not-found the base swap can
-    * produce. The stragglers cost disk until the next compact/build. */
-  def compact(spark: SparkSession, root: String, numBuckets: Int = 16): Unit = {
+    * produce. The stragglers cost disk until the next compact/build.
+    * Crash-orphaned `delta-tmp-*` staging dirs are swept here too (no
+    * append is in flight under the single-writer contract).
+    *
+    * The bucket count is read from the base snapshot's own recorded
+    * layout — pass `numBuckets` only to deliberately re-bucket (e.g.
+    * resizing to a new executors×cores). */
+  def compact(spark: SparkSession, root: String,
+      numBuckets: Option[Int] = None): Unit = {
     val cellsDir = SnapshotDir.currentDir(s"$root/cells")
       .getOrElse(sys.error(s"no IVF snapshot at $root"))
     val meta = SnapshotDir.metaAt(cellsDir)
     val mark = watermark(meta)
+    val buckets = numBuckets.orElse(meta.get("bucket_n").map(_.toInt))
+      .getOrElse(sys.error(s"IVF snapshot at $cellsDir lacks bucket_n meta"))
     val (retired, live) = DeltaDirs.list(s"$root/cells").partition(_._1 <= mark)
-    retired.foreach { case (_, p) =>
-      // per-entry guard: an undeletable retired delta only costs disk
+    (retired.map(_._2) ++ DeltaDirs.orphanedTmp(s"$root/cells")).foreach { p =>
+      // per-entry guard: an undeletable retired/orphan dir only costs disk
       try SnapshotDir.deleteRecursively(java.nio.file.Paths.get(p))
       catch { case scala.util.control.NonFatal(_) => () }
     }
@@ -154,7 +169,7 @@ object IvfIndex {
     val all = SnapshotDir.readAt(spark, cellsDir, cellsSchema)
       .unionByName(spark.read.schema(cellsSchema).parquet(live.map(_._2): _*))
     SnapshotDir.publishBucketed(all, s"$root/cells",
-      bucketCol = "cell", numBuckets = numBuckets,
+      bucketCol = "cell", numBuckets = buckets,
       meta = Map("centroids" -> centroidsOf(meta, cellsDir),
         "compacted_through" -> live.map(_._1).max.toString))
   }

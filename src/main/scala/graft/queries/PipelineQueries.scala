@@ -87,11 +87,15 @@ object PipelineQueries {
     // filter-then-dedup pipeline behaves.
     "tp_training_manifest" -> ((s, d) => {
       import org.apache.spark.sql.functions._
+      import graft.operators.OpCaches
       val all = docs(s, d)
       val isTest = col("doc_id") % 17 === 0
-      val candidates = all
+      // cached: the ~2%-of-corpus candidate set feeds THREE branches
+      // (keep-list, decontamination train side, survivors base) — one
+      // filtered scan instead of three re-tokenizing predicate passes
+      val candidates = OpCaches.track(all
         .filter(TextAnalysis.isEnglishCol && TextAnalysis.qualityCol >= 0.6 &&
-          !isTest)
+          !isTest))
       val kept = Dedup.keepList(candidates)
         .select(col("doc_id"), lit(true).as("is_kept"))
       val clean = CorpusOps.decontaminatedKeep(

@@ -71,8 +71,7 @@ object DedupStream {
     * double-count folded deltas). Testing/introspection only; the
     * load path reads the watermark from its OWN resolved snapshot. */
   private[streaming] def compactedThrough(stateRoot: String): Long =
-    SnapshotDir.loadMeta(s"$stateRoot/base")
-      .get("compacted_through").map(_.toLong).getOrElse(-1L)
+    DeltaDirs.watermark(SnapshotDir.loadMeta(s"$stateRoot/base"))
 
   // delta listing (lookalike skipping, overflow guards) is the shared
   // [[graft.fs.DeltaDirs]] protocol, also used by the persisted IVF index
@@ -94,7 +93,7 @@ object DedupStream {
     val (base, mark) = resolved match {
       case Some(d) =>
         (SnapshotDir.readAt(spark, d, indexSchema),
-          SnapshotDir.metaAt(d).get("compacted_through").map(_.toLong).getOrElse(-1L))
+          DeltaDirs.watermark(SnapshotDir.metaAt(d)))
       case None =>
         (spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexSchema), -1L)

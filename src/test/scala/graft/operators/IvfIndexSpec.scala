@@ -73,13 +73,13 @@ class IvfIndexSpec extends SparkSpec {
     // compact folds the delta into a fresh bucketed base: same answers.
     // GC is DEFERRED a generation — the just-folded delta-0 stays on
     // disk for in-flight readers but is retired by the watermark.
-    IvfIndex.compact(spark, rootA, numBuckets = 4)
+    IvfIndex.compact(spark, rootA)
     assert(Files.isDirectory(java.nio.file.Paths.get(s"$rootA/cells/delta-0")))
     val compacted = IvfIndex.topk(spark, rootA, queries, k = 5, nProbe = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     assert(compacted == appended)
     // the NEXT compact sweeps what the previous watermark retired
-    IvfIndex.compact(spark, rootA, numBuckets = 4)
+    IvfIndex.compact(spark, rootA)
     assert(!Files.exists(java.nio.file.Paths.get(s"$rootA/cells/delta-0")))
     assert(IvfIndex.topk(spark, rootA, queries, k = 5, nProbe = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet == appended)
