@@ -53,7 +53,11 @@ object Bench {
     }
     SparkEntry.queries.keys.headOption.foreach(run)
 
+    // optional comma-separated allowlist for targeted re-measurement
+    val only = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val results = names.map { n =>
       val a = run(n); val b = run(n)
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
