@@ -84,4 +84,28 @@ class PropertySpec extends SparkSpec {
       blocked == brute
     })
   }
+
+  test("property: PII scrub is idempotent — scrubbed text is always pii_free") {
+    import graft.operators.Pii
+    val word = Gen.oneOf("lorem", "ipsum", "data", "x1", "42", "a.b")
+    val pii = Gen.oneOf(
+      "j.doe+1@mail.example.org", "root@x.io",
+      "555-867-5309", "123 456 7890",
+      "10.0.0.1", "192.168.255.42",
+      "4111 1111 1111 1111", "1234-5678-9012-3456")
+    val textGen = Gen.listOfN(12, Gen.frequency(3 -> word, 1 -> pii))
+      .map(_.mkString(" "))
+    check(Prop.forAll(Gen.listOfN(6, textGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val once = Pii.redact(docs)
+      val again = Pii.redact(once.select($"doc_id", $"redacted".as("text")))
+        .collect()
+      // every planted pattern was masked the first time: a second scrub
+      // finds nothing and changes nothing
+      again.forall(r => r.getAs[Boolean]("pii_free")) &&
+        again.map(r => (r.getLong(0), r.getAs[String]("redacted"))).toSeq ==
+          once.collect().map(r => (r.getLong(0), r.getAs[String]("redacted"))).toSeq
+    })
+  }
 }
