@@ -20,6 +20,17 @@ case class SessionUpdate(userId: Long, nEvents: Long, totalValue: java.math.BigD
 case class SessionState(nEvents: Long, totalValue: java.math.BigDecimal,
     start: java.sql.Timestamp, last: java.sql.Timestamp)
 
+/** Running per-user funnel counters emitted each batch the user's
+  * counts change (counts are MONOTONE — a newer row supersedes older
+  * ones for the same user). */
+case class FunnelUpdate(userId: Long, nViews: Long, nConverted: Long)
+
+/** Keyed per-user funnel state: the last event's (type, micros) for
+  * the adjacency test plus the running counters — O(1) per user
+  * regardless of stream length. */
+case class FunnelState(lastType: String, lastTsUs: Long,
+    nViews: Long, nConverted: Long)
+
 /** Event analytics over the `events` table (event_id, ts, user_id,
   * event_type, value, props), in two forms:
   *
@@ -197,6 +208,46 @@ object Events {
             }
             closedSessions.reverseIterator
           }
+      }
+  }
+
+  /** Streaming twin of [[funnel]]: per-user O(1) state — the LAST
+    * event's (type, timestamp) for the view→click adjacency test plus
+    * two running counters. Each batch a user's counts change, a
+    * [[FunnelUpdate]] row is emitted; counts are monotone, so the
+    * newest row per user is the current funnel (consumers keep a
+    * last-write-wins view, exactly like reading an updating aggregate).
+    *
+    * Ordering contract: events are sorted by (ts, event_id) WITHIN a
+    * batch (matching the batch twin's window order); an event arriving
+    * in a LATER batch than a same-user event with a greater timestamp
+    * cannot retroactively interpose — with the 2-hour watermark and
+    * in-order-per-user delivery inside it, the streaming counts equal
+    * the batch backfill. Unlike sessionization there is nothing to
+    * time out: state is two counters and one event, not a window. */
+  def streamingFunnel(spark: SparkSession, events: DataFrame,
+      withinMinutes: Int = 10): Dataset[FunnelUpdate] = {
+    import spark.implicits._
+    val gapUs = withinMinutes * 60L * 1000000L
+    events.withWatermark("ts", "2 hours")
+      .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS ts_us")
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(null, Long.MinValue, 0L, 0L))
+          val before = (s.nViews, s.nConverted)
+          rows.toSeq.sortBy(r => (r._4, r._2)).foreach { case (_, _, typ, tsUs) =>
+            if (s.lastType == "view" && typ == "click" && tsUs - s.lastTsUs <= gapUs)
+              s = s.copy(nConverted = s.nConverted + 1)
+            if (typ == "view") s = s.copy(nViews = s.nViews + 1)
+            s = s.copy(lastType = typ, lastTsUs = tsUs)
+          }
+          state.update(s)
+          if ((s.nViews, s.nConverted) != before)
+            Iterator(FunnelUpdate(userId, s.nViews, s.nConverted))
+          else Iterator.empty
       }
   }
 }

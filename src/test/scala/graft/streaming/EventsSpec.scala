@@ -113,4 +113,40 @@ class EventsSpec extends SparkSpec {
     // land in one microbatch (split applied) or arrive as one batch group
     assert(got.exists(_._1 == 2L))
   }
+
+  test("streamingFunnel's final per-user counts match the batch funnel") {
+    // user 1: view→click in 5 min (converts) then lone view;
+    // user 2: view→view→click (only the SECOND view converts);
+    // user 3: view→click after 50 min (no conversion)
+    val funnelEvents = Seq(
+      (10L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (11L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0, "{}"),
+      (12L, ts("2024-01-01 10:30:00"), 1L, "view", 1.0, "{}"),
+      (13L, ts("2024-01-01 09:00:00"), 2L, "view", 1.0, "{}"),
+      (14L, ts("2024-01-01 09:02:00"), 2L, "view", 1.0, "{}"),
+      (15L, ts("2024-01-01 09:03:00"), 2L, "click", 1.0, "{}"),
+      (16L, ts("2024-01-01 08:00:00"), 3L, "view", 1.0, "{}"),
+      (17L, ts("2024-01-01 08:50:00"), 3L, "click", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = Files.createTempDirectory("graft-funstream")
+    funnelEvents.write.mode("overwrite").parquet(dir.toString)
+    val updates = Events.streamingFunnel(spark,
+      Events.readEventStream(spark, dir.toString), withinMinutes = 10)
+    val q = updates.toDF().writeStream.format("memory").queryName("ev_funnel_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // counts are monotone: the max per user is the final funnel
+    val streamed = spark.table("ev_funnel_test").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).max }
+    val batch = Events.funnel(funnelEvents, withinMinutes = 10).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // batch emits only converting users; streaming also reports
+    // view-only users — restrict to the batch's support
+    assert(batch == Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L))), batch)
+    assert(batch.forall { case (u, counts) => streamed.get(u).contains(counts) },
+      s"streamed=$streamed batch=$batch")
+    // the non-converting user still streams its view counts
+    assert(streamed.get(3L).contains((1L, 0L)), streamed)
+  }
 }
