@@ -43,10 +43,8 @@ object CorpusQueries {
     "tp_source_mix" -> ((s, d) => CorpusOps.sourceMix(docs(s, d)))
   )
 
-  private val T = "string_split(text, ' ')"
-  private def shinglesSql(n: Int): String =
-    s"list_distinct(list_transform(generate_series(1, greatest(len($T) - ${n - 1}, 1)), " +
-      s"i -> array_to_string(list_slice($T, i, i + ${n - 1}), ' ')))"
+  private val T = OracleSql.T
+  private def shinglesSql(n: Int): String = OracleSql.shingles(n)
 
   /** Shared CTE prefix: inverted 5-gram index split train/test. */
   private val invSplitSql: String =

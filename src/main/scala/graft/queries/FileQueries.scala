@@ -40,21 +40,20 @@ case class SearchRequest(
 object FileQueries {
 
   /** B1 — multi-criteria conjunctive search
-    * (indexer.py:697-749: dynamic WHERE, ORDER BY path, filename). */
+    * (indexer.py:697-749: dynamic WHERE, ORDER BY path, filename).
+    * Delegates to [[searchApiFiltered]] so the B1 CLI path and the B2
+    * API path share ONE predicate construction — a change to either's
+    * matching semantics cannot diverge between them. */
   def searchFiles(
       files: DataFrame,
       filenamePattern: Option[String] = None,
       checksum: Option[String] = None,
       pathPattern: Option[String] = None,
-      hasChecksum: Option[Boolean] = None): DataFrame = {
-    val preds: Seq[Column] =
-      filenamePattern.map(p => col("filename").like(p)).toSeq ++
-      checksum.map(c => col("checksum") === c).toSeq ++
-      pathPattern.map(p => col("path").like(p)).toSeq ++
-      hasChecksum.map(h => if (h) col("checksum").isNotNull else col("checksum").isNull).toSeq
-    preds.foldLeft(files)((df, p) => df.filter(p))
+      hasChecksum: Option[Boolean] = None): DataFrame =
+    searchApiFiltered(files, SearchRequest(
+      filenamePattern = filenamePattern, checksum = checksum,
+      pathPattern = pathPattern, hasChecksum = hasChecksum))
       .orderBy(col("path"), col("filename"))
-  }
 
   /** The B2 filter set WITHOUT ordering/pagination — the "matching
     * rows" relation the API both paginates (searchApi) and counts for
@@ -193,6 +192,28 @@ object FileQueries {
       .agg(sort_array(collect_list(struct(
         col("path"), col("filename"), col("modification_datetime")))).as("files"))
       .orderBy(col("file_count").desc, col("file_size").desc, col("checksum"))
+
+  /** D11 + the duplicates response assembly (routers.py:132-141) in
+    * ONE aggregate pass: the nested page rows carry `total_groups` via
+    * a window over the one-row-per-GROUP summaries (never the file
+    * rows), and the member join-back sees only the bounded page. An
+    * empty page (offset past the end) yields no rows — the caller
+    * falls back to a bare summaries count for total_groups then. */
+  def duplicateGroupsNestedPage(files: DataFrame, minGroupSize: Int = 2,
+      limit: Int = 100, offset: Int = 0): DataFrame = {
+    val sums = duplicateGroupSummaries(files, minGroupSize)
+      .withColumn("total_groups", count(lit(1)).over(Window.partitionBy()))
+    val page = sums
+      .orderBy(col("file_count").desc, col("file_size").desc, col("checksum"))
+      .offset(offset).limit(limit)
+    files.filter(col("checksum").isNotNull)
+      .join(broadcast(page), Seq("checksum", "file_size"))
+      .groupBy(col("checksum"), col("file_size"), col("file_count"),
+        col("wasted_space"), col("total_groups"))
+      .agg(sort_array(collect_list(struct(
+        col("path"), col("filename"), col("modification_datetime")))).as("files"))
+      .orderBy(col("file_count").desc, col("file_size").desc, col("checksum"))
+  }
 
   /** C2 group-level rows only (the DuplicateGroup summaries,
     * database.py:347-379). */

@@ -259,12 +259,8 @@ object PipelineQueries {
         (avg(col("recall")) >= 0.4).as("mean_recall_ok"))
   }
 
-  private val T = "string_split(text, ' ')"
-
-  /** DuckDB twin of Dedup.withShingles: distinct word n-gram shingles. */
-  private def shinglesSql(n: Int): String =
-    s"list_distinct(list_transform(generate_series(1, greatest(len($T) - ${n - 1}, 1)), " +
-      s"i -> array_to_string(list_slice($T, i, i + ${n - 1}), ' ')))"
+  private val T = OracleSql.T
+  private def shinglesSql(n: Int): String = OracleSql.shingles(n)
 
   /** DuckDB twin of Dedup.withSimhash's 32-bit signature sum. */
   private val simhashSql: String = (0 until 32).map { j =>

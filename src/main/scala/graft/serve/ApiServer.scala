@@ -121,21 +121,49 @@ final class ApiServer(spark: SparkSession, files: () => DataFrame,
       put("ignoreNullFields", "false")
     }).as("j")).collect().map(_.getString(0)).mkString("[", ",", "]")
 
+  // Absence is structural only: a JSON null body field is dropped at
+  // parse time (Optional = not set, like the reference's Pydantic
+  // models), and a missing query param is absent — but the literal
+  // STRINGS "null" and "" are values like any other (a file really can
+  // be named "null"); for typed params they fail the parse → 400,
+  // matching FastAPI's 422 on a malformed typed query param.
   private def long(p: Map[String, String], k: String): Option[Long] =
-    p.get(k).filter(_.nonEmpty).filterNot(_ == "null").map { v =>
+    p.get(k).map { v =>
       v.toLongOption.getOrElse(throw new IllegalArgumentException(s"$k must be an integer"))
     }
   // FastAPI-style bool coercion: True/1/yes/on all mean true; anything
   // unrecognized is a 400, never a silent false (which would invert
   // has_checksum filters)
   private def bool(p: Map[String, String], k: String): Option[Boolean] =
-    p.get(k).filter(_.nonEmpty).filterNot(_ == "null").map(_.toLowerCase match {
+    p.get(k).map(_.toLowerCase match {
       case "true" | "1" | "yes" | "on" => true
       case "false" | "0" | "no" | "off" => false
       case v => throw new IllegalArgumentException(s"$k: not a boolean: $v")
     })
   private def str(p: Map[String, String], k: String): Option[String] =
-    p.get(k).filter(_.nonEmpty).filterNot(_ == "null")
+    p.get(k)
+  /** An `Int`-ranged param: the raw Long is range-checked BEFORE the
+    * narrowing — (4294967396L).toInt is 100, which would silently turn
+    * an out-of-range limit into a valid-looking one. */
+  private def int(p: Map[String, String], k: String, default: Int,
+      min: Int, max: Int): Int = {
+    val v = long(p, k).getOrElse(default.toLong)
+    require(v >= min && v <= max, s"$k must be in [$min, $max]")
+    v.toInt
+  }
+  /** A datetime param, validated up front: under non-ANSI Spark an
+    * unparsable string would make to_timestamp yield NULL and the
+    * filter silently drop EVERY row — a 400 here instead, like the
+    * reference's FastAPI 422 on a malformed datetime. */
+  private def dt(p: Map[String, String], k: String): Option[String] =
+    str(p, k).map { v =>
+      val ok =
+        scala.util.Try(java.sql.Timestamp.valueOf(v)).isSuccess ||
+        scala.util.Try(java.time.LocalDateTime.parse(v.replace(' ', 'T'))).isSuccess ||
+        scala.util.Try(java.time.LocalDate.parse(v)).isSuccess
+      require(ok, s"$k: not a datetime: $v")
+      v
+    }
 
   // ------------------------------------------------------------ endpoints
 
@@ -161,12 +189,10 @@ final class ApiServer(spark: SparkSession, files: () => DataFrame,
         hasChecksum = bool(p, "has_checksum"),
         minSize = long(p, "min_size"),
         maxSize = long(p, "max_size"),
-        modifiedAfter = str(p, "modified_after"),
-        modifiedBefore = str(p, "modified_before"),
-        limit = long(p, "limit").getOrElse(100L).toInt,
-        offset = long(p, "offset").getOrElse(0L).toInt)
-      require(req.limit >= 1 && req.limit <= 10000, "limit must be in [1, 10000]")
-      require(req.offset >= 0, "offset must be >= 0")
+        modifiedAfter = dt(p, "modified_after"),
+        modifiedBefore = dt(p, "modified_before"),
+        limit = int(p, "limit", default = 100, min = 1, max = 10000),
+        offset = int(p, "offset", default = 0, min = 0, max = Int.MaxValue))
       val f = files()
       val total = FileQueries.searchApiFiltered(f, req).count()
       val page = FileQueries.searchApi(f, req)
@@ -180,12 +206,9 @@ final class ApiServer(spark: SparkSession, files: () => DataFrame,
     // the oracle-checked fi_dup_page_meta / fi_duplicate_groups shapes,
     // size filters and pattern→checksum expansion per database.py:225-345)
     handle("/duplicates") { p =>
-      val minGroup = long(p, "min_group_size").getOrElse(2L).toInt
-      val limit = long(p, "limit").getOrElse(100L).toInt
-      val offset = long(p, "offset").getOrElse(0L).toInt
-      require(minGroup >= 2, "min_group_size must be >= 2")
-      require(limit >= 1 && limit <= 1000, "limit must be in [1, 1000]")
-      require(offset >= 0, "offset must be >= 0")
+      val minGroup = int(p, "min_group_size", default = 2, min = 2, max = Int.MaxValue)
+      val limit = int(p, "limit", default = 100, min = 1, max = 1000)
+      val offset = int(p, "offset", default = 0, min = 0, max = Int.MaxValue)
       val sizePreds: Seq[Column] =
         long(p, "min_file_size").map(col("file_size") >= _).toSeq ++
         long(p, "max_file_size").map(col("file_size") <= _).toSeq
@@ -205,15 +228,20 @@ final class ApiServer(spark: SparkSession, files: () => DataFrame,
             (df, c) => df.filter(c)).select("checksum").distinct()
           f.join(broadcast(keys), Seq("checksum"), "left_semi")
         }
-      val totalGroups = FileQueries.duplicateGroupSummaries(base, minGroup).count()
-      // ONE pass over the bounded page (≤1000 groups): collect the JSON
-      // row next to its numeric columns; the response totals are sums
-      // over rows already in hand, not extra distributed aggregates
-      val pageRows = FileQueries.duplicateGroupsNested(base, minGroup, limit, offset)
-        .select(to_json(struct(col("*")), new java.util.HashMap[String, String] {
+      // ONE grouping pass: the page rows ride total_groups from the
+      // window over group summaries (fi_dup_page_meta's math), the
+      // JSON row collects next to its numeric columns, and the
+      // response totals are sums over rows already in hand. Only an
+      // empty page (offset past the end) pays a separate bare count.
+      val pageRows = FileQueries.duplicateGroupsNestedPage(base, minGroup, limit, offset)
+        .select(to_json(struct(col("checksum"), col("file_size"), col("file_count"),
+          col("wasted_space"), col("files")), new java.util.HashMap[String, String] {
           put("ignoreNullFields", "false")
-        }).as("j"), col("file_count"), col("wasted_space"))
+        }).as("j"), col("file_count"), col("wasted_space"), col("total_groups"))
         .collect()
+      val totalGroups =
+        if (pageRows.nonEmpty) pageRows.head.getLong(3)
+        else FileQueries.duplicateGroupSummaries(base, minGroup).count()
       val tdf = pageRows.map(_.getLong(1)).sum
       val tws = pageRows.map(_.getLong(2)).sum
       s"""{"duplicate_groups": ${pageRows.map(_.getString(0)).mkString("[", ",", "]")},
@@ -272,22 +300,48 @@ final class ApiServer(spark: SparkSession, files: () => DataFrame,
 
 object ApiServer {
   /** Parse one flat JSON object {k: scalar, ...} into string values
-    * (numbers/bools keep their literal text; nulls map to "null",
-    * which the typed getters treat as absent). Nested values are not
-    * needed by any reference request model. */
+    * (numbers/bools keep their literal text). A JSON `null` field is
+    * DROPPED — Optional-not-set, like the reference's Pydantic models
+    * — so the literal string "null" stays a value. Nested objects and
+    * arrays are masked out before the scalar scan: no reference
+    * request model uses them, and scanning inside them would silently
+    * apply keys the client deliberately nested (e.g. a `min_size`
+    * inside a metadata sub-object). */
   private[serve] def flatJson(s: String): Map[String, String] = {
     val t = s.trim
     if (t.isEmpty || t == "{}") return Map.empty
     require(t.startsWith("{") && t.endsWith("}"), "body must be a JSON object")
     val kv = """"((?:[^"\\]|\\.)*)"\s*:\s*("(?:[^"\\]|\\.)*"|-?[0-9][0-9.eE+\-]*|true|false|null)""".r
-    kv.findAllMatchIn(t).map { m =>
-      val k = unescape(m.group(1))
+    kv.findAllMatchIn(topLevelOnly(t)).flatMap { m =>
       val raw = m.group(2)
-      val v =
+      if (raw == "null") None
+      else Some(unescape(m.group(1)) -> (
         if (raw.startsWith("\"")) unescape(raw.substring(1, raw.length - 1))
-        else raw
-      k -> v
+        else raw))
     }.toMap
+  }
+
+  /** Blank out every character nested deeper than the top-level object
+    * (depth tracking is string-aware, so braces inside string values
+    * don't count). The scalar kv-scan then cannot match keys inside
+    * nested objects/arrays. */
+  private def topLevelOnly(t: String): String = {
+    val sb = new StringBuilder(t.length)
+    var depth = 0; var inStr = false; var esc = false
+    t.foreach { c =>
+      if (inStr) {
+        sb += (if (depth <= 1) c else ' ')
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true; sb += (if (depth <= 1) c else ' ')
+        case '{' | '[' => depth += 1; sb += (if (depth <= 1) c else ' ')
+        case '}' | ']' => sb += (if (depth <= 1) c else ' '); depth -= 1
+        case _ => sb += (if (depth <= 1) c else ' ')
+      }
+    }
+    sb.toString
   }
 
   private def unescape(s: String): String = {

@@ -140,14 +140,45 @@ class ApiServerSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("range and datetime validation happens BEFORE any narrowing") {
+    // (4294967396L).toInt == 100 — must 400, not silently serve a page
+    val (c1, _) = get("/search/?limit=4294967396")
+    assert(c1 == 400)
+    val (c2, _) = get("/search/?offset=4294967296")
+    assert(c2 == 400)
+    val (c3, _) = get("/duplicates/?min_group_size=4294967298")
+    assert(c3 == 400)
+    // an unparsable datetime must 400, not NULL-filter every row to
+    // an empty-but-200 result
+    val (c4, b4) = get("/search/?modified_after=not-a-date")
+    assert(c4 == 400, b4)
+    val (c5, _) = get("/search/?modified_after=2024-01-01%2010:00:00")
+    assert(c5 == 200)
+  }
+
   test("flat JSON body parsing: strings, numbers, bools, nulls, escapes") {
     val m = ApiServer.flatJson(
       """{"a": "x\"y", "n": 42, "b": true, "z": null, "u": "A", "e": -1.5e-3}""")
     assert(m("a") == "x\"y")
     assert(m("n") == "42")
     assert(m("b") == "true")
-    assert(m("z") == "null")
+    // JSON null = Optional-not-set (dropped); the STRING "null" is a value
+    assert(!m.contains("z"))
+    assert(ApiServer.flatJson("""{"s": "null"}""")("s") == "null")
     assert(m("u") == "A")
     assert(m("e") == "-1.5e-3") // exponent signs survive the number token
+  }
+
+  test("flat JSON ignores keys nested inside sub-objects and arrays") {
+    val m = ApiServer.flatJson(
+      """{"limit": 5, "metadata": {"min_size": 999, "deep": {"limit": 7}},
+        | "tags": ["min_size", 3], "offset": 1}""".stripMargin)
+    assert(m("limit") == "5")
+    assert(m("offset") == "1")
+    // the nested min_size/limit must NOT leak into the flat params
+    assert(!m.contains("min_size"))
+    // a string value containing braces is not structure
+    assert(ApiServer.flatJson("""{"p": "a{b}c", "q": 1}""") ==
+      Map("p" -> "a{b}c", "q" -> "1"))
   }
 }
