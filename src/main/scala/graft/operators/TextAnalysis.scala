@@ -167,6 +167,41 @@ object TextAnalysis {
         .as("n_pieces"))
       .orderBy("doc_id")
 
+  /** Sliding-window chunking: each document becomes overlapping
+    * `chunkSize`-token chunks starting every `stride` tokens — the
+    * standard context-window packing step between a raw corpus and a
+    * tokenized training set (stride < chunkSize gives the overlap that
+    * preserves cross-boundary context). A document shorter than one
+    * window yields exactly one (possibly short) chunk; the final chunk
+    * may be short rather than re-reading earlier tokens (no right-
+    * alignment), so every token appears in ceil(chunkSize/stride)
+    * chunks at most and chunk provenance is a pure function of
+    * (doc_id, chunk_id).
+    *
+    * Scale shape: per-row array ops only (split → sequence →
+    * posexplode → slice) — embarrassingly parallel, no shuffle except
+    * the output ordering; output size is bounded at
+    * ~(chunkSize/stride)× the corpus, set by the caller. */
+  def chunk(docs: DataFrame, chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && chunkSize >= stride,
+      s"need 0 < stride <= chunkSize, got stride=$stride chunkSize=$chunkSize")
+    val n = size(col("toks")).cast("long")
+    // starts: 0, stride, ... — one chunk for short docs, else enough
+    // that the last window reaches the end: ceil((n-size)/stride)+1
+    val nChunks = when(n <= chunkSize, lit(1L))
+      .otherwise(ceil((n - chunkSize).cast("double") / stride).cast("long") + 1L)
+    docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), nChunks - 1L)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"), lit(chunkSize))
+          .as("chunk_toks"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk_toks")).cast("long").as("n_chunk_tokens"),
+        array_join(col("chunk_toks"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Document fingerprinting: full-text hash, prefix hash (first 8
     * tokens), and a winnowing-style rolling fingerprint = the
     * lexicographic minimum of the hashes of all character 5-grams.

@@ -30,6 +30,12 @@ object ExtQueries {
     "ev_rolling_hour" -> ((s, d) => Events.rollingHourByUser(events(s, d))),
     "ev_top_users" -> ((s, d) => Events.topUsers(events(s, d), k = 10)),
     "ev_funnel" -> ((s, d) => Events.funnel(events(s, d), withinMinutes = 10)),
+    // AS-OF join: each purchase joined to the user's latest view at or
+    // before it. Spark side is the union+running-window form (one
+    // shuffle, no join node — Events.asofPrior); the oracle is
+    // DuckDB's native ASOF LEFT JOIN, so two INDEPENDENT formulations
+    // of the semantics must agree row-for-row.
+    "ev_asof" -> ((s, d) => Events.asofPrior(events(s, d))),
     // Moving ROWS frame: trailing-5-event sum/count per user (decimal-
     // exact; a moving AVG would divide differently across engines).
     "ev_moving_window" -> ((s, d) => {
@@ -123,6 +129,15 @@ object ExtQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "ev_asof" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |     v AS (SELECT * FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS prior_view_ts,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
     "ev_rolling_hour" ->
       """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
         |  COUNT(*) OVER w AS events_last_hour,

@@ -238,7 +238,12 @@ object PipelineQueries {
     // Language-ID n-gram heuristic — argmax of char-bigram profiles.
     "ta_lang_id" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     // Document fingerprinting — full / prefix / winnowing-min hashes.
-    "ta_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(docs(s, d)))
+    "ta_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(docs(s, d))),
+    // Sliding-window chunking — 64-token windows every 48 tokens
+    // (overlap 16): the corpus → context-window packing step. Oracle
+    // re-derives the same windows with list_slice over generate_series.
+    "ta_chunks" -> ((s, d) =>
+      TextAnalysis.chunk(docs(s, d), chunkSize = 64, stride = 48))
   )
 
   /** The ANN recall contract shared by the recomputed and persisted
@@ -675,6 +680,21 @@ object PipelineQueries {
          |  md5(array_to_string(list_slice($T, 1, 8), ' ')) AS fp_prefix,
          |  list_min(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
          |                          i -> md5(substr(text, i, 5)))) AS fp_winnow
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $T AS toks, len($T) AS n FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |    CASE WHEN n <= 64 THEN CAST(1 AS BIGINT)
+         |         ELSE CAST(ceil(CAST(n - 64 AS DOUBLE) / 48) AS BIGINT) + 1 END AS n_chunks
+         |  FROM t),
+         |x AS (SELECT doc_id, toks,
+         |    unnest(generate_series(CAST(0 AS BIGINT), n_chunks - 1)) AS chunk_id
+         |  FROM c)
+         |SELECT doc_id, chunk_id,
+         |  CAST(len(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS BIGINT)
+         |    AS n_chunk_tokens,
+         |  array_to_string(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')
+         |    AS chunk_text
+         |FROM x ORDER BY doc_id, chunk_id""".stripMargin
   )
 }

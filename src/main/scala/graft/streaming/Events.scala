@@ -25,6 +25,14 @@ case class SessionState(nEvents: Long, totalValue: java.math.BigDecimal,
   * ones for the same user). */
 case class FunnelUpdate(userId: Long, nViews: Long, nConverted: Long)
 
+/** One enriched left-side event from the streaming as-of join
+  * (priorTsUs = -1 when no right-side event preceded it). */
+case class AsofUpdate(eventId: Long, userId: Long, tsUs: Long, priorTsUs: Long)
+
+/** Keyed as-of state: the greatest right-side event time seen for this
+  * user — O(1) regardless of stream length. */
+case class AsofState(lastRightTsUs: Long)
+
 /** Keyed per-user funnel state: the last event's (type, micros) for
   * the adjacency test plus the running counters — O(1) per user
   * regardless of stream length. */
@@ -131,6 +139,39 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** AS-OF join (point-in-time lookup): each `leftType` event gets the
+    * user's most recent `rightType` event timestamp at or before it —
+    * the join shape behind feature lookups, attribution, and
+    * point-in-time dimension reads in a training pipeline.
+    *
+    * Expressed WITHOUT a join: the naive form is a range join
+    * (left × right on user AND r.ts <= l.ts, keep the max) whose
+    * candidate fan-out is per-user quadratic at scale. Spark-first the
+    * two sides are the SAME partitioned stream: filter both types,
+    * carry the last right-side timestamp forward with a running
+    * `last(_, ignoreNulls)` window per user, keep the left rows.
+    * ONE shuffle on user_id, no join node in the plan at all; the
+    * same-instant tie (`r.ts <= l.ts` includes equality) is honored by
+    * sorting right rows before left rows within a timestamp. Gap math
+    * is microsecond-integer — exact on both engines. */
+  def asofPrior(events: DataFrame, leftType: String = "purchase",
+      rightType: String = "view"): DataFrame = {
+    val rightFirst = when(col("event_type") === rightType, 0).otherwise(1)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), rightFirst, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.filter(col("event_type").isin(leftType, rightType))
+      .withColumn("prior_ts",
+        last(when(col("event_type") === rightType, col("ts")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === leftType)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        date_format(col("prior_ts"), "yyyy-MM-dd HH:mm:ss").as("prior_view_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("prior_ts"))).as("gap_us"))
+      .orderBy("event_id")
+  }
+
   /** Top-k users by total value (deterministic tie-break on user_id).
     * Sorted on the DOUBLE-cast total so cast-induced ties rank the
     * same as in the oracle's double sort. */
@@ -208,6 +249,44 @@ object Events {
             }
             closedSessions.reverseIterator
           }
+      }
+  }
+
+  /** Streaming twin of [[asofPrior]]: per-user O(1) state — just the
+    * greatest right-side timestamp seen. Left-side events are enriched
+    * and emitted the batch they arrive; right-side events only advance
+    * the state. Within a batch events apply in (ts, right-first,
+    * event_id) order, matching the batch window's tie rule; as with
+    * [[streamingFunnel]], in-order-per-user delivery inside the
+    * watermark makes the streamed enrichment equal the batch backfill.
+    * A right-side event never needs replaying: the as-of contract is
+    * "latest at or before", so state is one monotone max, not a
+    * window. */
+  def streamingAsof(spark: SparkSession, events: DataFrame,
+      leftType: String = "purchase", rightType: String = "view"): Dataset[AsofUpdate] = {
+    import spark.implicits._
+    events.withWatermark("ts", "2 hours")
+      .filter(col("event_type").isin(leftType, rightType))
+      .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS ts_us")
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AsofState, AsofUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[AsofState]) =>
+          var s = state.getOption.getOrElse(AsofState(Long.MinValue))
+          val out = Seq.newBuilder[AsofUpdate]
+          rows.toSeq
+            .sortBy(r => (r._4, if (r._3 == rightType) 0 else 1, r._2))
+            .foreach { case (_, eventId, typ, tsUs) =>
+              if (typ == rightType) {
+                if (tsUs > s.lastRightTsUs) s = AsofState(tsUs)
+              } else {
+                out += AsofUpdate(eventId, userId, tsUs,
+                  if (s.lastRightTsUs == Long.MinValue) -1L else s.lastRightTsUs)
+              }
+            }
+          state.update(s)
+          out.result().iterator
       }
   }
 

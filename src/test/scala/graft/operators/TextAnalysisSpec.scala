@@ -67,4 +67,24 @@ class TextAnalysisSpec extends SparkSpec {
     // md5 hex shape
     assert(f(0).getString(1).matches("[0-9a-f]{32}"))
   }
+
+  test("chunk: overlapping windows, short docs, exact boundaries") {
+    def words(n: Int, tag: String) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val df = mk(
+      (1L, words(3, "a"), "en"),    // shorter than one window -> 1 chunk
+      (2L, words(10, "b"), "en"),   // 10 tokens, size 4 stride 3 -> starts 0,3,6 (last covers to 10)
+      (3L, words(11, "c"), "en"))   // 11 tokens -> starts 0,3,6,9; last chunk short (2 tokens)
+    val got = TextAnalysis.chunk(df, chunkSize = 4, stride = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("n_chunk_tokens"), r.getAs[String]("chunk_text")))
+    assert(got.count(_._1 == 1L) == 1 && got.head._4 == "a1 a2 a3")
+    val d2 = got.filter(_._1 == 2L)
+    assert(d2.map(t => (t._2, t._4)).toSeq == Seq(
+      (0L, "b1 b2 b3 b4"), (1L, "b4 b5 b6 b7"), (2L, "b7 b8 b9 b10")))
+    val d3 = got.filter(_._1 == 3L)
+    assert(d3.map(_._3).toSeq == Seq(4L, 4L, 4L, 2L), d3.toSeq)
+    assert(d3.last._4 == "c10 c11")
+    // overlap: consecutive chunks share chunkSize - stride tokens
+    assert(d2(0)._4.split(" ").last == d2(1)._4.split(" ").head)
+  }
 }

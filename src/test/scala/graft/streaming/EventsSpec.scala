@@ -149,4 +149,60 @@ class EventsSpec extends SparkSpec {
     // the non-converting user still streams its view counts
     assert(streamed.get(3L).contains((1L, 0L)), streamed)
   }
+
+  test("streamingAsof enrichment matches the batch asofPrior backfill") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:10:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:20:00"), 1L, "purchase", 1.0, "{}"),
+      (3L, ts("2024-01-01 10:40:00"), 1L, "view", 0.0, "{}"),
+      (4L, ts("2024-01-01 10:50:00"), 1L, "purchase", 2.0, "{}"),
+      (5L, ts("2024-01-01 09:00:00"), 2L, "purchase", 3.0, "{}"),
+      (6L, ts("2024-01-01 09:30:00"), 2L, "view", 0.0, "{}"),
+      (7L, ts("2024-01-01 09:30:00"), 2L, "purchase", 4.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = Files.createTempDirectory("graft-asofstream")
+    ev.write.mode("overwrite").parquet(dir.toString)
+    val updates = Events.streamingAsof(spark, Events.readEventStream(spark, dir.toString))
+    val q = updates.toDF().writeStream.format("memory").queryName("ev_asof_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ev_asof_test").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val batch = Events.asofPrior(ev).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Any]("gap_us")).map(_.asInstanceOf[Long])).toMap
+    assert(streamed.keySet == batch.keySet, s"streamed=$streamed batch=$batch")
+    batch.foreach { case (id, gap) =>
+      val tsUs = ev.filter(s"event_id = $id").collect()
+        .map(r => r.getTimestamp(1).getTime * 1000L).head
+      val expectedPrior = gap.map(g => tsUs - g).getOrElse(-1L)
+      assert(streamed(id) == expectedPrior, s"event $id: ${streamed(id)} vs $expectedPrior")
+    }
+  }
+
+  test("asofPrior: latest view at-or-before each purchase, per user") {
+    val ev = Seq(
+      // user 1: view, purchase (prior = 10:10), view, purchase (prior = 10:40)
+      (1L, ts("2024-01-01 10:10:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:20:00"), 1L, "purchase", 1.0, "{}"),
+      (3L, ts("2024-01-01 10:40:00"), 1L, "view", 0.0, "{}"),
+      (4L, ts("2024-01-01 10:50:00"), 1L, "purchase", 2.0, "{}"),
+      // user 2: purchase BEFORE any view -> null prior; later purchase
+      // at the EXACT instant of a view -> tie counts (v.ts <= p.ts)
+      (5L, ts("2024-01-01 09:00:00"), 2L, "purchase", 3.0, "{}"),
+      (6L, ts("2024-01-01 09:30:00"), 2L, "view", 0.0, "{}"),
+      (7L, ts("2024-01-01 09:30:00"), 2L, "purchase", 4.0, "{}"),
+      // other event types never act as the right side
+      (8L, ts("2024-01-01 11:00:00"), 1L, "click", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.asofPrior(ev).collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[String]("prior_view_ts")),
+        Option(r.getAs[Any]("gap_us")).map(_.asInstanceOf[Long])))
+    assert(got.toSeq == Seq(
+      (2L, Some("2024-01-01 10:10:00"), Some(600000000L)),
+      (4L, Some("2024-01-01 10:40:00"), Some(600000000L)),
+      (5L, None, None),
+      (7L, Some("2024-01-01 09:30:00"), Some(0L))), got.toSeq)
+  }
 }
