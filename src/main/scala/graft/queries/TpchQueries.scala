@@ -137,6 +137,37 @@ object TpchQueries {
       .orderBy("c_custkey")
   }
 
+  /** The 100 TB twin of [[acctbalQuartiles]]: exact global ntile needs
+    * a single-partition window over every row; at scale the same
+    * bucketing comes from ONE-PASS approx-percentile boundaries (a
+    * mergeable sketch) and a comparison against the three resulting
+    * scalars — no global order anywhere. CONTRACT row in the
+    * fi_stats_approx pattern: the exact customer count hash-compares,
+    * and booleans assert every approximate quartile holds 25% ± 10%
+    * of customers — the row fails iff the sketch-derived bucketing
+    * genuinely breaks. */
+  def acctbalQuartilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    val bounds = Tables.customer(spark, dir).agg(
+      expr("approx_percentile(CAST(c_acctbal AS DOUBLE), array(0.25D, 0.5D, 0.75D), 10000)")
+        .as("bs"))
+      .select(col("bs").getItem(0).as("p25"), col("bs").getItem(1).as("p50"),
+        col("bs").getItem(2).as("p75"))
+    val bucketed = Tables.customer(spark, dir)
+      .crossJoin(broadcast(bounds))
+      .select(when(dec("c_acctbal").cast("double") >= col("p75"), 1)
+        .when(dec("c_acctbal").cast("double") >= col("p50"), 2)
+        .when(dec("c_acctbal").cast("double") >= col("p25"), 3)
+        .otherwise(4).as("quartile"))
+    def shareOk(qt: Int) = {
+      val share = sum(when(col("quartile") === qt, 1L).otherwise(0L)).cast("double") /
+        count(lit(1)).cast("double")
+      (abs(share - 0.25) <= 0.10)
+    }
+    bucketed.agg(count(lit(1)).as("n_customers"),
+      shareOk(1).as("q1_ok"), shareOk(2).as("q2_ok"),
+      shareOk(3).as("q3_ok"), shareOk(4).as("q4_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> ((s, d) => q1Pricing(s, d)),
     "q3_shipping" -> ((s, d) => q3Shipping(s, d)),
@@ -144,7 +175,8 @@ object TpchQueries {
     "q_brand_volume" -> ((s, d) => brandVolume(s, d)),
     "q_customers_no_orders" -> ((s, d) => customersNoOrders(s, d)),
     "q_above_avg_orders" -> ((s, d) => aboveAvgOrders(s, d)),
-    "q_acctbal_quartiles" -> ((s, d) => acctbalQuartiles(s, d)))
+    "q_acctbal_quartiles" -> ((s, d) => acctbalQuartiles(s, d)),
+    "q_acctbal_quartiles_approx" -> ((s, d) => acctbalQuartilesApprox(s, d)))
 
   private val discPrice =
     "CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * " +
@@ -203,6 +235,10 @@ object TpchQueries {
       """SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,6)) AS DOUBLE) AS c_acctbal,
         |  CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INT) AS quartile
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_acctbal_quartiles_approx" ->
+      """SELECT COUNT(*) AS n_customers, TRUE AS q1_ok, TRUE AS q2_ok,
+        |  TRUE AS q3_ok, TRUE AS q4_ok
+        |FROM customer""".stripMargin,
     "q_brand_volume" ->
       """SELECT p_brand,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty,

@@ -42,7 +42,10 @@ class PlanLintSpec extends SparkSpec {
     "ss_topk_ivf_recall" -> ("the recall CONTRACT compares IVF against the brute " +
       "exact scan, so it inherits ss_topk_brute's reviewed nested loop"),
     "ss_topk_ivf_index_recall" -> ("same contract as ss_topk_ivf_recall for the " +
-      "persisted-index path"))
+      "persisted-index path"),
+    "q_acctbal_quartiles_approx" -> ("the broadcast side is ONE scalar-aggregate " +
+      "row (the approx-percentile boundaries) — the scalar-subquery execution " +
+      "shape, bounded by construction"))
 
   /** Queries whose plans legitimately contain a globally-ordered
     * (empty-partition) window, with the reviewed reason. */
