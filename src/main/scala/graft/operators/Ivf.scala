@@ -36,10 +36,12 @@ object Ivf {
   }
 
   /** Cell id (0-based argmax of [[score]]) for each row's `v`. */
-  private[operators] def assign(centroids: Seq[Array[Double]]): Column = {
-    val scores = array(centroids.map(c => score(col("v"), c)): _*)
-    (array_position(scores, array_max(scores)) - 1).cast("int")
-  }
+  private[operators] def assign(centroids: Seq[Array[Double]]): Column =
+    if (centroids.isEmpty) lit(null).cast("int") // empty corpus → no cells
+    else {
+      val scores = array(centroids.map(c => score(col("v"), c)): _*)
+      (array_position(scores, array_max(scores)) - 1).cast("int")
+    }
 
   /** Build centroids: deterministic seed + `iters` Lloyd rounds. */
   def trainCentroids(emb: DataFrame, nCentroids: Int, iters: Int = 2): Seq[Array[Double]] = {
@@ -49,9 +51,10 @@ object Ivf {
   }
 
   /** Training core over an already-prepared (vec_id, v) table — lets
-    * [[topkIvf]] share one cached preparation between training and
-    * querying instead of scanning+normalizing the corpus twice. */
-  private def trainOnPrepared(e: DataFrame, nCentroids: Int, iters: Int): Seq[Array[Double]] = {
+    * [[topkIvf]] (and Similarity.semanticPairsCells) share one cached
+    * preparation between training and querying instead of
+    * scanning+normalizing the corpus twice. */
+  private[operators] def trainOnPrepared(e: DataFrame, nCentroids: Int, iters: Int): Seq[Array[Double]] = {
     var centroids: Seq[Array[Double]] = e.orderBy("vec_id").limit(nCentroids)
       .collect().map(_.getSeq[Double](1).toArray).toSeq
     for (_ <- 1 to iters) {

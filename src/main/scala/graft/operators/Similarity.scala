@@ -208,6 +208,72 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** SemDeDup-style cell-blocked semantic near-dup pairs: k-means
+    * cells (the deterministic IVF trainer) are the BLOCKING key — a
+    * vector is compared only against its own cell, so the all-pairs
+    * n² collapses to Σ n_c² ≈ n²/k with the per-cell work an ordinary
+    * shuffled equi-join on the cell id. This is the published SemDeDup
+    * recipe (Abbas et al. 2023: k-means the embeddings, dedup within
+    * clusters) and the third point on the semantic-dedup cost/recall
+    * curve: exact blocked ([[cosinePairsBlocked]], every pair, O(n²)
+    * work) → cell-blocked (this, O(n²/k), misses cross-cell pairs by
+    * DESIGN) → LSH ([[cosinePairsLsh]], sub-quadratic, high-threshold
+    * regime only). Coverage vs the exact pair set is pinned by the
+    * dd_semantic_coverage contract row.
+    *
+    * Each vector has exactly ONE cell (argmin distance), so a pair can
+    * join at most once — no dedup pass needed. */
+  def semanticPairsCells(emb: DataFrame, threshold: Double,
+      nCentroids: Int = 16, iters: Int = 2): DataFrame = {
+    val prep = OpCaches.track(prepared(emb).select("vec_id", "v", "nrm"))
+    val cents = Ivf.trainOnPrepared(prep.select("vec_id", "v"), nCentroids, iters)
+    val e = prep.withColumn("cell", Ivf.assign(cents))
+    val a = e.select(col("cell"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("cell"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Embedding-quality outlier scoring: cosine of each vector to its
+    * LABEL's centroid direction (SemDeDup/CLIP-filtering style — far-
+    * from-centroid vectors are mislabeled or noise candidates).
+    *
+    * The centroid is the per-dimension SUM of `round(v_i · 1000)`
+    * INTEGERS, not a float mean: cosine is scale-invariant, so the
+    * un-divided sum IS the centroid direction, and integer summation
+    * is exact and order-independent — the distributed aggregate is
+    * bit-reproducible under any partitioning and any engine, where a
+    * double mean would be neither (float addition is not associative).
+    * Quantization at 3 decimals moves each coordinate by ≤ 5e-4 —
+    * noise-level against the outlier signal.
+    *
+    * Plan shape at 100 TB: ONE columnar hash aggregate (64 sum
+    * columns, map-side partials — never an explode), a broadcast join
+    * of the |labels|-row centroid table back onto the corpus, and a
+    * codegen'd dot per row. No window, no self-join. */
+  def labelCentroidCosine(emb: DataFrame, outlierBelow: Double = 0.05,
+      dims: Int = 64): DataFrame = {
+    val q = emb.select(col("vec_id"), col("label"),
+      VectorOps.toDouble(col("embedding")).as("v"))
+    val sumCols = (0 until dims).map(i =>
+      sum(round(element_at(col("v"), i + 1) * 1000, 0).cast("long")).as(s"s$i"))
+    val cent = q.groupBy("label").agg(sumCols.head, sumCols.tail: _*)
+      .withColumn("c", array((0 until dims).map(i => col(s"s$i").cast("double")): _*))
+      .select(col("label"), col("c"), VectorOps.norm(col("c")).as("cn"))
+    q.join(broadcast(cent), "label")
+      .select(col("vec_id"), col("label"),
+        VectorOps.cosine(col("v"), VectorOps.norm(col("v")), col("c"), col("cn"))
+          .as("cent_cos"))
+      .withColumn("is_outlier", col("cent_cos") < outlierBelow)
+      .orderBy("vec_id")
+  }
+
   /** Brute-force cosine top-k for the query set {vec_id % queryMod = 0}:
     * broadcast the small query side, stream the corpus once, window
     * top-k per query (ties broken by cand_id). */

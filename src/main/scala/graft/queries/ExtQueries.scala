@@ -36,6 +36,12 @@ object ExtQueries {
     // DuckDB's native ASOF LEFT JOIN, so two INDEPENDENT formulations
     // of the semantics must agree row-for-row.
     "ev_asof" -> ((s, d) => Events.asofPrior(events(s, d))),
+    // Cumulative distinct users per day — first-seen-day rewrite (no
+    // distinct-within-window; see Events.cumulativeUsersDaily).
+    "ev_cumulative_users" -> ((s, d) => Events.cumulativeUsersDaily(events(s, d))),
+    // Salted two-stage aggregation — result identical to the plain
+    // groupBy the oracle runs; exercises the 100 TB hot-key path.
+    "ev_salted_agg" -> ((s, d) => Events.typeTotalsSalted(events(s, d))),
     // Moving ROWS frame: trailing-5-event sum/count per user (decimal-
     // exact; a moving AVG would divide differently across engines).
     "ev_moving_window" -> ((s, d) => {
@@ -156,6 +162,26 @@ object ExtQueries {
         |SELECT event_type, n,
         |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share
         |FROM g ORDER BY event_type""".stripMargin,
+    // the oracle states the SEMANTICS (distinct-over-expanding-window);
+    // the Spark side runs the first-seen-day rewrite — two independent
+    // formulations that must agree row-for-row
+    "ev_cumulative_users" ->
+      """WITH fs AS (
+        |  SELECT user_id, MIN(date_trunc('day', ts)) AS day
+        |  FROM events GROUP BY user_id),
+        |pd AS (SELECT day, COUNT(*) AS new_users FROM fs GROUP BY day),
+        |days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events)
+        |SELECT strftime(days.day, '%Y-%m-%d') AS day,
+        |  COALESCE(pd.new_users, 0) AS new_users,
+        |  CAST(SUM(COALESCE(pd.new_users, 0)) OVER (ORDER BY days.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cumulative_users
+        |FROM days LEFT JOIN pd USING (day) ORDER BY day""".stripMargin,
+    // plain GROUP BY — the salted two-stage plan must be value-identical
+    "ev_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "fi_top_per_dir" -> FilesCte.wrap(
       """SELECT path, filename, file_size, rnk FROM (
         |  SELECT path, filename, file_size,

@@ -223,6 +223,37 @@ object PipelineQueries {
       recallContract(e, graft.operators.IvfIndex.topk(s, root, queries, k = 5, nProbe = 4)
         .select(col("query_id"), col("cand_id")))
     }),
+    // Embedding-quality outlier scoring: cosine to the label's
+    // QUANTIZED centroid direction (integer sums — exact, order-
+    // independent, so the distributed aggregate hash-matches the
+    // oracle bit-for-bit; a double mean would be neither).
+    "ss_outliers" -> ((s, d) =>
+      Similarity.labelCentroidCosine(emb(s, d), outlierBelow = 0.05)),
+    // SemDeDup contract: cell-blocked semantic pairs must cover the
+    // contracted fraction of the EXACT pair set (cosinePairsBlocked —
+    // equi-join ground truth, no nested loop). Cross-cell pairs are
+    // missed by design; the bound pins how much. The near-isotropic
+    // testdata at threshold 0.3 is cell-blocking's WORST case (pairs
+    // barely above the median cosine carry no cluster signal):
+    // measured coverage ≈ 0.34 (sf0.01) / 0.27 (sf0.1) at k=8 —
+    // bound 0.15 (~2× margin). Clustered corpora — the regime SemDeDup
+    // is built for — sit at 1.0 (SemanticCellsSpec).
+    "dd_semantic_coverage" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val e = emb(s, d)
+      val brute = Similarity.cosinePairsBlocked(e, threshold = 0.3)
+        .select("vec_a", "vec_b")
+      val cells = Similarity.semanticPairsCells(e, threshold = 0.3, nCentroids = 8)
+        .select(col("vec_a"), col("vec_b"), lit(1L).as("hit"))
+      brute.join(cells, Seq("vec_a", "vec_b"), "left")
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_cocell"))
+        // empty pair set (tiny sf) → trivially covered, never 0/0
+        .select(col("n_pairs"),
+          when(col("n_pairs") === 0, lit(true))
+            .otherwise(col("n_cocell").cast("double") / col("n_pairs") >= 0.15)
+            .as("coverage_ok"))
+    }),
     // Token counting — whitespace tokens, distinct tokens, mean length.
     "ta_token_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))),
     // BPE-ish regex pre-tokenization counts.
@@ -493,6 +524,33 @@ object PipelineQueries {
          |    (${dotSql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cosine
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |WHERE cosine >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+    // the oracle recomputes the quantized-integer centroid sums in SQL
+    // — the exact arithmetic twin of labelCentroidCosine, independent
+    // formulation of the same integers
+    "ss_outliers" -> {
+      val sums = (1 to 64).map(i =>
+        s"SUM(CAST(round(CAST(embedding[$i] AS DOUBLE) * 1000, 0) AS BIGINT)) AS s${i - 1}")
+        .mkString(", ")
+      val dotVC = (1 to 64).map(i =>
+        s"CAST(q.embedding[$i] AS DOUBLE) * CAST(c.s${i - 1} AS DOUBLE)").mkString(" + ")
+      val dotCC = (1 to 64).map(i =>
+        s"CAST(c.s${i - 1} AS DOUBLE) * CAST(c.s${i - 1} AS DOUBLE)").mkString(" + ")
+      s"""WITH c AS (SELECT label, $sums FROM embeddings GROUP BY label),
+         |scored AS (
+         |  SELECT q.vec_id, q.label,
+         |    round(($dotVC) / (${normSql("q.embedding")} * sqrt($dotCC)), 6) AS cent_cos
+         |  FROM embeddings q JOIN c ON q.label = c.label)
+         |SELECT vec_id, label, cent_cos, cent_cos < 0.05 AS is_outlier
+         |FROM scored ORDER BY vec_id""".stripMargin
+    },
+    // exact pair count from SQL; the co-cell coverage bound is the
+    // Spark-side boolean (k-means cells are not SQL-expressible)
+    "dd_semantic_coverage" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |  WHERE (${dotSql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) >= 0.3)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, TRUE AS coverage_ok FROM p""".stripMargin,
     "ss_topk_brute" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
          |scored AS (

@@ -181,6 +181,45 @@ object Events {
       .orderBy(col("total_value").desc, col("user_id"))
       .limit(k)
 
+  /** Daily cumulative distinct users — the scale rewrite of
+    * `count(DISTINCT user_id) OVER (ORDER BY day)`. The naive form
+    * re-scans an ever-growing prefix per day (O(days · events) with
+    * per-frame distinct state); instead each user contributes only
+    * their FIRST-seen day (one hash aggregate, map-side partials),
+    * first-sights roll up to one row per day, and the only running
+    * window is over that O(days) frame — at 100 TB the heavy work is
+    * two shuffles whose width is |users| then |days|, never a
+    * distinct-within-window. Days with activity but no new users
+    * still appear (left join against the observed-day spine). */
+  def cumulativeUsersDaily(events: DataFrame): DataFrame = {
+    val firstSeen = events.groupBy(col("user_id"))
+      .agg(min(date_trunc("day", col("ts"))).as("day"))
+    val perDay = firstSeen.groupBy("day").agg(count(lit(1)).as("new_users"))
+    val days = events.select(date_trunc("day", col("ts")).as("day")).distinct()
+    // running sum over the per-day aggregate: O(days) rows in the one
+    // global window (same reviewed shape as packShards' block totals)
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.join(perDay, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("new_users"),
+        sum(col("new_users")).over(w).as("cumulative_users"))
+      .orderBy("day")
+  }
+
+  /** Two-stage salted per-type totals — identical result to the plain
+    * groupBy (the oracle runs the unsalted SQL) with the hot key's
+    * rows split across `saltBuckets` partial groups first, so one
+    * mega-hot event_type can never pin a whole aggregation partition
+    * at 100 TB. Decimal sums keep the two-stage reassociation exact. */
+  def typeTotalsSalted(events: DataFrame, saltBuckets: Int = 32): DataFrame =
+    graft.operators.SkewTools.saltedAgg(events,
+        col("event_type"), valueDec, saltBuckets)
+      .select(col("k").as("event_type"), col("n").as("n_events"),
+        col("total").cast("double").as("total_value"))
+      .orderBy("event_type")
+
   // ------------------------------------------------------------ streaming
 
   /** Unbounded source over a directory of parquet event files. */

@@ -67,7 +67,10 @@ class PlanLintSpec extends SparkSpec {
       "the per-block offsets table (one row per blockSize docs), the per-doc " +
       "cumulative sums are partitioned by block — see CorpusOps.packShards"),
     "tp_training_manifest" -> ("ends in CorpusOps.packShards — same reviewed " +
-      "per-block offsets window as tp_pack_shards"))
+      "per-block offsets window as tp_pack_shards"),
+    "ev_cumulative_users" -> ("running total over the per-DAY aggregate (one row " +
+      "per observed day, date-domain-bounded); the per-user and per-day distinct " +
+      "work happens in partitioned hash aggregates before the window"))
 
   /** Physical nodes of the pre-AQE planned tree (AQE never introduces
     * cartesian or window nodes; it only re-picks join strategies that

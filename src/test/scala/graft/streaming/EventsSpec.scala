@@ -37,6 +37,29 @@ class EventsSpec extends SparkSpec {
     assert(s.toSeq == Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 2L)))
   }
 
+  test("cumulativeUsersDaily: first-seen rewrite equals naive cumulative distinct") {
+    // multi-day frame where day 2 has activity but no NEW user
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 2L, "view", 1.0, "{}"),
+      (3L, ts("2024-01-02 10:00:00"), 1L, "click", 1.0, "{}"),
+      (4L, ts("2024-01-03 10:00:00"), 3L, "click", 1.0, "{}"),
+      (5L, ts("2024-01-03 11:00:00"), 1L, "view", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Events.cumulativeUsersDaily(e).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(r == Seq(
+      ("2024-01-01", 2L, 2L), ("2024-01-02", 0L, 2L), ("2024-01-03", 1L, 3L)))
+  }
+
+  test("typeTotalsSalted equals the plain groupBy totals") {
+    val plain = Events.topUsers(events, k = 100) // any exact aggregate as sanity
+    assert(plain.count() == 2)
+    val salted = Events.typeTotalsSalted(events, saltBuckets = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(salted == Seq(("click", 3L, 9.0), ("view", 2L, 6.0)))
+  }
+
   test("rollingHourByUser counts trailing-hour events per user") {
     val m = Events.rollingHourByUser(events).collect()
       .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("events_last_hour")).toMap
