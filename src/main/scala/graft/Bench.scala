@@ -44,12 +44,19 @@ object Bench {
     }
 
     // global warmup: JVM + codegen once, then every table's parquet
-    // footers/pages (events via its view — the raw file needs the
-    // nanos-as-long conversion) and the SQL-surface view registration
+    // footers/pages (events via its view — the loader adapts to the
+    // runtime's ts reading) and the SQL-surface view registration.
+    // EVERY step is per-item guarded: round 3 lost its entire bench
+    // because one bad loader threw here, before a single query was
+    // timed — one degraded table must never zero the whole artifact.
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    graft.tables.Tables.registerAll(spark, sfDir)
+    try graft.tables.Tables.registerAll(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup registerAll failed: ${e.getMessage}") }
     (graft.tables.Tables.names :+ "files").foreach { n =>
-      spark.table(n).queryExecution.toRdd.count()
+      try spark.table(n).queryExecution.toRdd.count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup table $n failed: ${e.getMessage}") }
     }
     SparkEntry.queries.keys.headOption.foreach(run)
 

@@ -19,6 +19,12 @@ object Verify {
     // (the driver sets nothing and gets the full dump)
     val only = sys.env.get("SPARK_GRAFT_VERIFY_FILTER")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // Complete-by-construction: EVERY registered query gets an output
+    // directory. A failed query writes a one-row `__error__` parquet so
+    // the driver's compare reports a visible red row (schema mismatch)
+    // instead of silently dropping the query from the report — round 3
+    // lost 12 rows that way and the summary still read green.
+    val failures = scala.collection.mutable.ListBuffer.empty[(String, String)]
     SparkEntry.queries.filter(kv => only.forall(_.contains(kv._1)))
       .foreach { case (name, fn) =>
       try {
@@ -27,8 +33,20 @@ object Verify {
         // operator-internal caches don't accumulate across queries
         graft.operators.OpCaches.releaseAll()
       } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        failures += name -> msg
+        System.err.println(s"[verify] $name failed: $msg")
+        try {
+          import spark.implicits._
+          Seq(("__error__", msg.take(500))).toDF("__error__", "message")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
+    }
+    if (failures.nonEmpty) {
+      System.err.println(s"[verify] ${failures.size} of " +
+        s"${SparkEntry.queries.size} queries FAILED: " +
+        failures.map(_._1).mkString(", "))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -45,6 +63,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // machine-readable failure record alongside the dump (empty = clean)
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }
+        .mkString("{", ",", "}"))
     spark.stop()
   }
 }

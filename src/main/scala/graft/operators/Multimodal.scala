@@ -15,6 +15,11 @@ case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Long,
 /** One sampled frame. */
 case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Int, frame_md5: String)
 
+/** One REALLY-decoded image: dims read back by javax.imageio from
+  * actual PNG bytes (not derived from the payload length). */
+case class ImageDecoded(doc_id: Long, format: String, width: Int,
+    height: Int, n_pixels: Long, valid: Boolean)
+
 /** Multimodal-column operators for a training-data pipeline: treat
   * image/audio/video as opaque `binary` columns with typed metadata,
   * processed by batch-shaped `mapPartitions` stages (the JVM analogue
@@ -26,10 +31,16 @@ case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Int, frame_md5: Stri
   * frame-explosion shape (one input row → many output rows without
   * materializing all frames in memory).
   *
-  * STUBBED here (marked `STUB`): the actual codec. This container has
-  * no image/audio libraries, so [[StubCodec]] replaces libjpeg/ffmpeg
-  * with a deterministic pure function of the bytes. Swapping in a real
-  * decoder changes ONLY StubCodec — every plan shape stays identical.
+  * REAL codec (image leg): [[ImageCodec]] / [[decodeImages]] run the
+  * JDK's own PNG encoder/decoder (`javax.imageio`) — actual binary
+  * round-trip, true IHDR dimensions read back from the bytes.
+  *
+  * STUBBED here (marked `STUB`): the audio/video codec only. This
+  * container has no ffmpeg/audio libraries, so [[StubCodec]] replaces
+  * them with a deterministic pure function of the bytes. Swapping in a
+  * real decoder changes ONLY StubCodec — every plan shape stays
+  * identical (the image leg proves it: it swapped in `ImageIO` without
+  * touching any plan).
   */
 object Multimodal {
 
@@ -61,6 +72,85 @@ object Multimodal {
       val nFrames = math.max(n / FrameBytes, 1)
       (magic, width, height, nFrames)
     }
+  }
+
+  /** REAL image codec — no stub: the JDK ships a PNG encoder/decoder
+    * (`javax.imageio.ImageIO`), so the image leg of the multimodal
+    * pipeline runs an actual binary codec end-to-end. Encoding is
+    * deterministic (fixed pixel function of (doc_id, x, y), PNG is
+    * lossless), decoding reads the true IHDR dimensions back from the
+    * bytes — if the payload were corrupt or the codec fake, the dims
+    * would not match the generator's and `valid` would be false.
+    *
+    * At scale this is the exact plumbing a real pipeline needs: the
+    * codec object is partition-scoped, payloads stay in one narrow
+    * `mapPartitions` stage, and only small typed metadata crosses any
+    * shuffle. */
+  object ImageCodec {
+    /** Deterministic dims as a pure function of the doc text length —
+      * mirrored by the oracle SQL; the PNG round-trip must reproduce
+      * them from the bytes alone. */
+    def dimsFor(textLen: Int): (Int, Int) =
+      (8 + textLen % 57, 8 + (textLen.toLong * 7 % 41).toInt)
+
+    /** Encode a real PNG with a fixed pixel pattern. */
+    def encodePng(docId: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (((docId * 31 + x * 7 + y * 13) % 0xFFFFFF)).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Decode: true dimensions from the bytes, or None if not an image. */
+    def decodeDims(payload: Array[Byte]): Option[(Int, Int)] =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        Option(img).map(i => (i.getWidth, i.getHeight))
+      } catch { case _: Exception => None }
+  }
+
+  /** Image-only media table: REAL PNG payloads (every third document,
+    * matching [[mediaTable]]'s image assignment), generated in a
+    * partition-local stage — payload bytes never shuffle. */
+  def imageTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), length(col("text")).cast("int").as("text_len"))
+      .as[(Long, Int)]
+      .mapPartitions { batch =>
+        batch.map { case (docId, textLen) =>
+          val (w, h) = ImageCodec.dimsFor(textLen)
+          (docId, ImageCodec.encodePng(docId, w, h))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** REAL decode stage: javax.imageio reads each PNG's true dimensions
+    * back from the binary column. Output is small typed metadata only. */
+  def decodeImages(spark: SparkSession, images: DataFrame): Dataset[ImageDecoded] = {
+    import spark.implicits._
+    images.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (docId, payload) =>
+          ImageCodec.decodeDims(payload) match {
+            case Some((w, h)) =>
+              ImageDecoded(docId, "png", w, h, w.toLong * h, valid = true)
+            case None => ImageDecoded(docId, "invalid", -1, -1, 0L, valid = false)
+          }
+        }
+      }
   }
 
   /** Synthesize the media table from `documents`: payload = UTF-8 bytes

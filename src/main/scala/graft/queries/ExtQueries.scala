@@ -62,6 +62,13 @@ object ExtQueries {
     "mm_resize" -> ((s, d) =>
       Multimodal.resizeMeta(Multimodal.decodeMetadata(s, media(s, d)), maxSide = 128)
         .orderBy("doc_id")),
+    // REAL in-JDK codec round-trip: payloads are actual PNGs, dims come
+    // from javax.imageio reading the bytes — the oracle can only match
+    // if encode(dimsFor(len)) → decode reproduces the formula dims.
+    "mm_image_decode" -> ((s, d) =>
+      Multimodal.decodeImages(s,
+          Multimodal.imageTable(s, Tables.documents(s, d)))
+        .toDF().orderBy("doc_id")),
     // Percent-of-total via an unbounded window: event-type share of
     // all events (double division of exact integer counts — bit-
     // identical across engines, unlike decimal/decimal division).
@@ -228,6 +235,14 @@ object ExtQueries {
          |  CAST(64 + (length(text) * 7) % 129 AS INT) AS height,
          |  CAST(greatest(length(text) // 16, 1) AS INT) AS n_frames
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_image_decode" ->
+      """SELECT doc_id, 'png' AS format,
+        |  CAST(8 + length(text) % 57 AS INT) AS width,
+        |  CAST(8 + (length(text) * 7) % 41 AS INT) AS height,
+        |  CAST((8 + length(text) % 57) * (8 + (length(text) * 7) % 41) AS BIGINT)
+        |    AS n_pixels,
+        |  TRUE AS valid
+        |FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin,
     "mm_frames" ->
       """WITH f AS (
         |  SELECT doc_id, CAST(unnest(generate_series(0,

@@ -30,16 +30,36 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's reader
-    * rejects outright; read nanos as long and convert with integer
-    * `div` (a double division would lose precision above 2^53 ns).
-    * The testdata has no sub-microsecond values, and DuckDB's reader
-    * coerces the same column to micros, so the two engines see
-    * identical timestamps. */
+  /** Schema-adaptive `events` loader. The physical `ts` column has
+    * shifted between runtime/testdata generations, and the loader must
+    * accept all of them (a hard-coded conversion broke an entire round
+    * when the runtime moved):
+    *
+    *  - `LongType`: TIMESTAMP(NANOS) surfaced as raw int64 (the
+    *    legacy `nanosAsLong` path on older Sparks) — integer-`div` by
+    *    1000 to micros (double division would lose precision above
+    *    2^53 ns), then `timestamp_micros`.
+    *  - `TimestampNTZType`: Spark 4.x reads non-UTC-adjusted parquet
+    *    timestamps as NTZ. The engine's time semantics are UTC
+    *    (Bench/Verify/tests all pin `spark.sql.session.timeZone=UTC`),
+    *    so pin the session zone and cast — the wall-clock becomes the
+    *    same UTC instant DuckDB's naive reader sees.
+    *  - `TimestampType`: already an instant — use directly.
+    *
+    * The legacy conf is still set (best-effort) so a genuinely-nanos
+    * file on a legacy runtime loads instead of erroring at inference. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    scala.util.Try(s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

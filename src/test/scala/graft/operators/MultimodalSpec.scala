@@ -46,6 +46,32 @@ class MultimodalSpec extends SparkSpec {
     assert(f(2L).map(_.frame_idx).toSeq == Seq(0))
   }
 
+  test("ImageCodec: PNG round-trip reproduces exact dims for random sizes") {
+    val rnd = new scala.util.Random(42)
+    (1 to 25).foreach { _ =>
+      val w = 1 + rnd.nextInt(200); val h = 1 + rnd.nextInt(200)
+      val png = Multimodal.ImageCodec.encodePng(rnd.nextLong(), w, h)
+      // PNG magic: the payload is a genuine PNG stream, not a fake
+      assert((png(0) & 0xFF) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+      assert(Multimodal.ImageCodec.decodeDims(png).contains((w, h)))
+    }
+  }
+
+  test("ImageCodec: corrupt bytes decode as invalid, not an exception") {
+    assert(Multimodal.ImageCodec.decodeDims("not a png".getBytes).isEmpty)
+    assert(Multimodal.ImageCodec.decodeDims(Array.emptyByteArray).isEmpty)
+  }
+
+  test("decodeImages: real imageio decode matches the generator dims end-to-end") {
+    val out = Multimodal.decodeImages(spark, Multimodal.imageTable(spark, docs))
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out.keySet == Set(0L)) // only doc_id % 3 == 0
+    val (w, h) = Multimodal.ImageCodec.dimsFor(40)
+    assert(out(0L).format == "png" && out(0L).valid)
+    assert(out(0L).width == w && out(0L).height == h)
+    assert(out(0L).n_pixels == w.toLong * h)
+  }
+
   test("resizeMeta caps the long side at maxSide, preserving aspect ratio") {
     val r = Multimodal.resizeMeta(
       Multimodal.decodeMetadata(spark, Multimodal.mediaTable(docs)), maxSide = 128)
