@@ -186,11 +186,12 @@ object PipelineQueries {
         .select(col("vec_id").as("query_id"), col("embedding"))
       graft.operators.AnnIndex.topk(s, root, queries, k = 5)
     }),
-    // IVF approximate top-5 (k-means cells, nProbe=4 of 16). No DuckDB
-    // oracle (approximate; centroid training isn't SQL) → rows-only
-    // check; recall is spec-tested against brute force in IvfSpec.
-    "ss_topk_ivf" -> ((s, d) =>
-      graft.operators.Ivf.topkIvf(emb(s, d), queryMod = 50L, k = 5)),
+    // The IVF probe path (k-means cells, nProbe=4 of 16) is registered
+    // ONLY through its oracle-checked contract row below — a raw
+    // rows-only entry would sit permanently un-oracled (centroid
+    // training isn't SQL) and one never-green row each round is noise
+    // that hides real regressions. ss_topk_ivf_recall executes the
+    // exact same topkIvf operator; IvfSpec covers its behavior.
     // The IVF CONTRACT, oracle-checked (same pattern as fi_stats_approx):
     // mean recall@5 vs the exact scan must clear a bound. The testdata
     // embeddings are near-isotropic — ANN's worst case (measured mean
