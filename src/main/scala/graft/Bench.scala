@@ -30,6 +30,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // per-query failure messages, embedded in the JSON artifact so the
+    // bench is self-contained evidence (a stderr tail truncates away
+    // the root cause; round 3's artifact carried only stack frames)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def run(name: String): Double = {
       // operators cache their reusable artifacts (signature/bucket
       // tables); drop them between queries so no query is timed
@@ -39,7 +43,9 @@ object Bench {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0 }
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        errors.getOrElseUpdate(name, msg.linesIterator.take(3).mkString(" | ").take(400))
+        System.err.println(s"[bench] $name failed: $msg"); return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -69,11 +75,26 @@ object Bench {
       val a = run(n); val b = run(n)
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
+    // measure the per-query fixed cost (job scheduling, plan analysis,
+    // parquet footer re-read) on a trivial scan-count — at toy SFs this
+    // floor × |queries| dominates the total, and separating it lets a
+    // reader attribute time to actual operator work
+    val floor = {
+      val t0 = System.nanoTime()
+      graft.tables.Tables.region(spark, sfDir).queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""overhead_floor_sec":$floor,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Exception =>
