@@ -32,9 +32,12 @@ import org.apache.spark.sql.functions._
 object CorpusOps {
 
   /** Word n-gram shingles as an inverted index (doc_id, shingle),
-    * reusing the dedup shingle definition (distinct n-grams). */
+    * reusing the dedup shingle definition (distinct n-grams) in
+    * HASHED space — the broadcast map and every probe compare 8-byte
+    * longs, not n-gram strings (identical overlap counts modulo
+    * 64-bit collisions, immaterial at 5-grams). */
   private def inverted(docs: DataFrame, n: Int): DataFrame =
-    Dedup.withShingles(docs, n)
+    Dedup.withHashedShingles(docs, n)
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
 
   /** Benchmark decontamination: (train, test) document pairs sharing

@@ -60,6 +60,20 @@ object Dedup {
         s"transform(sequence(1, greatest(size(toks) - ${n - 1}, 1)), " +
           s"i -> array_join(slice(toks, i, $n), ' '))")))
 
+  /** [[withShingles]] in HASHED space: the distinct shingle set as
+    * xxhash64 longs. Everything downstream of the inverted index —
+    * shuffle bytes, join-key compares, aggregate keys — pays 8 bytes
+    * per shingle instead of a 20-40 byte string; at 100 TB the
+    * inverted index IS the dominant shuffle, so this is the cheapest
+    * multiplier in the file. Set identity is preserved modulo 64-bit
+    * collisions (~n²/2⁶⁵ within a doc — immaterial; the string path
+    * remains for minhash, whose md5 signatures the oracle mirrors). */
+  def withHashedShingles(docs: DataFrame, n: Int): DataFrame =
+    spread(docs).withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles", array_distinct(expr(
+        s"transform(sequence(1, greatest(size(toks) - ${n - 1}, 1)), " +
+          s"i -> xxhash64(array_join(slice(toks, i, $n), ' ')))")))
+
   /** Exact dedup: one group per distinct content hash with the kept
     * representative (min doc_id) and the copy count. */
   def exact(docs: DataFrame): DataFrame =
@@ -83,9 +97,11 @@ object Dedup {
       maxDocFreq: Option[Long] = None): DataFrame = {
     // the shingle-set table feeds three plan branches (sizes, inverted
     // index, and nothing else recomputes it) — cache the one pass
-    // (tracked: OpCaches.releaseAll() drops it after the caller's action)
+    // (tracked: OpCaches.releaseAll() drops it after the caller's action).
+    // HASHED shingle space: the f² self-join below compares/shuffles
+    // longs, not n-gram strings.
     val sh = OpCaches.track(
-      withShingles(docs, n).select(col("doc_id"), col("shingles")))
+      withHashedShingles(docs, n).select(col("doc_id"), col("shingles")))
     val invAll = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     // when capped, jaccard is computed IN the capped shingle space —
     // sizes must come from the filtered index or similarity would be
@@ -165,9 +181,12 @@ object Dedup {
 
   /** Persistable inverted shingle index: (shingle, doc_id, n_sh) —
     * the artifact incremental dedup joins deltas against. At scale
-    * this is written bucketed by shingle so delta joins co-locate. */
+    * this is written bucketed by shingle so delta joins co-locate.
+    * `shingle` is the xxhash64 of the n-gram ([[withHashedShingles]]):
+    * an 8-byte bucket/join key, and the persisted artifact is ~3-4×
+    * smaller than the string form. */
   def shingleIndex(docs: DataFrame, n: Int = 3): DataFrame =
-    withShingles(docs, n)
+    withHashedShingles(docs, n)
       .select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"),
         explode(col("shingles")).as("shingle"))
       .select("shingle", "doc_id", "n_sh")

@@ -54,7 +54,7 @@ object DedupStream {
     StructField("doc_id", LongType), StructField("text", StringType)))
 
   val indexSchema: StructType = StructType(Seq(
-    StructField("shingle", StringType), StructField("doc_id", LongType),
+    StructField("shingle", LongType), StructField("doc_id", LongType),
     StructField("n_sh", LongType)))
 
   /** Unbounded stream of (doc_id, text) rows from parquet drops.

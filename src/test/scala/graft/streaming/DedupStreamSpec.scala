@@ -111,7 +111,7 @@ class DedupStreamSpec extends SparkSpec {
     // crash AFTER the index publish but BEFORE the offset commit: the
     // replayed batch sees its own kept shingles in the corpus. Doc 1
     // must NOT self-pair into a drop; doc 2 stays dropped.
-    val updatedIdx = published.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val updatedIdx = published.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSeq.toDF("shingle", "doc_id", "n_sh")
     val (d2, _, c2) = DedupStream.decideBatch(docs, updatedIdx, 3, 0.5)
     val kept2 = d2.filter($"kept").collect().map(_.getLong(0)).toSet
@@ -132,7 +132,7 @@ class DedupStreamSpec extends SparkSpec {
 
     // the base part loads as a bucketed catalog table...
     val base = DedupStream.loadIndexParts(spark, state).head
-    val delta = Seq(("aa bb cc", 9L, 3L)).toDF("shingle", "doc_id", "n_sh")
+    val delta = Seq((123456789L, 9L, 3L)).toDF("shingle", "doc_id", "n_sh")
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       // force the shuffle-family join a 100 TB base would take (a tiny
