@@ -149,6 +149,66 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BM25 full-text retrieval over the corpus for a fixed bag of
+    * query terms: per-document score = Σ_t idf(t) · tf·(k1+1) /
+    * (tf + k1·(1 − b + b·dl/avgdl)), top-k by score.
+    *
+    * Two deliberate determinism choices (this is an ORACLE-paired
+    * ranking, not just a demo):
+    *  - idf is the RATIONAL Robertson form (N − df + 0.5)/(df + 0.5)
+    *    with no logarithm — `ln` is libm-implementation-defined in its
+    *    last bits and would hash-differ across engines; the rational
+    *    form is a monotone idf surrogate built from IEEE-exact ops.
+    *  - the per-term partial scores are summed in FIXED left-to-right
+    *    query-term order via one conditional aggregate per term (not
+    *    a float `sum()` whose addition order follows partitioning).
+    *
+    * Scale shape: one explode filtered TO THE QUERY TERMS at the map
+    * side (the shuffle carries only matching (doc, term) rows — for
+    * selective queries that is a sliver of the corpus), a broadcast
+    * 1-row stats frame for N/avgdl, and a per-term df aggregate of
+    * |terms| rows. Nothing corpus-sized is ever joined or windowed. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val lens = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
+    // corpus stats: one tiny aggregate, broadcast into the projection
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    // matching postings only: filter BEFORE the shuffle
+    val postings = docs
+      .select(col("doc_id"), size(toks).cast("long").as("dl"),
+        explode(toks).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = postings.groupBy("term")
+      .agg(count(lit(1)).as("df")) // postings are one row per (doc, term)
+    val scored = postings
+      .join(broadcast(dfs), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("part",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+    // fixed-order summation: one conditional max per query term, then
+    // a left-associative chain in the terms' given order
+    def partOf(t: String): Column =
+      coalesce(max(when(col("term") === t, col("part"))), lit(0.0)).as(s"part_$t")
+    val perTerm = scored.groupBy("doc_id")
+      .agg(partOf(terms.head), terms.tail.map(partOf): _*)
+    val score = terms.map(t => col(s"part_$t")).reduceLeft(_ + _)
+    perTerm
+      .withColumn("score", score)
+      .filter(col("score") > 0.0)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Corpus vocabulary statistics: top-k tokens by total frequency
     * with document frequency (the IDF building block). One explode →
     * one hash aggregate with map-side combine; at 100 TB the shuffle

@@ -42,6 +42,14 @@ object ExtQueries {
     // Salted two-stage aggregation — result identical to the plain
     // groupBy the oracle runs; exercises the 100 TB hot-key path.
     "ev_salted_agg" -> ((s, d) => Events.typeTotalsSalted(events(s, d))),
+    // Cohort retention matrix: first-seen-day cohorts × activity-day
+    // offsets, with day-0 sizes and exact-long-division rates.
+    "ev_retention" -> ((s, d) => Events.retentionCohorts(events(s, d))),
+    // HLL distinct-users-per-day CONTRACT: exact counts + a boolean
+    // asserting the sketch estimate landed within 15% (oracle emits
+    // exact + TRUE — the row matches iff the bound held).
+    "ev_approx_users" -> ((s, d) =>
+      Events.approxUsersDaily(events(s, d), rsd = 0.05, maxRelErr = 0.15)),
     // Moving ROWS frame: trailing-5-event sum/count per user (decimal-
     // exact; a moving AVG would divide differently across engines).
     "ev_moving_window" -> ((s, d) => {
@@ -184,6 +192,29 @@ object ExtQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cumulative_users
         |FROM days LEFT JOIN pd USING (day) ORDER BY day""".stripMargin,
+    "ev_retention" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id),
+        |m AS (
+        |  SELECT c.cohort_day, date_diff('day', c.cohort_day, ud.day) AS day_offset,
+        |    COUNT(*) AS n_users
+        |  FROM ud JOIN c USING (user_id) GROUP BY 1, 2),
+        |z AS (
+        |  SELECT *, MAX(CASE WHEN day_offset = 0 THEN n_users END)
+        |    OVER (PARTITION BY cohort_day) AS cohort_size
+        |  FROM m)
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  CAST(day_offset AS INT) AS day_offset, n_users, cohort_size,
+        |  CAST(n_users AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retained_frac
+        |FROM z ORDER BY cohort_day, day_offset""".stripMargin,
+    // the oracle asserts the CONTRACT (exact count, bound held): the
+    // Spark row carries the sketch verdict, the oracle literal TRUE
+    "ev_approx_users" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS within_bound
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     // plain GROUP BY — the salted two-stage plan must be value-identical
     "ev_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n_events,

@@ -261,6 +261,10 @@ object PipelineQueries {
     "ta_regex_tokens" -> ((s, d) => TextAnalysis.regexTokenStats(docs(s, d))),
     // Corpus vocabulary: top-20 tokens with document frequency.
     "ta_vocab_top" -> ((s, d) => TextAnalysis.vocabTop(docs(s, d), k = 20)),
+    // BM25 retrieval for a fixed query ("spark join dup" spans the
+    // idf range: two stop-word-common terms + one rare term), top-20.
+    "ta_bm25" -> ((s, d) =>
+      TextAnalysis.bm25TopK(docs(s, d), Seq("spark", "join", "dup"), k = 20)),
     // Quality scoring — length / stopword / vocabulary-diversity signals.
     "ta_quality" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d))),
     // Gopher-style repetition cuts — top-token / top-bigram shares.
@@ -590,6 +594,32 @@ object PipelineQueries {
       s"""SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
          |FROM (SELECT doc_id, unnest($T) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    // BM25 mirror: identical rational idf, identical left-associative
+    // double expressions, fixed per-term summation order (see
+    // TextAnalysis.bm25TopK's determinism notes; 2.2 == 1.2 + 1.0 and
+    // 0.25 == 1.0 - 0.75 exactly in binary64, so literals are safe)
+    "ta_bm25" ->
+      s"""WITH lens AS (SELECT doc_id, CAST(len($T) AS BIGINT) AS dl FROM documents),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM lens),
+         |p AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, CAST(len($T) AS BIGINT) AS dl, unnest($T) AS term
+         |        FROM documents)
+         |  WHERE term IN ('spark', 'join', 'dup') GROUP BY doc_id, dl, term),
+         |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY term),
+         |sc AS (SELECT p.doc_id, p.term,
+         |  ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         |    * (CAST(tf AS DOUBLE) * 2.2)
+         |    / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS part
+         |  FROM p CROSS JOIN stats JOIN d USING (term)),
+         |g AS (SELECT doc_id,
+         |  coalesce(max(CASE WHEN term = 'spark' THEN part END), 0.0) AS part_spark,
+         |  coalesce(max(CASE WHEN term = 'join' THEN part END), 0.0) AS part_join,
+         |  coalesce(max(CASE WHEN term = 'dup' THEN part END), 0.0) AS part_dup
+         |  FROM sc GROUP BY doc_id)
+         |SELECT doc_id, part_spark + part_join + part_dup AS score FROM g
+         |WHERE part_spark + part_join + part_dup > 0.0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "ta_quality" ->
       s"""SELECT doc_id,
          |  least(CAST(n_chars AS DOUBLE) / 400.0, CAST(1.0 AS DOUBLE)) AS len_score,

@@ -208,6 +208,62 @@ object Events {
       .orderBy("day")
   }
 
+  /** Cohort retention matrix: users grouped by FIRST-seen day (the
+    * cohort), counted on each later activity day as an offset from
+    * the cohort day — the standard growth-analytics view (day-0 size,
+    * day-N retention) over the same first-seen aggregate
+    * [[cumulativeUsersDaily]] uses.
+    *
+    * Scale shape: (user, day) pairs are distinct-ed FIRST (one shuffle
+    * keyed by user+day, map-side combine folds each user's intra-day
+    * events before anything moves), so the cohort join and the final
+    * aggregate run on |users|·|active days| rows, never |events|. No
+    * distinct-within-window, no self-join of the raw stream. The
+    * retained fraction divides two exact longs per row — bit-identical
+    * across engines. The per-cohort day-0 denominator comes from a
+    * window over the aggregated matrix (O(cohorts · offsets) rows). */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val userDays = events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val cohorts = userDays.groupBy("user_id")
+      .agg(min(col("day")).as("cohort_day"))
+    val matrix = userDays.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users")) // (user, day) is distinct already
+    val wCohort = Window.partitionBy("cohort_day")
+    matrix
+      .withColumn("cohort_size",
+        max(when(col("day_offset") === 0, col("n_users"))).over(wCohort))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("n_users"), col("cohort_size"),
+        (col("n_users").cast("double") / col("cohort_size").cast("double"))
+          .as("retained_frac"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** Daily distinct users via HLL sketch, CONTRACT-checked: emits the
+    * exact per-day count alongside a boolean asserting the
+    * `approx_count_distinct` estimate landed within `maxRelErr` of it.
+    * The oracle computes the exact count and literal TRUE — so the row
+    * hash-matches iff the sketch held its error bound. This is the
+    * 100 TB shape for distinct-user curves: the sketch is a fixed-size
+    * mergeable state (no per-user shuffle at all when only the curve
+    * is needed); the exact aggregate here exists to power the contract
+    * and mirrors [[cumulativeUsersDaily]]'s first-seen shape. */
+  def approxUsersDaily(events: DataFrame, rsd: Double = 0.05,
+      maxRelErr: Double = 0.15): DataFrame =
+    events.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), rsd).as("approx"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("exact_users"),
+        (abs(col("approx") - col("exact_users")).cast("double") <=
+          lit(maxRelErr) * col("exact_users").cast("double"))
+          .as("within_bound"))
+      .orderBy("day")
+
   /** Two-stage salted per-type totals — identical result to the plain
     * groupBy (the oracle runs the unsalted SQL) with the hot key's
     * rows split across `saltBuckets` partial groups first, so one

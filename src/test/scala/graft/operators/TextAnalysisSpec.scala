@@ -87,4 +87,29 @@ class TextAnalysisSpec extends SparkSpec {
     // overlap: consecutive chunks share chunkSize - stride tokens
     assert(d2(0)._4.split(" ").last == d2(1)._4.split(" ").head)
   }
+
+  test("bm25TopK: rare terms outrank common ones, tf saturates, non-matches drop") {
+    val df = mk(
+      (1L, "rare common common filler filler", "en"),  // one rare + common
+      (2L, "common filler filler filler filler", "en"), // common only
+      (3L, "filler filler filler filler filler", "en"), // no query terms
+      (4L, "rare rare rare rare filler", "en"))         // rare-stuffed
+    val got = TextAnalysis.bm25TopK(df, Seq("rare", "common"), k = 10).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    // doc 3 has no query term -> absent
+    assert(!got.exists(_._1 == 3L))
+    val score = got.toMap
+    // tf saturation makes the two-term match (doc 1) beat the
+    // term-stuffed single-term doc 4 — the anti-spam property BM25's
+    // saturating tf term exists for
+    assert(score(1L) > score(4L))
+    // the stuffed doc still beats a single common hit
+    assert(score(4L) > score(2L))
+    // doc 1 (rare + common) beats doc 2 (common only)
+    assert(score(1L) > score(2L))
+    // ordered by score desc then doc_id
+    assert(got.map(_._2).toSeq == got.map(_._2).sorted(Ordering[Double].reverse).toSeq)
+    // tf saturation: 4x rare is NOT 4x the single-hit score
+    assert(score(4L) < 4.0 * score(1L))
+  }
 }

@@ -45,6 +45,9 @@ class PlanLintSpec extends SparkSpec {
       "persisted-index path"),
     "q_acctbal_quartiles_approx" -> ("the broadcast side is ONE scalar-aggregate " +
       "row (the approx-percentile boundaries) — the scalar-subquery execution " +
+      "shape, bounded by construction"),
+    "ta_bm25" -> ("the broadcast side is the ONE-row corpus-stats frame " +
+      "(N, avgdl) joined into the per-posting projection — scalar-subquery " +
       "shape, bounded by construction"))
 
   /** Queries whose plans legitimately contain a globally-ordered

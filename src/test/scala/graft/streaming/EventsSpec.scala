@@ -228,4 +228,40 @@ class EventsSpec extends SparkSpec {
       (5L, None, None),
       (7L, Some("2024-01-01 09:30:00"), Some(0L))), got.toSeq)
   }
+
+  test("retentionCohorts: first-seen cohorts, offsets, and exact rates") {
+    // cohort 01-01: users 1,2 (both return on 01-03; user 1 also 01-02)
+    // cohort 01-02: user 3, never returns
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 23:59:59"), 2L, "view", 0.0, "{}"),
+      (3L, ts("2024-01-02 01:00:00"), 1L, "view", 0.0, "{}"),
+      (4L, ts("2024-01-02 09:00:00"), 3L, "view", 0.0, "{}"),
+      (5L, ts("2024-01-03 12:00:00"), 1L, "view", 0.0, "{}"),
+      (6L, ts("2024-01-03 12:00:01"), 1L, "view", 0.0, "{}"), // same (user, day): no double count
+      (7L, ts("2024-01-03 13:00:00"), 2L, "view", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.retentionCohorts(ev).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getAs[Long]("n_users"),
+        r.getAs[Long]("cohort_size"), r.getAs[Double]("retained_frac")))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 0, 2L, 2L, 1.0),
+      ("2024-01-01", 1, 1L, 2L, 0.5),
+      ("2024-01-01", 2, 2L, 2L, 1.0),
+      ("2024-01-02", 0, 1L, 1L, 1.0)), got.toSeq)
+  }
+
+  test("approxUsersDaily: exact counts with the sketch bound verdict") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 2L, "view", 0.0, "{}"),
+      (3L, ts("2024-01-01 12:00:00"), 1L, "view", 0.0, "{}"),
+      (4L, ts("2024-01-02 10:00:00"), 3L, "view", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.approxUsersDaily(ev).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("exact_users"),
+        r.getAs[Boolean]("within_bound")))
+    // tiny cardinalities: HLL is exact here, so the bound must hold
+    assert(got.toSeq == Seq(("2024-01-01", 2L, true), ("2024-01-02", 1L, true)))
+  }
 }
