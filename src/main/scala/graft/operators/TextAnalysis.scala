@@ -209,6 +209,40 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Count-min-sketch heavy hitters, CONTRACT-checked: the exact
+    * top-k tokens (the ground truth a sketch-only pipeline can't see)
+    * annotated with a boolean asserting the CMS estimate respected its
+    * ε-guarantee (`exact ≤ estimate ≤ exact + ε·total`, held w.p.
+    * ≥ confidence). The oracle emits the exact counts + literal TRUE,
+    * so the row hash-matches iff the sketch bound held — the same
+    * pattern as the HLL and approx-percentile contracts.
+    *
+    * Scale shape: the sketch is the point — a fixed ε×δ-sized
+    * mergeable state aggregated in one pass with no per-token shuffle;
+    * at 100 TB the exact aggregate disappears and the sketch alone
+    * answers "is this token hot" in O(1) per probe. The k probed
+    * tokens are looked up driver-side (k rows, same budget class as
+    * IVF's k centroids). Fixed seed keeps the estimate deterministic;
+    * CMS merges are exact sums, so the estimate is also independent
+    * of partitioning. */
+  def cmsHeavyHitters(docs: DataFrame, k: Int = 10, eps: Double = 0.001,
+      confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tokens = docs.select(explode(toks).as("token"))
+    val exact = tokens.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(k).collect()
+    val cms = tokens.stat.countMinSketch(col("token"), eps, confidence, seed)
+    val slack = math.ceil(eps * cms.totalCount()).toLong
+    val rows = exact.toSeq.map { r =>
+      val t = r.getString(0); val n = r.getLong(1)
+      val est = cms.estimateCount(t)
+      (t, n, est >= n && est <= n + slack)
+    }
+    spark.createDataset(rows).toDF("token", "n", "within_bound")
+      .orderBy(col("n").desc, col("token"))
+  }
+
   /** Corpus vocabulary statistics: top-k tokens by total frequency
     * with document frequency (the IDF building block). One explode →
     * one hash aggregate with map-side combine; at 100 TB the shuffle

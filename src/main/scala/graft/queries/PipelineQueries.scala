@@ -265,6 +265,10 @@ object PipelineQueries {
     // idf range: two stop-word-common terms + one rare term), top-20.
     "ta_bm25" -> ((s, d) =>
       TextAnalysis.bm25TopK(docs(s, d), Seq("spark", "join", "dup"), k = 20)),
+    // Count-min-sketch heavy hitters: exact top-10 + the CMS ε-bound
+    // verdict (oracle = exact + TRUE; matches iff the bound held).
+    "ta_heavy_hitters" -> ((s, d) =>
+      TextAnalysis.cmsHeavyHitters(docs(s, d), k = 10)),
     // Quality scoring — length / stopword / vocabulary-diversity signals.
     "ta_quality" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d))),
     // Gopher-style repetition cuts — top-token / top-bigram shares.
@@ -594,6 +598,11 @@ object PipelineQueries {
       s"""SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
          |FROM (SELECT doc_id, unnest($T) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    // the oracle asserts the CONTRACT (exact top-k, bound held)
+    "ta_heavy_hitters" ->
+      s"""SELECT token, CAST(count(*) AS BIGINT) AS n, TRUE AS within_bound
+         |FROM (SELECT unnest($T) AS token FROM documents)
+         |GROUP BY token ORDER BY n DESC, token LIMIT 10""".stripMargin,
     // BM25 mirror: identical rational idf, identical left-associative
     // double expressions, fixed per-term summation order (see
     // TextAnalysis.bm25TopK's determinism notes; 2.2 == 1.2 + 1.0 and

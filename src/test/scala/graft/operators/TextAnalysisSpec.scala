@@ -112,4 +112,17 @@ class TextAnalysisSpec extends SparkSpec {
     // tf saturation: 4x rare is NOT 4x the single-hit score
     assert(score(4L) < 4.0 * score(1L))
   }
+
+  test("cmsHeavyHitters: exact top-k ranking with the sketch bound held") {
+    val df = mk(
+      (1L, "hot hot hot warm warm cold", "en"),
+      (2L, "hot hot warm unique1 unique2 unique3", "en"))
+    val got = TextAnalysis.cmsHeavyHitters(df, k = 3).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n"), r.getAs[Boolean]("within_bound")))
+    // exact ranking: hot x5, warm x3, cold/unique* x1 (tie -> 'cold' first)
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq(("hot", 5L), ("warm", 3L), ("cold", 1L)))
+    // 12 tokens, eps 0.001 -> slack ceil(0.012) = 1; CMS never
+    // undercounts and a tiny stream can't collide past the slack
+    assert(got.forall(_._3), got.toSeq)
+  }
 }
