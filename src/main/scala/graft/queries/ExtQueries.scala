@@ -42,6 +42,11 @@ object ExtQueries {
     // Salted two-stage aggregation — result identical to the plain
     // groupBy the oracle runs; exercises the 100 TB hot-key path.
     "ev_salted_agg" -> ((s, d) => Events.typeTotalsSalted(events(s, d))),
+    // Generalized 3-step funnel (view → click → purchase, each stage
+    // within 30 min of the previous): one shuffle, N window passes.
+    "ev_funnel_steps" -> ((s, d) =>
+      Events.funnelSteps(events(s, d),
+        Seq("view", "click", "purchase"), withinMinutes = 30)),
     // Cohort retention matrix: first-seen-day cohorts × activity-day
     // offsets, with day-0 sizes and exact-long-division rates.
     "ev_retention" -> ((s, d) => Events.retentionCohorts(events(s, d))),
@@ -192,6 +197,30 @@ object ExtQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cumulative_users
         |FROM days LEFT JOIN pd USING (day) ORDER BY day""".stripMargin,
+    // same chained min(CASE) windows; each stage's time is a per-user
+    // constant, so the chain resolves in one partitioned window spec
+    "ev_funnel_steps" ->
+      """WITH b AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |s0 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+        |  OVER (PARTITION BY user_id) AS t0 FROM b),
+        |s1 AS (SELECT *, min(CASE WHEN event_type = 'click' AND us >= t0
+        |    AND us - t0 <= 1800000000 THEN us END)
+        |  OVER (PARTITION BY user_id) AS t1 FROM s0),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us >= t1
+        |    AND us - t1 <= 1800000000 THEN us END)
+        |  OVER (PARTITION BY user_id) AS t2 FROM s1),
+        |g AS (SELECT user_id, max(t0) AS t0, max(t1) AS t1, max(t2) AS t2
+        |  FROM s2 GROUP BY user_id)
+        |SELECT user_id,
+        |  strftime(make_timestamp(t0), '%Y-%m-%d %H:%M:%S') AS ts_view,
+        |  strftime(make_timestamp(t1), '%Y-%m-%d %H:%M:%S') AS ts_click,
+        |  strftime(make_timestamp(t2), '%Y-%m-%d %H:%M:%S') AS ts_purchase,
+        |  (CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END
+        |   + CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+        |   + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS stage
+        |FROM g WHERE t0 IS NOT NULL ORDER BY user_id""".stripMargin,
     "ev_retention" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),

@@ -39,6 +39,10 @@ case class AsofState(lastRightTsUs: Long)
 case class FunnelState(lastType: String, lastTsUs: Long,
     nViews: Long, nConverted: Long)
 
+/** One first-ever sighting of a user (dayUs = the UTC day-truncated
+  * event time in micros), emitted exactly once per user. */
+case class FirstSeen(userId: Long, dayUs: Long)
+
 /** Event analytics over the `events` table (event_id, ts, user_id,
   * event_type, value, props), in two forms:
   *
@@ -208,6 +212,53 @@ object Events {
       .orderBy("day")
   }
 
+  /** Generalized N-step funnel ("loose" semantics): per user, the
+    * first `steps(0)` event, then the first `steps(1)` event at or
+    * after it and within `withinMinutes` of it, then the first
+    * `steps(2)` after THAT, and so on — the standard multi-step
+    * conversion query (view → click → purchase), where each stage
+    * time is the earliest qualifying event given the previous stage.
+    *
+    * Shape: ONE shuffle on user_id; each stage is a `min(when(...))`
+    * window over the whole user partition referencing the previous
+    * stage's (per-user-constant) time, so all N window passes reuse
+    * the same exchange+sort. No joins, no per-step re-scans — at
+    * 100 TB this is N column-projection passes over one partitioned
+    * sort, vs the naive N-way self-join. Gap math is micros-integer;
+    * emitted times render as strings for cross-engine parity. Only
+    * users who reached stage 1 appear. */
+  def funnelSteps(events: DataFrame, steps: Seq[String],
+      withinMinutes: Long = 30): DataFrame = {
+    require(steps.size >= 2, "need at least two funnel steps")
+    val winUs = withinMinutes * 60L * 1000000L
+    val w = Window.partitionBy("user_id")
+    val base = events
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    // stage 0: unconditioned first event of the entry type
+    val withT = steps.zipWithIndex.foldLeft(base) { case (df, (step, i)) =>
+      val cond =
+        if (i == 0) col("event_type") === step
+        else col("event_type") === step &&
+          col("us") >= col(s"t${i - 1}") &&
+          col("us") - col(s"t${i - 1}") <= winUs
+      df.withColumn(s"t$i", min(when(cond, col("us"))).over(w))
+    }
+    val stage = steps.indices.map(i =>
+      when(col(s"t$i").isNotNull, 1).otherwise(0)).reduceLeft(_ + _)
+    withT
+      .groupBy("user_id")
+      .agg(max(col("t0")).as("t0"), // per-user constants: max picks the value
+        steps.indices.tail.map(i => max(col(s"t$i")).as(s"t$i")): _*)
+      .filter(col("t0").isNotNull)
+      .select(col("user_id") +:
+        steps.indices.map(i =>
+          date_format(timestamp_micros(col(s"t$i")), "yyyy-MM-dd HH:mm:ss")
+            .as(s"ts_${steps(i)}")) :+
+        stage.as("stage"): _*)
+      .orderBy("user_id")
+  }
+
   /** Cohort retention matrix: users grouped by FIRST-seen day (the
     * cohort), counted on each later activity day as an offset from
     * the cohort day — the standard growth-analytics view (day-0 size,
@@ -343,6 +394,36 @@ object Events {
               state.setTimeoutTimestamp(s.last.getTime + gapMs)
             }
             closedSessions.reverseIterator
+          }
+      }
+  }
+
+  /** Streaming feed for the first-seen family ([[cumulativeUsersDaily]],
+    * [[retentionCohorts]]'s cohort assignment): emits each user's
+    * first-ever sighting exactly once, with O(1) keyed state (a single
+    * "seen" marker per user). Downstream, new-users-per-day is a
+    * stateless aggregation of this trickle — the 100 TB/day shape for
+    * growth curves, where the raw stream never re-shuffles and state
+    * is |users| bits, not history.
+    *
+    * Same in-order caveat as [[streamingAsof]]: append mode can't
+    * retract, so a user's first sighting is decided by the earliest
+    * event in the batch that introduces them — exact when per-user
+    * delivery is event-time-ordered across batches (the equivalence
+    * spec replays chronologically). */
+  def streamingFirstSeen(spark: SparkSession, events: DataFrame): Dataset[FirstSeen] = {
+    import spark.implicits._
+    events.withWatermark("ts", "2 hours")
+      .selectExpr("user_id", "unix_micros(date_trunc('DAY', ts)) AS day_us")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, FirstSeen](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator(FirstSeen(userId, rows.map(_._2).min))
           }
       }
   }

@@ -229,6 +229,65 @@ class EventsSpec extends SparkSpec {
       (7L, Some("2024-01-01 09:30:00"), Some(0L))), got.toSeq)
   }
 
+  test("funnelSteps: chained stage times, window cutoffs, loose ordering") {
+    val ev = Seq(
+      // user 1 completes all three stages inside the windows
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:10:00"), 1L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-01 10:20:00"), 1L, "purchase", 0.0, "{}"),
+      // user 2: click arrives 40 min after the first view -> stage 1;
+      // the later second view does NOT re-anchor (first-view rule)
+      (4L, ts("2024-01-01 09:00:00"), 2L, "view", 0.0, "{}"),
+      (5L, ts("2024-01-01 09:40:00"), 2L, "click", 0.0, "{}"),
+      (6L, ts("2024-01-01 09:35:00"), 2L, "view", 0.0, "{}"),
+      // user 3: purchase BEFORE the click chain -> only stages 1..2
+      // (the pre-click purchase can't satisfy ts >= t_click)
+      (7L, ts("2024-01-01 11:00:00"), 3L, "view", 0.0, "{}"),
+      (8L, ts("2024-01-01 11:01:00"), 3L, "purchase", 0.0, "{}"),
+      (9L, ts("2024-01-01 11:02:00"), 3L, "click", 0.0, "{}"),
+      // user 4 never views -> absent
+      (10L, ts("2024-01-01 12:00:00"), 4L, "click", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.funnelSteps(ev, Seq("view", "click", "purchase"), 30).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("stage"),
+        Option(r.getAs[String]("ts_click")), Option(r.getAs[String]("ts_purchase"))))
+    assert(got.toSeq == Seq(
+      (1L, 3, Some("2024-01-01 10:10:00"), Some("2024-01-01 10:20:00")),
+      (2L, 1, None, None),
+      (3L, 2, Some("2024-01-01 11:02:00"), None)), got.toSeq)
+  }
+
+  test("streamingFirstSeen matches the batch first-seen aggregate over a chronological replay") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 300).map { i =>
+      (i.toLong, new Timestamp(ts("2024-01-01 00:00:00").getTime + i * 3600L * 1000),
+        rnd.nextInt(25).toLong, "view", 0.0, "{}")
+    }
+    val batch = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val expected = batch.groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.min(
+        org.apache.spark.sql.functions.expr("unix_micros(date_trunc('DAY', ts))")).as("day_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val staging = Files.createTempDirectory("graft-fs-in").toString
+    // chronological drops: three batches in event-time order
+    rows.grouped(100).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(staging)
+    }
+    val out = Files.createTempDirectory("graft-fs-out").toString
+    val ckpt = Files.createTempDirectory("graft-fs-ckpt").toString
+    val q = Events.streamingFirstSeen(spark, Events.readEventStream(spark, staging))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getAs[Long]("userId"), r.getAs[Long]("dayUs"))).toSet
+    assert(got == expected,
+      s"stream minus batch: ${got diff expected}; batch minus stream: ${expected diff got}")
+  }
+
   test("retentionCohorts: first-seen cohorts, offsets, and exact rates") {
     // cohort 01-01: users 1,2 (both return on 01-03; user 1 also 01-02)
     // cohort 01-02: user 3, never returns
