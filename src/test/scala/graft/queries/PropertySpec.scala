@@ -108,4 +108,67 @@ class PropertySpec extends SparkSpec {
           once.collect().map(r => (r.getLong(0), r.getAs[String]("redacted"))).toSeq
     })
   }
+
+  private val eventGen: Gen[(Long, Long, Int)] = for {
+    user <- Gen.chooseNum(1L, 8L)
+    dayOff <- Gen.chooseNum(0, 6)
+    secs <- Gen.chooseNum(0, 86399)
+  } yield (user, dayOff.toLong * 86400L + secs, dayOff)
+
+  test("property: retentionCohorts equals the naive distinct-window formulation") {
+    check(Prop.forAll(Gen.listOfN(60, eventGen)) { evs =>
+      val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+      val df = evs.zipWithIndex.map { case ((u, s, _), i) =>
+        (i.toLong, new Timestamp(base + s * 1000L), u, "view", 0.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val fast = graft.streaming.Events.retentionCohorts(df).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getAs[Long]("n_users"),
+          r.getAs[Long]("cohort_size"))).toSet
+      // naive reference: per-user day sets on the driver
+      val byUser = df.select($"user_id",
+          org.apache.spark.sql.functions.expr("CAST(date_trunc('DAY', ts) AS DATE)"))
+        .distinct().collect()
+        .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val naive = byUser.toSeq.flatMap { case (_, days) =>
+        val cohort = days.min
+        days.toSeq.map(d =>
+          (cohort, java.time.temporal.ChronoUnit.DAYS.between(cohort, d).toInt))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val naiveSet = naive.map { case ((cohort, off), n) =>
+        (cohort.toString, off, n, naive((cohort, 0)))
+      }.toSet
+      fast == naiveSet
+    })
+  }
+
+  test("property: funnelSteps stage times are ordered, in-window, and stage-consistent") {
+    val typed = for {
+      (u, s, _) <- eventGen
+      t <- Gen.oneOf("view", "click", "purchase", "error")
+    } yield (u, s, t)
+    check(Prop.forAll(Gen.listOfN(60, typed)) { evs =>
+      val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+      val df = evs.zipWithIndex.map { case ((u, s, t), i) =>
+        (i.toLong, new Timestamp(base + s * 1000L), u, t, 0.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val winMin = 120L
+      val rows = graft.streaming.Events
+        .funnelSteps(df, Seq("view", "click", "purchase"), winMin).collect()
+      rows.forall { r =>
+        val ts = Seq("ts_view", "ts_click", "ts_purchase")
+          .map(c => Option(r.getAs[String](c)).map(Timestamp.valueOf))
+        val stage = r.getAs[Int]("stage")
+        // stage == count of non-null stage times, prefix-closed
+        val defined = ts.map(_.isDefined)
+        val prefixClosed = !defined.zip(defined.tail).exists { case (a, b) => b && !a }
+        val ordered = ts.flatten.sliding(2).forall {
+          case Seq(a, b) => !b.before(a) &&
+            b.getTime - a.getTime <= winMin * 60000L
+          case _ => true
+        }
+        stage == defined.count(identity) && prefixClosed && ordered
+      }
+    })
+  }
 }
