@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One-stop session setup for the library: the scale-relevant knobs
+  * every deployment should start from, plus the `graft_*` SQL
+  * function registry, in a single audited place instead of scattered
+  * per-app boilerplate.
+  *
+  * Two entry points:
+  *
+  *  - [[builder]] — a pre-configured `SparkSession.Builder` (with
+  *    [[graft.functions.GraftExtensions]] wired) for fresh JVMs;
+  *  - [[configure]] — applies the runtime-settable subset plus the
+  *    function registry to an EXISTING session (notebooks, shells,
+  *    test harnesses — anywhere the session outlives you).
+  *
+  * Knob rationale (each is a 100 TB decision, not a magic number):
+  *
+  *  - `spark.sql.session.timeZone=UTC`: the engine's time semantics
+  *    are UTC throughout (oracle parity and cross-cluster stability —
+  *    a worker's local zone must never change query results).
+  *  - `spark.sql.adaptive.enabled` + `...skewJoin.enabled`: AQE
+  *    re-plans on runtime stats and splits skewed join partitions —
+  *    the first line of defense against hot keys, ahead of manual
+  *    salting ([[graft.operators.SkewTools]] is the explicit lever
+  *    for aggregations AQE doesn't cover).
+  *  - `spark.sql.adaptive.coalescePartitions.enabled`: small shuffle
+  *    maps collapse to few tasks, so toy stages don't pay scheduler
+  *    overhead and giant stages still fan out.
+  *  - `spark.sql.files.maxPartitionBytes=256m`: at 100 TB the default
+  *    128 MB splits make ~800k scan tasks; 256 MB halves the task
+  *    count while staying comfortably within executor memory for the
+  *    columnar batches these operators project.
+  *  - `spark.sql.parquet.aggregatePushdown=true`: count/min/max over
+  *    parquet resolve from footer statistics without reading pages —
+  *    the stats surface (`fi_stats_*`) leans on exactly this shape.
+  *  - `spark.sql.parquet.filterPushdown` stays on (default) — every
+  *    `fi_*` predicate is written sargable so it reaches the scan
+  *    (verified per-plan in PLANS.md).
+  *
+  * `spark.sql.shuffle.partitions` is deliberately NOT pinned here:
+  * with AQE coalescing enabled the right setting is cluster-shaped
+  * (2-3× total executor cores as the upper bound AQE trims from).
+  * Local harnesses (Bench/Verify) set it to the core count.
+  */
+object GraftSession {
+
+  /** Runtime-settable knobs, applied by both entry points. */
+  private val runtimeConfs: Seq[(String, String)] = Seq(
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.files.maxPartitionBytes" -> "268435456",
+    "spark.sql.parquet.aggregatePushdown" -> "true")
+
+  /** A builder with the graft extensions and scale defaults wired;
+    * callers add master/appName and `getOrCreate()`. */
+  def builder(): SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+    runtimeConfs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+  }
+
+  /** Apply the runtime-settable knobs and register the `graft_*` SQL
+    * functions on a live session (idempotent). Returns the session. */
+  def configure(spark: SparkSession): SparkSession = {
+    runtimeConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    org.apache.spark.sql.GraftSqlBridge.registerGraftFunctions(spark)
+    spark
+  }
+}
