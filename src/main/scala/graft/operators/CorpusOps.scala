@@ -75,6 +75,38 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Per-test-document contamination COVERAGE: what fraction of each
+    * test document's distinct `n`-grams appears anywhere in the train
+    * corpus — the diagnostic that tells you whether a benchmark is
+    * mildly referenced or wholesale memorizable from training data
+    * (pairwise overlap in [[contaminationPairs]] flags documents;
+    * this measures depth).
+    *
+    * Scale shape: the test side is tiny by definition, so its
+    * inverted index BROADCASTS and the train corpus is probed without
+    * ever shuffling; only matched (test_id, shingle) pairs — bounded
+    * by |test shingles| × their train document frequency — reach the
+    * distinct-count aggregate. Hashed shingle space as everywhere
+    * ([[Dedup.withHashedShingles]]). */
+  def contaminationCoverage(docs: DataFrame, isTest: Column,
+      n: Int = 5): DataFrame = {
+    val inv = inverted(docs, n)
+    val testInv = inv.filter(isTest)
+      .select(col("doc_id").as("test_id"), col("shingle"))
+    val totals = testInv.groupBy("test_id")
+      .agg(count(lit(1)).as("n_shingles")) // inverted() emits distinct grams
+    val hits = inv.filter(!isTest).select("shingle")
+      .join(broadcast(testInv), Seq("shingle"))
+      .groupBy("test_id")
+      .agg(countDistinct(col("shingle")).as("n_hit"))
+    totals.join(hits, Seq("test_id"), "left")
+      .select(col("test_id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double")).as("coverage"))
+      .orderBy("test_id")
+  }
+
   /** Deterministic Bernoulli-by-hash sample: keep a document iff the
     * first two hex digits of md5(doc_id) fall at or below `hexCeil`
     * ("19" ⇒ 26/256 ≈ 10.2%). Membership is a pure function of the

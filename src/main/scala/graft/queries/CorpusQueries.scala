@@ -29,6 +29,10 @@ object CorpusQueries {
     // The decontaminated keep-list — what a training run consumes.
     "tp_decontam_keep" -> ((s, d) =>
       CorpusOps.decontaminatedKeep(docs(s, d), isTest, n = 5, minOverlap = 3L)),
+    // Per-test-doc contamination depth: fraction of each test doc's
+    // distinct 5-grams that appear anywhere in the train corpus.
+    "tp_contamination_coverage" -> ((s, d) =>
+      CorpusOps.contaminationCoverage(docs(s, d), isTest, n = 5)),
     // Deterministic ~10% Bernoulli-by-hash sample (hex prefix ≤ '19').
     "tp_hash_sample" -> ((s, d) => CorpusOps.hashSample(docs(s, d), hexCeil = "19")),
     // 20 docs per language, drawn by hash order within each stratum.
@@ -68,6 +72,20 @@ object CorpusQueries {
          |WHERE d.doc_id % 17 <> 0
          |  AND NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = d.doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "tp_contamination_coverage" ->
+      s"""$invSplitSql,
+         |tot AS (SELECT doc_id AS test_id, CAST(count(*) AS BIGINT) AS n_shingles
+         |  FROM te GROUP BY doc_id),
+         |hit AS (SELECT te.doc_id AS test_id,
+         |    CAST(count(DISTINCT te.shingle) AS BIGINT) AS n_hit
+         |  FROM te JOIN (SELECT DISTINCT shingle FROM tr) tr ON te.shingle = tr.shingle
+         |  GROUP BY te.doc_id)
+         |SELECT tot.test_id, tot.n_shingles,
+         |  coalesce(hit.n_hit, 0) AS n_hit,
+         |  CAST(coalesce(hit.n_hit, 0) AS DOUBLE) / CAST(tot.n_shingles AS DOUBLE)
+         |    AS coverage
+         |FROM tot LEFT JOIN hit USING (test_id)
+         |ORDER BY test_id""".stripMargin,
     "tp_hash_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19'

@@ -50,6 +50,9 @@ object ExtQueries {
     // Cohort retention matrix: first-seen-day cohorts × activity-day
     // offsets, with day-0 sizes and exact-long-division rates.
     "ev_retention" -> ((s, d) => Events.retentionCohorts(events(s, d))),
+    // Daily volume anomalies: per-type z-scores against the trailing
+    // 7-day window (sqrt is IEEE-exact, so z is oracle-safe).
+    "ev_daily_anomaly" -> ((s, d) => Events.dailyAnomaly(events(s, d))),
     // HLL distinct-users-per-day CONTRACT: exact counts + a boolean
     // asserting the sketch estimate landed within 15% (oracle emits
     // exact + TRUE — the row matches iff the bound held).
@@ -221,6 +224,35 @@ object ExtQueries {
         |   + CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
         |   + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS stage
         |FROM g WHERE t0 IS NOT NULL ORDER BY user_id""".stripMargin,
+    // identical exact-integer window sums -> fixed double expressions;
+    // ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING mirrors rowsBetween(-7,-1)
+    "ev_daily_anomaly" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *,
+        |    COUNT(n) OVER tw AS cnt,
+        |    CAST(SUM(n) OVER tw AS BIGINT) AS s1,
+        |    CAST(SUM(n * n) OVER tw AS BIGINT) AS s2
+        |  FROM daily
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT day, event_type, n, cnt,
+        |    CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE) AS mean,
+        |    sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(cnt AS DOUBLE)
+        |      - (CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE)), 0.0)) AS std
+        |  FROM w)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, event_type, n,
+        |  CASE WHEN cnt >= 3 THEN mean END AS trailing_mean,
+        |  CASE WHEN cnt >= 3 AND std > 0.0
+        |       THEN (CAST(n AS DOUBLE) - mean) / std END AS z,
+        |  coalesce(abs(CASE WHEN cnt >= 3 AND std > 0.0
+        |       THEN (CAST(n AS DOUBLE) - mean) / std END) >= 2.0, FALSE)
+        |    AS anomalous
+        |FROM z ORDER BY event_type, day""".stripMargin,
     "ev_retention" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),

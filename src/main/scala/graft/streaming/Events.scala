@@ -259,6 +259,47 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Daily per-type volume anomalies: each (event_type, day)'s count
+    * z-scored against its own TRAILING 7-day window (rows between 7
+    * and 1 preceding — the current day never contaminates its own
+    * baseline). The monitoring query a pipeline runs over ingest
+    * volumes to catch upstream breakage.
+    *
+    * Cross-engine determinism: mean and variance come from exact
+    * integer window sums ((Σn², Σn, cnt) — count aggregation over
+    * longs, order-independent), combined in fixed double expressions;
+    * `sqrt` is correctly-rounded per IEEE-754 (unlike `ln`/`exp`,
+    * which are libm-implementation-defined and banned from oracle
+    * surfaces here). Negative variance dust from cancellation clamps
+    * to 0; z is null until 3 trailing days exist or when std == 0.
+    *
+    * Scale shape: one hash aggregate events → (type, day) rows, then
+    * windows over that O(types · days) frame partitioned by type —
+    * the raw stream is never windowed. */
+  def dailyAnomaly(events: DataFrame, zFlag: Double = 2.0): DataFrame = {
+    val daily = events
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-7, -1)
+    val cnt = count(col("n")).over(w)
+    val s1 = sum(col("n")).over(w)
+    val s2 = sum(col("n") * col("n")).over(w)
+    val mean = s1.cast("double") / cnt.cast("double")
+    val variance = greatest(
+      s2.cast("double") / cnt.cast("double") - mean * mean, lit(0.0))
+    val std = sqrt(variance)
+    val z = when(cnt >= 3 && std > 0.0,
+      (col("n").cast("double") - mean) / std)
+    daily
+      .withColumn("trailing_mean", when(cnt >= 3, mean))
+      .withColumn("z", z)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("trailing_mean"), col("z"),
+        coalesce(abs(col("z")) >= zFlag, lit(false)).as("anomalous"))
+      .orderBy("event_type", "day")
+  }
+
   /** Cohort retention matrix: users grouped by FIRST-seen day (the
     * cohort), counted on each later activity day as an offset from
     * the cohort day — the standard growth-analytics view (day-0 size,

@@ -40,6 +40,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("contaminationCoverage: exact per-test-doc gram fractions") {
+    val leaked = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = mkDocs(Seq(
+      17L -> leaked,                                     // test: all 6 grams leaked
+      34L -> "some test only material that no train document ever saw", // test: 0 hits
+      100L -> s"prefix words here $leaked and a suffix",  // train
+      101L -> "unrelated train content"))
+    val got = CorpusOps.contaminationCoverage(docs, col("doc_id") % 17 === 0, n = 5)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_hit"), r.getAs[Double]("coverage")))
+    assert(got.toSeq == Seq(
+      (17L, 6L, 6L, 1.0),
+      (34L, 6L, 0L, 0.0)), got.toSeq)
+  }
+
   test("hashSample is deterministic and splits disjointly by hex range") {
     val docs = mkDocs((1L to 400L).map(i => i -> s"doc $i"))
     val a = CorpusOps.hashSample(docs, "19").select("doc_id").as[Long].collect().toSet

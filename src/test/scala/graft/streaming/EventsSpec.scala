@@ -288,6 +288,43 @@ class EventsSpec extends SparkSpec {
       s"stream minus batch: ${got diff expected}; batch minus stream: ${expected diff got}")
   }
 
+  test("dailyAnomaly: trailing baseline excludes today, flags the spike") {
+    // type 'a': 4 quiet days (2,2,2,2) then a 20x spike on day 5
+    val rows = (0 until 4).flatMap { d =>
+      Seq.tabulate(2)(i => (d * 10L + i,
+        ts(f"2024-01-0${d + 1}%d 10:0$i:00"), 1L, "a", 0.0, "{}"))
+    } ++ Seq.tabulate(40)(i =>
+      (100L + i, ts(s"2024-01-05 10:${10 + i % 45}:${i % 60}"), 1L, "a", 0.0, "{}"))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.dailyAnomaly(df).collect()
+      .map(r => (r.getString(0), Option(r.getAs[Any]("z")),
+        r.getAs[Boolean]("anomalous"))).toSeq
+    // first 3 days: fewer than 3 trailing days -> z null, not anomalous
+    assert(got.take(3).forall(t => t._2.isEmpty && !t._3))
+    // days 4 and 5: the baseline is perfectly flat (all 2s), so std==0
+    // and the guard yields null z — even for the 20x spike. A zero-
+    // variance baseline cannot be z-scored; that case is the guard's
+    // documented contract (the hand-computed test below covers real z).
+    assert(got(3)._2.isEmpty && !got(3)._3)
+    assert(got(4)._2.isEmpty && !got(4)._3)
+  }
+
+  test("dailyAnomaly: z-score math against a hand-computed baseline") {
+    // counts 1,2,3 then day 4 count 6: mean=2, var=(1+4+9)/3-4=2/3
+    val days = Seq(1 -> 1, 2 -> 2, 3 -> 3, 4 -> 6)
+    val rows = days.flatMap { case (d, n) =>
+      Seq.tabulate(n)(i => (d * 100L + i, ts(f"2024-02-0$d%d 0$i%d:00:00"), 1L, "b", 0.0, "{}"))
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.dailyAnomaly(df).collect()
+    val last = got.last
+    val mean = 2.0
+    val std = math.sqrt((1.0 + 4.0 + 9.0) / 3.0 - mean * mean)
+    assert(last.getAs[Double]("trailing_mean") == mean)
+    assert(math.abs(last.getAs[Double]("z") - (6.0 - mean) / std) < 1e-12)
+    assert(last.getAs[Boolean]("anomalous")) // z ≈ 4.9 >= 2
+  }
+
   test("retentionCohorts: first-seen cohorts, offsets, and exact rates") {
     // cohort 01-01: users 1,2 (both return on 01-03; user 1 also 01-02)
     // cohort 01-02: user 3, never returns
