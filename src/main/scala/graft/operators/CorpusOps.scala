@@ -50,7 +50,13 @@ object CorpusOps {
     * is rare; a 13-gram practically never) — contrast with the
     * 3-grams dedup uses for recall. */
   def contaminationPairs(docs: DataFrame, isTest: Column, n: Int = 5,
-      minOverlap: Long = 3L): DataFrame = {
+      minOverlap: Long = 3L): DataFrame =
+    contaminationPairsRaw(docs, isTest, n, minOverlap).orderBy("train_id", "test_id")
+
+  /** [[contaminationPairs]] without the presentation sort — for
+    * [[decontaminatedKeep]], which only distinct-projects train ids. */
+  private[graft] def contaminationPairsRaw(docs: DataFrame, isTest: Column,
+      n: Int = 5, minOverlap: Long = 3L): DataFrame = {
     val inv = inverted(docs, n)
     val test = broadcast(inv.filter(isTest).select(
       col("doc_id").as("test_id"), col("shingle")))
@@ -59,7 +65,6 @@ object CorpusOps {
       .groupBy("train_id", "test_id")
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
-      .orderBy("train_id", "test_id")
   }
 
   /** The decontaminated keep-list: train documents with NO flagged
@@ -67,7 +72,7 @@ object CorpusOps {
     * actually consumes. Anti join against the (small) flagged set. */
   def decontaminatedKeep(docs: DataFrame, isTest: Column, n: Int = 5,
       minOverlap: Long = 3L): DataFrame = {
-    val bad = contaminationPairs(docs, isTest, n, minOverlap)
+    val bad = contaminationPairsRaw(docs, isTest, n, minOverlap)
       .select(col("train_id").as("doc_id")).distinct()
     docs.filter(!isTest)
       .join(broadcast(bad), Seq("doc_id"), "left_anti")

@@ -94,7 +94,16 @@ object Dedup {
     *   least-discriminative evidence anyway) for a hard bound on join
     *   fan-out. None (default) = exact, matches the DuckDB oracle. */
   def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
-      maxDocFreq: Option[Long] = None): DataFrame = {
+      maxDocFreq: Option[Long] = None): DataFrame =
+    jaccardPairsRaw(docs, n, threshold, maxDocFreq).orderBy("doc_a", "doc_b")
+
+  /** [[jaccardPairs]] WITHOUT the presentation sort — for composite
+    * consumers ([[clusters]], [[keepList]]) whose next step is a join
+    * or aggregate: the final orderBy is a full range-partition
+    * exchange+sort of the pair set that such consumers immediately
+    * destroy. */
+  private[graft] def jaccardPairsRaw(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.5, maxDocFreq: Option[Long] = None): DataFrame = {
     // the shingle-set table feeds three plan branches (sizes, inverted
     // index, and nothing else recomputes it) — cache the one pass
     // (tracked: OpCaches.releaseAll() drops it after the caller's action).
@@ -127,7 +136,6 @@ object Dedup {
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "n_common", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** MinHash + banded LSH near-dup detection, with exact-Jaccard
@@ -219,7 +227,14 @@ object Dedup {
     * unioned index: the parts are disjoint row sets, so the unioned
     * join rows are exactly the join rows of the union. */
   def deltaPairsFromParts(newIdx: DataFrame, indexParts: Seq[DataFrame],
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    deltaPairsFromPartsRaw(newIdx, indexParts, threshold).orderBy("doc_a", "doc_b")
+
+  /** [[deltaPairsFromParts]] without the presentation sort — the
+    * streaming dedup sink aggregates the pairs into per-doc decisions
+    * immediately, so sorting them first is a wasted exchange. */
+  private[graft] def deltaPairsFromPartsRaw(newIdx: DataFrame,
+      indexParts: Seq[DataFrame], threshold: Double): DataFrame = {
     require(indexParts.nonEmpty, "need at least one index part")
     // delta vs corpus: every match is a (corpus a, new b) pair
     val joined = indexParts.map { part =>
@@ -246,7 +261,6 @@ object Dedup {
       // assumes — a corpus id can be larger than a delta id
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** The dedup END PRODUCT: doc_ids that survive exact dedup (keep the
@@ -254,18 +268,24 @@ object Dedup {
     * cluster representative = min doc_id of each jaccard-connected
     * component). This is the "which rows enter the training corpus"
     * answer a pipeline actually consumes. */
-  def keepList(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+  def keepList(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame =
+    keepListRaw(docs, n, threshold).orderBy("doc_id")
+
+  /** [[keepList]] without the presentation sort — for pipeline
+    * composites that immediately join the keep-list (corpus funnel,
+    * training manifest): they re-shuffle by doc_id anyway. */
+  private[graft] def keepListRaw(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(md5(col("text")))
     val exactKept = docs
       .withColumn("keep_id", min(col("doc_id")).over(w))
       .filter(col("doc_id") === col("keep_id"))
       .drop("keep_id")
-    val labels = clusters(jaccardPairs(exactKept, n, threshold))
+    val labels = clusters(jaccardPairsRaw(exactKept, n, threshold))
     val drops = labels.filter(col("doc_id") =!= col("cluster")).select("doc_id")
     exactKept.select("doc_id")
       .join(drops, Seq("doc_id"), "left_anti")
-      .orderBy("doc_id")
   }
 
   /** Near-dup cluster assembly: connected components over a pair list

@@ -47,7 +47,7 @@ object PipelineQueries {
     // Near-dup clusters: connected components over the jaccard pairs
     // (min-label propagation; oracle = DuckDB recursive CTE).
     "dd_clusters" -> ((s, d) =>
-      Dedup.clusters(Dedup.jaccardPairs(docs(s, d), n = 3, threshold = 0.5))),
+      Dedup.clusters(Dedup.jaccardPairsRaw(docs(s, d), n = 3, threshold = 0.5))),
     // The corpus keep-list after exact + near-dup dedup.
     "dd_keep_list" -> ((s, d) => Dedup.keepList(docs(s, d))),
     // Capstone: the full training-corpus funnel with per-stage counts —
@@ -59,7 +59,7 @@ object PipelineQueries {
     "tp_corpus_funnel" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val all = docs(s, d)
-      val kept = Dedup.keepList(all).select(col("doc_id"), lit(true).as("is_kept"))
+      val kept = Dedup.keepListRaw(all).select(col("doc_id"), lit(true).as("is_kept"))
       all.select(col("doc_id"),
           TextAnalysis.isEnglishCol.as("is_en"),
           (TextAnalysis.qualityCol >= 0.6).as("is_good"))
@@ -96,7 +96,7 @@ object PipelineQueries {
       val candidates = OpCaches.track(all
         .filter(TextAnalysis.isEnglishCol && TextAnalysis.qualityCol >= 0.6 &&
           !isTest))
-      val kept = Dedup.keepList(candidates)
+      val kept = Dedup.keepListRaw(candidates)
         .select(col("doc_id"), lit(true).as("is_kept"))
       val clean = CorpusOps.decontaminatedKeep(
           candidates.unionByName(all.filter(isTest)), isTest,

@@ -137,7 +137,9 @@ object DedupStream {
     // ONE tokenize+shingle pass feeds both the pair join and the kept-
     // shingle fold-in
     val newIdx = Dedup.shingleIndex(newDocs, n).cache()
-    val pairs = Dedup.deltaPairsFromParts(newIdx, indexParts, threshold)
+    // pairs feed aggregation below — the unsorted core skips the
+    // presentation exchange deltaPairsFromParts adds for query output
+    val pairs = Dedup.deltaPairsFromPartsRaw(newIdx, indexParts, threshold)
       // replay guard: after a successful index publish, a replayed kept
       // doc matches its OWN corpus entry at jaccard 1.0 — not a dup
       .filter(col("doc_a") =!= col("doc_b"))
