@@ -274,6 +274,41 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** k-NN label vote: each query vector (vec_id % queryMod = 0) takes
+    * the majority label of its exact top-k cosine neighbors — the
+    * semantic auto-labeling / label-propagation step of a curation
+    * pipeline (and, with `correct`, its leave-one-out quality check).
+    * Ties break on (votes desc, label asc); the neighbor sets come
+    * from [[topkBrute]]'s deterministic ranking, so the vote is
+    * deterministic end to end.
+    *
+    * Scale shape: the expensive part IS the neighbor search, which
+    * delegates to the existing top-k machinery (brute here for the
+    * oracle-checkable form; swap in [[topkLsh]]/IVF for production).
+    * Everything after is bounded by |queries|·k rows: the label
+    * join-back broadcasts the top-k table into the corpus scan, the
+    * vote aggregate and the winner window run on |queries|·|labels|
+    * rows. */
+  def knnLabel(emb: DataFrame, queryMod: Long = 50L, k: Int = 10): DataFrame = {
+    val labels = emb.select(col("vec_id"), col("label"))
+    val tk = topkBrute(emb, queryMod, k).select("query_id", "cand_id")
+    val votes = labels.withColumnRenamed("vec_id", "cand_id")
+      .join(broadcast(tk), Seq("cand_id"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("label"))
+    val winners = votes.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("label").as("predicted_label"), col("votes"))
+    labels.select(col("vec_id").as("query_id"), col("label").as("true_label"))
+      .join(broadcast(winners), Seq("query_id"))
+      .select(col("query_id"), col("predicted_label"), col("votes"),
+        col("true_label"),
+        (col("predicted_label") === col("true_label")).as("correct"))
+      .orderBy("query_id")
+  }
+
   /** Brute-force cosine top-k for the query set {vec_id % queryMod = 0}:
     * broadcast the small query side, stream the corpus once, window
     * top-k per query (ties broken by cand_id). */

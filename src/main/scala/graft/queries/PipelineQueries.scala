@@ -162,6 +162,9 @@ object PipelineQueries {
     }),
     // Brute-force cosine top-10 for queries {vec_id % 50 = 0}.
     "ss_topk_brute" -> ((s, d) => Similarity.topkBrute(emb(s, d), queryMod = 50L, k = 10)),
+    // k-NN majority-label vote over the same query set (semantic
+    // auto-labeling + its leave-one-out correctness flag).
+    "ss_knn_label" -> ((s, d) => Similarity.knnLabel(emb(s, d), queryMod = 50L, k = 10)),
     // LSH-bucketed approximate top-5 (same query set).
     "ss_topk_lsh" -> ((s, d) => Similarity.topkLsh(emb(s, d), queryMod = 50L, k = 5)),
     // The PERSISTED-index form of the same search: build the LSH index
@@ -571,6 +574,26 @@ object PipelineQueries {
          |  FROM scored)
          |SELECT query_id, cand_id, cosine, rnk FROM r WHERE rnk <= 10
          |ORDER BY query_id, rnk""".stripMargin,
+    // identical top-k ground truth -> majority vote; tie-break
+    // (votes desc, label asc) mirrored exactly
+    "ss_knn_label" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    (${dotSql("q.embedding", "c.embedding")}) / (q.nrm * c.nrm) AS cosine
+         |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+         |r AS (SELECT query_id, cand_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rnk
+         |  FROM scored),
+         |v AS (SELECT r.query_id, emb.label, CAST(count(*) AS BIGINT) AS votes
+         |  FROM r JOIN embeddings emb ON r.cand_id = emb.vec_id
+         |  WHERE r.rnk <= 10 GROUP BY 1, 2),
+         |w AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY votes DESC, label) AS INT) AS rk FROM v)
+         |SELECT w.query_id, w.label AS predicted_label, w.votes,
+         |  t.label AS true_label, w.label = t.label AS correct
+         |FROM w JOIN embeddings t ON w.query_id = t.vec_id
+         |WHERE w.rk = 1 ORDER BY w.query_id""".stripMargin,
     "ss_topk_lsh" -> topkLshSql,
     // the persisted-index run answers the IDENTICAL query with the
     // identical plane family — one ground truth, two execution paths

@@ -82,6 +82,30 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("knnLabel: majority vote with deterministic tie-break and correctness flag") {
+    // query 0 (label 0): neighbors by cosine are 1 (lbl 0), 4 (lbl 1),
+    // 2 (lbl 0), 3 (lbl 2) -> k=3 votes {0:2, 1:1} -> predicts 0, correct
+    val e = Seq(
+      (0L, vec(0, 1), 0),
+      (1L, vec(0, 1), 0),
+      (2L, vec(0), 0),
+      (3L, vec(5, 6), 2),
+      (4L, vec(1, 0), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnLabel(e, queryMod = 50L, k = 3).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("query_id") == 0L)
+    assert(r.getAs[Int]("predicted_label") == 0)
+    assert(r.getAs[Long]("votes") == 2L)
+    assert(r.getAs[Int]("true_label") == 0)
+    assert(r.getAs[Boolean]("correct"))
+    // vote tie (k=2: one label-0, one label-1 neighbor) -> smaller label wins
+    val tied = Similarity.knnLabel(e, queryMod = 50L, k = 2).collect().head
+    assert(tied.getAs[Long]("votes") == 1L)
+    assert(tied.getAs[Int]("predicted_label") == 0)
+  }
+
   test("topkLsh: identical vectors share every bucket, so exact dup is always found") {
     val top = Similarity.topkLsh(emb, queryMod = 50L, k = 3).collect()
     val cands = top.map(_.getAs[Long]("cand_id")).toSet

@@ -41,6 +41,9 @@ class PlanLintSpec extends SparkSpec {
       "brute-force plan, not an accident"),
     "ss_topk_ivf_recall" -> ("the recall CONTRACT compares IVF against the brute " +
       "exact scan, so it inherits ss_topk_brute's reviewed nested loop"),
+    "ss_knn_label" -> ("the label vote runs over ss_topk_brute's neighbor sets, " +
+      "so it inherits the same reviewed brute-scan nested loop; production swaps " +
+      "in the LSH/IVF top-k, which are equi-join plans"),
     "ss_topk_ivf_index_recall" -> ("same contract as ss_topk_ivf_recall for the " +
       "persisted-index path"),
     "q_acctbal_quartiles_approx" -> ("the broadcast side is ONE scalar-aggregate " +
