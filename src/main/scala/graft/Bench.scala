@@ -29,6 +29,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the library's own tuned defaults (AQE coalesce/skew, aggregate
+    // pushdown, UTC) — the bench measures the engine as shipped
+    GraftSession.configure(spark)
 
     // per-query failure messages, embedded in the JSON artifact so the
     // bench is self-contained evidence (a stderr tail truncates away

@@ -14,6 +14,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same session profile as Bench — verify what the bench measures
+    GraftSession.configure(spark)
     new java.io.File(outDir).mkdirs()
     // optional comma-separated allowlist for targeted re-verification
     // (the driver sets nothing and gets the full dump)
