@@ -165,6 +165,17 @@ object Multimodal {
         .otherwise("video").as("media_type"),
       encode(col("text"), "UTF-8").cast("binary").as("payload"))
 
+  /** Exact media dedup by content hash, per modality: the binary
+    * payload column hashed once at the scan (md5 over bytes), one
+    * hash aggregate — the multimodal twin of [[Dedup.exact]]. At
+    * 100 TB the shuffle carries (16-byte hash, partial counts), never
+    * payload bytes; dedup before decode is the standard ordering (why
+    * decode a frame twice?). */
+  def dedupPayloads(media: DataFrame): DataFrame =
+    media.groupBy(md5(col("payload")).as("fp"), col("media_type"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("fp", "media_type")
+
   /** Decode / feature-extract stage: batch-shaped mapPartitions over
     * the binary column; only metadata (not payload) survives into the
     * output, so downstream stages shuffle kilobytes, not media bytes. */

@@ -70,6 +70,9 @@ object ExtQueries {
             .cast("double").as("sum_in_window"))
         .orderBy("event_id")
     }),
+    // Exact media dedup by payload hash, per modality — dedup BEFORE
+    // decode, the standard multimodal pipeline ordering.
+    "mm_dedup" -> ((s, d) => Multimodal.dedupPayloads(media(s, d))),
     "mm_metadata" -> ((s, d) =>
       Multimodal.decodeMetadata(s, media(s, d)).toDF().orderBy("doc_id")),
     "mm_frames" -> ((s, d) =>
@@ -319,6 +322,12 @@ object ExtQueries {
         |GROUP BY user_id HAVING SUM(CASE WHEN next_type = 'click'
         |  AND gap_us <= 10 * 60 * 1000000 THEN 1 ELSE 0 END) > 0
         |ORDER BY user_id""".stripMargin,
+    // payload bytes are the UTF-8 text (ASCII) -> DuckDB's VARCHAR md5
+    // equals the Spark binary md5
+    "mm_dedup" ->
+      s"""SELECT md5(text) AS fp, $mediaTypeSql AS media_type,
+         |  MIN(doc_id) AS keep_doc_id, CAST(count(*) AS BIGINT) AS n_copies
+         |FROM documents GROUP BY 1, 2 ORDER BY fp, media_type""".stripMargin,
     "mm_metadata" ->
       s"""SELECT doc_id, $mediaTypeSql AS media_type,
          |  CAST(length(text) AS BIGINT) AS n_bytes,

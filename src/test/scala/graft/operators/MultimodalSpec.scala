@@ -82,4 +82,23 @@ class MultimodalSpec extends SparkSpec {
     // doc 0: w=104, h=64+280%129=64+22=86 → max 104 ≤ 128 → unscaled
     assert(r(0L).getAs[Long]("out_width") == 104)
   }
+
+  test("dedupPayloads: identical bytes collapse per modality, min id kept") {
+    import spark.implicits._
+    // docs 0 and 3 share text but differ in media_type (0->image,
+    // 3->image too: 3 % 3 == 0) — both image, same payload -> 1 group.
+    // doc 1 (audio) shares the text but is a different modality.
+    val docs = Seq(
+      (0L, "same bytes", "en", "s", 10L),
+      (3L, "same bytes", "en", "s", 10L),
+      (1L, "same bytes", "en", "s", 10L),
+      (6L, "other bytes", "en", "s", 11L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Multimodal.dedupPayloads(Multimodal.mediaTable(docs)).collect()
+      .map(r => (r.getString(1), r.getAs[Long]("keep_doc_id"), r.getAs[Long]("n_copies")))
+    assert(got.toSet == Set(
+      ("image", 0L, 2L),  // docs 0 and 3 collapse
+      ("audio", 1L, 1L),  // same bytes, different modality: own group
+      ("image", 6L, 1L)))
+  }
 }
