@@ -59,12 +59,16 @@ object ScaleProbe {
 
     def embAt(k: Int): DataFrame =
       (0 until k).map { i =>
-        val p = 2 * i + 1 // distinct sign pattern per copy (mod 13)
+        // distinct sign pattern per copy for all i < 50: multipliers
+        // 2i+1 are distinct odd residues mod 101 (prime), so no two
+        // copies share a pattern (a mod-13 first draft collided at
+        // i and i+13, silently reintroducing quadratic pairs at 16×)
+        val p = (2 * i + 1) % 101
         emb0.select(
           (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
           (if (i == 0) col("embedding")
            else expr(s"transform(embedding, (x, j) -> " +
-             s"CASE WHEN (j * $p) % 13 < 6 THEN -x ELSE x END)"))
+             s"CASE WHEN ((j + 1) * $p) % 101 < 50 THEN -x ELSE x END)"))
             .as("embedding"),
           col("label"))
       }.reduce(_ unionByName _)

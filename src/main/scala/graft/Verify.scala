@@ -38,6 +38,10 @@ object Verify {
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
         failures += name -> msg
         System.err.println(s"[verify] $name failed: $msg")
+        // the failed query may have tracked caches before throwing —
+        // release on this path too, or leaked blocks accumulate
+        // across a multi-failure run and pressure later queries
+        graft.operators.OpCaches.releaseAll()
         try {
           import spark.implicits._
           Seq(("__error__", msg.take(500))).toDF("__error__", "message")
@@ -50,18 +54,10 @@ object Verify {
         s"${SparkEntry.queries.size} queries FAILED: " +
         failures.map(_._1).mkString(", "))
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // JSON string escape (shared with Bench): a tab or CR in
+    // builder-authored SQL would otherwise make the driver's json.load
+    // fail and silently zero the round's correctness.
+    def q(s: String): String = Jsons.quote(s)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -168,8 +168,12 @@ object TextAnalysis {
     * selective queries that is a sliver of the corpus), a broadcast
     * 1-row stats frame for N/avgdl, and a per-term df aggregate of
     * |terms| rows. Nothing corpus-sized is ever joined or windowed. */
-  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 20,
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // dedupe (a repeated query term must not double-count) and refer
+    // to terms by POSITION in derived column names — raw user strings
+    // as column names break analysis on dots/backticks/duplicates
+    val terms = queryTerms.distinct
     require(terms.nonEmpty, "need at least one query term")
     val lens = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
     // corpus stats: one tiny aggregate, broadcast into the projection
@@ -196,11 +200,12 @@ object TextAnalysis {
             lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
     // fixed-order summation: one conditional max per query term, then
     // a left-associative chain in the terms' given order
-    def partOf(t: String): Column =
-      coalesce(max(when(col("term") === t, col("part"))), lit(0.0)).as(s"part_$t")
+    def partOf(t: String, i: Int): Column =
+      coalesce(max(when(col("term") === t, col("part"))), lit(0.0)).as(s"part_$i")
     val perTerm = scored.groupBy("doc_id")
-      .agg(partOf(terms.head), terms.tail.map(partOf): _*)
-    val score = terms.map(t => col(s"part_$t")).reduceLeft(_ + _)
+      .agg(partOf(terms.head, 0),
+        terms.tail.zipWithIndex.map { case (t, i) => partOf(t, i + 1) }: _*)
+    val score = terms.indices.map(i => col(s"part_$i")).reduceLeft(_ + _)
     perTerm
       .withColumn("score", score)
       .filter(col("score") > 0.0)

@@ -230,9 +230,19 @@ object ExtQueries {
     // identical exact-integer window sums -> fixed double expressions;
     // ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING mirrors rowsBetween(-7,-1)
     "ev_daily_anomaly" ->
-      """WITH daily AS (
+      """WITH bounds AS (
+        |  SELECT min(date_trunc('day', ts)) AS d0, max(date_trunc('day', ts)) AS d1
+        |  FROM events),
+        |days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        |  FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |obs AS (
         |  SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n
         |  FROM events GROUP BY 1, 2),
+        |daily AS (
+        |  SELECT days.day, types.event_type, CAST(coalesce(obs.n, 0) AS BIGINT) AS n
+        |  FROM days CROSS JOIN types
+        |  LEFT JOIN obs ON obs.day = days.day AND obs.event_type = types.event_type),
         |w AS (
         |  SELECT *,
         |    COUNT(n) OVER tw AS cnt,

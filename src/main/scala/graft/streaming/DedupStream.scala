@@ -85,11 +85,32 @@ object DedupStream {
     * for the watermark could pair an old base with a newer mark (and
     * wrongly retire deltas the old base never folded) if a concurrent
     * compaction flips the pointer mid-load. */
+  /** Fail loudly on a pre-hashed-shingle (string-keyed) state dir: the
+    * index format changed from `shingle: string` to `shingle: long`
+    * (xxhash64), and force-reading old parquet through the new schema
+    * would either throw deep in a batch or — worse — null-coerce the
+    * join key and silently keep every duplicate. */
+  private def requireCurrentFormat(dir: String): Unit = {
+    val files = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+    // cheap footer sniff via a throwaway schema inference on ONE file
+    files.headOption.foreach { f =>
+      val session = org.apache.spark.sql.SparkSession.active
+      val dt = session.read.parquet(f.getPath).schema
+        .find(_.name == "shingle").map(_.dataType)
+      if (dt.contains(StringType))
+        throw new IllegalStateException(
+          s"shingle index at $dir uses the old string-keyed format; " +
+            "rebuild the index (hashed int64 shingles) before resuming")
+    }
+  }
+
   private[streaming] def loadIndexParts(spark: SparkSession,
       stateRoot: String): Seq[DataFrame] = {
     val baseRoot = s"$stateRoot/base"
     val resolved = SnapshotDir.currentDir(baseRoot)
       .filter(d => Files.exists(Paths.get(d)))
+    resolved.foreach(requireCurrentFormat)
     val (base, mark) = resolved match {
       case Some(d) =>
         (SnapshotDir.readAt(spark, d, indexSchema),

@@ -261,9 +261,11 @@ object Events {
 
   /** Daily per-type volume anomalies: each (event_type, day)'s count
     * z-scored against its own TRAILING 7-day window (rows between 7
-    * and 1 preceding — the current day never contaminates its own
-    * baseline). The monitoring query a pipeline runs over ingest
-    * volumes to catch upstream breakage.
+    * and 1 preceding over a DENSIFIED day spine, so 7 rows ARE 7 days
+    * and a zero-event day — the outage this monitor exists to catch —
+    * gets a row, a z-score, and a flag; the current day never
+    * contaminates its own baseline). The monitoring query a pipeline
+    * runs over ingest volumes to catch upstream breakage.
     *
     * Cross-engine determinism: mean and variance come from exact
     * integer window sums ((Σn², Σn, cnt) — count aggregation over
@@ -277,9 +279,25 @@ object Events {
     * windows over that O(types · days) frame partitioned by type —
     * the raw stream is never windowed. */
   def dailyAnomaly(events: DataFrame, zFlag: Double = 2.0): DataFrame = {
-    val daily = events
+    val observed = events
       .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
       .agg(count(lit(1)).as("n"))
+    // Densify: every (type, day) over the corpus's full day range gets
+    // a row, zero-count days included. Without the spine, an OUTAGE day
+    // emits no row — the one event this monitor exists to flag — and
+    // the "trailing 7 days" frame silently spans gaps (7 ROWS ≠ 7 days
+    // for a sparse type). The spine is O(types · days): a sequence()
+    // off one min/max aggregate row cross-joined with the type domain —
+    // both sides domain-bounded, nothing event-sized.
+    val bounds = events.agg(
+      min(date_trunc("day", col("ts"))).as("d0"),
+      max(date_trunc("day", col("ts"))).as("d1"))
+    val days = bounds.select(explode(expr(
+      "sequence(d0, d1, interval 1 day)")).as("day"))
+    val types = events.select(col("event_type")).distinct()
+    val daily = days.crossJoin(types)
+      .join(observed, Seq("day", "event_type"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
     val w = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(-7, -1)
     val cnt = count(col("n")).over(w)

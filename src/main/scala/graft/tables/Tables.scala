@@ -55,9 +55,15 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _: org.apache.spark.sql.types.TimestampNTZType =>
-        s.conf.set("spark.sql.session.timeZone", "UTC")
+        // NTZ wall-clock → the UTC instant with the SAME wall-clock,
+        // independent of the session timezone: rebase the NTZ value
+        // from UTC into the current session zone first, so the
+        // session-zone-interpreting cast lands on the UTC instant.
+        // (A previous version set spark.sql.session.timeZone=UTC here —
+        // a loader silently mutating the caller's session is a footgun
+        // for every other query in that session.)
         raw.withColumn("ts",
-          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          expr("CAST(convert_timezone('UTC', current_timezone(), ts) AS TIMESTAMP)"))
       case _ => raw
     }
   }
@@ -74,14 +80,28 @@ object Tables {
     // call charged ~0.7 s of pure setup to whichever query ran it.
     val key = "spark.graft.tables.registeredDir"
     if (spark.conf.getOption(key).contains(dir)) return
-    names.foreach { n =>
-      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
-      df.createOrReplaceTempView(n)
+    // Per-table guard: one degraded table must not abort registration
+    // of every LATER view (round 3's events break would have taken
+    // `files` and the whole SQL surface down with it). Failures are
+    // collected and rethrown AFTER all healthy views are registered;
+    // the idempotency key is only set on a fully clean pass, so a
+    // retry after the operator fixes the bad table re-registers.
+    val failures = scala.collection.mutable.ListBuffer.empty[(String, Throwable)]
+    (names.map(n => n -> (() =>
+        if (n == "events") events(spark, dir) else load(spark, dir, n))) :+
+      ("files" -> (() => files(spark, dir)))).foreach { case (n, mk) =>
+      try mk().createOrReplaceTempView(n)
+      catch { case e: Throwable =>
+        failures += n -> e
+        System.err.println(s"[tables] view $n failed to register: ${e.getMessage}")
+      }
     }
-    files(spark, dir).createOrReplaceTempView("files")
     // the graft_* native functions are part of the SQL surface too
     org.apache.spark.sql.GraftSqlBridge.registerGraftFunctions(spark)
-    spark.conf.set(key, dir)
+    // a query against a broken view fails on ITS OWN analysis with the
+    // loader's error; queries over healthy views keep working — degrade,
+    // don't zero
+    if (failures.isEmpty) spark.conf.set(key, dir)
   }
 
   /** Synthetic `files` index table derived deterministically from

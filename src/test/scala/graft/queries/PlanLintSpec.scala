@@ -51,7 +51,10 @@ class PlanLintSpec extends SparkSpec {
       "shape, bounded by construction"),
     "ta_bm25" -> ("the broadcast side is the ONE-row corpus-stats frame " +
       "(N, avgdl) joined into the per-posting projection — scalar-subquery " +
-      "shape, bounded by construction"))
+      "shape, bounded by construction"),
+    "ev_daily_anomaly" -> ("the day-spine densification crosses the O(days) " +
+      "sequence with the O(types) domain — both sides domain-bounded " +
+      "aggregates, never the event stream"))
 
   /** Queries whose plans legitimately contain a globally-ordered
     * (empty-partition) window, with the reviewed reason. */

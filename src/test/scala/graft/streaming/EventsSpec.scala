@@ -309,6 +309,23 @@ class EventsSpec extends SparkSpec {
     assert(got(4)._2.isEmpty && !got(4)._3)
   }
 
+  test("dailyAnomaly: a zero-event outage day gets a row and the flag") {
+    // counts 1,2,3 on days 1-3, NOTHING on day 4 (outage), 2 on day 5
+    val days = Seq(1 -> 1, 2 -> 2, 3 -> 3, 5 -> 2)
+    val rows = days.flatMap { case (d, n) =>
+      Seq.tabulate(n)(i => (d * 100L + i, ts(f"2024-02-0$d%d 0$i%d:00:00"), 1L, "c", 0.0, "{}"))
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.dailyAnomaly(df).collect()
+    assert(got.length == 5, "densified spine must cover the outage day")
+    val day4 = got(3)
+    assert(day4.getString(0) == "2024-02-04" && day4.getAs[Long]("n") == 0L)
+    // baseline (1,2,3): mean 2, std sqrt(2/3); z = (0-2)/std ≈ -2.449
+    val std = math.sqrt((1.0 + 4.0 + 9.0) / 3.0 - 4.0)
+    assert(math.abs(day4.getAs[Double]("z") - (0.0 - 2.0) / std) < 1e-12)
+    assert(day4.getAs[Boolean]("anomalous"))
+  }
+
   test("dailyAnomaly: z-score math against a hand-computed baseline") {
     // counts 1,2,3 then day 4 count 6: mean=2, var=(1+4+9)/3-4=2/3
     val days = Seq(1 -> 1, 2 -> 2, 3 -> 3, 4 -> 6)
