@@ -288,6 +288,41 @@ object Dedup {
       .join(drops, Seq("doc_id"), "left_anti")
   }
 
+  /** Per-document duplicate-text rate, the corpus-health metric of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better") at word-n-gram granularity: for each document,
+    * the share of its distinct n-gram shingles that also occur in at
+    * least one OTHER document. A doc with rate 1.0 is pure boilerplate
+    * / near-copy; the corpus-level distribution of this rate is what
+    * decides how aggressive the dedup pass must be.
+    *
+    * Scale shape: the inverted index is built once in HASHED shingle
+    * space (8-byte keys); document frequency is a hash aggregate with
+    * map-side combine (hot boilerplate shingles collapse before the
+    * shuffle), and the ≥2-doc shingle set flows into a LEFT SEMI join
+    * back against the index — AQE's skew-join splits a viral
+    * shingle's probe partition, which a window-count over the index
+    * could not. No pair enumeration anywhere: cost is O(index), not
+    * O(pairs). */
+  def dupNgramRate(docs: DataFrame, n: Int = 3): DataFrame = {
+    // the shingle-set table feeds the index AND the per-doc sizes —
+    // cache the tokenize+shingle pass (released by OpCaches.releaseAll)
+    val sh = OpCaches.track(
+      withHashedShingles(docs, n).select(col("doc_id"), col("shingles")))
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val shared = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2L).select("shingle")
+    val dup = inv.join(shared, Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        (coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_sh").cast("double"))
+          .as("dup_rate"))
+      .orderBy("doc_id")
+  }
+
   /** Near-dup cluster assembly: connected components over a pair list
     * (doc_a < doc_b), labeling every member with the cluster's minimum
     * doc_id — the step that turns pairwise similarity into dedup

@@ -330,4 +330,78 @@ object TextAnalysis {
       winnow.as("fp_winnow"))
       .orderBy("doc_id")
   }
+
+  /** Gopher-style rule battery (Rae et al. 2021, §A1.1 — the public
+    * heuristics later adopted by Dolma/RefinedWeb): per document, the
+    * lexical statistics and the pass/fail flag of each published rule
+    * that is computable from plain text — word count in [50, 100000],
+    * mean word length in [3, 10], ≥ 2 stop words, ≥ 80% alphabetic
+    * words — plus the conjunction a curation pipeline actually
+    * filters on. Flags are emitted (not filtered) so the pass RATE is
+    * inspectable per source/language before committing to a cut.
+    *
+    * Scale shape: one narrow codegen'd projection over the scan —
+    * columns pruned to (doc_id, text), no shuffle except the
+    * presentation sort. mean_word_len derives exactly from integer
+    * counts (chars minus the n−1 single-space separators, over n);
+    * doubles are division-only → bit-identical cross-engine. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val n       = size(toks).cast("long")
+    val meanLen = (length(col("text")).cast("double") - (n - lit(1L)).cast("double")) /
+      n.cast("double")
+    val nStop   = size(filter(toks, t => t.isin("the", "a"))).cast("long")
+    val nAlpha  = size(filter(toks, t => t.rlike("^[a-z]+$"))).cast("long")
+    val fracAlpha = nAlpha.cast("double") / n.cast("double")
+    val passWords = n >= 50L && n <= 100000L
+    val passLen   = meanLen >= 3.0 && meanLen <= 10.0
+    val passStop  = nStop >= 2L
+    val passAlpha = fracAlpha >= 0.8
+    docs.select(
+      col("doc_id"),
+      n.as("n_words"),
+      meanLen.as("mean_word_len"),
+      nStop.as("n_stop"),
+      fracAlpha.as("frac_alpha"),
+      passWords.as("pass_words"),
+      passLen.as("pass_mean_len"),
+      passStop.as("pass_stop"),
+      passAlpha.as("pass_alpha"),
+      (passWords && passLen && passStop && passAlpha).as("pass_all"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document top-k TF-IDF keyword extraction. idf is the
+    * RATIONAL Robertson surrogate (N − df + 0.5)/(df + 0.5) — the
+    * same log-free monotone form [[bm25TopK]] uses, because `ln` is
+    * libm-implementation-defined in its last bits and would
+    * hash-differ across engines; score = tf · idf from IEEE-exact
+    * ops only.
+    *
+    * Scale shape: postings from one explode + hash aggregate on
+    * (doc, term) (map-side combine collapses repeats before the
+    * shuffle); document frequency is a second aggregate of the
+    * postings on term (skew-safe: partial aggregation absorbs hot
+    * terms, unlike a window count that would pile a stop-word's
+    * postings into one partition). The df side joins back on term —
+    * vocabulary-sized, so it is NOT hint-broadcast: AQE broadcasts it
+    * when it measures small, and shuffles when a 100 TB vocabulary
+    * doesn't. The per-doc top-k compiles to WindowGroupLimit (rank
+    * pushdown prunes to k rows per doc before the final sort). */
+  def tfidfTopK(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val postings = graft.operators.Dedup.spread(docs)
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = postings.join(dfs, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf").cast("double") *
+        ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("score").desc, col("term"))
+  }
 }

@@ -268,6 +268,15 @@ object PipelineQueries {
     // idf range: two stop-word-common terms + one rare term), top-20.
     "ta_bm25" -> ((s, d) =>
       TextAnalysis.bm25TopK(docs(s, d), Seq("spark", "join", "dup"), k = 20)),
+    // Gopher rule battery (Rae et al. 2021 §A1.1): per-doc lexical
+    // stats + each published rule's pass flag + the filter conjunction.
+    "ta_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(docs(s, d))),
+    // Per-doc top-5 TF-IDF keywords (rational log-free idf, same
+    // Robertson surrogate as ta_bm25).
+    "ta_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTopK(docs(s, d), k = 5)),
+    // Lee et al. 2022 duplicate-text rate: share of each doc's distinct
+    // 3-gram shingles that occur in ≥ 1 other document.
+    "dd_dup_ngram_rate" -> ((s, d) => Dedup.dupNgramRate(docs(s, d), n = 3)),
     // Count-min-sketch heavy hitters: exact top-10 + the CMS ε-bound
     // verdict (oracle = exact + TRUE; matches iff the bound held).
     "ta_heavy_hitters" -> ((s, d) =>
@@ -452,6 +461,21 @@ object PipelineQueries {
          |FROM v WHERE CAST(n_common AS DOUBLE) / (la + lb - n_common) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+    // string-shingle twin of the hashed-space Spark plan: counts agree
+    // modulo 64-bit shingle-hash collisions (~|sh|²/2⁶⁵ — immaterial),
+    // same convention as the dd_ngram_jaccard family.
+    "dd_dup_ngram_rate" ->
+      s"""WITH sh AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM documents),
+         |sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh FROM sh),
+         |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |shared AS (SELECT shingle FROM inv GROUP BY shingle HAVING count(*) >= 2),
+         |dup AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+         |  FROM inv JOIN shared USING (shingle) GROUP BY doc_id)
+         |SELECT s.doc_id, s.n_sh,
+         |  CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup,
+         |  CAST(coalesce(d.n_dup, 0) AS DOUBLE) / CAST(s.n_sh AS DOUBLE) AS dup_rate
+         |FROM sizes s LEFT JOIN dup d USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "dd_clusters" ->
       s"""WITH RECURSIVE sh AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM documents),
          |sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh FROM sh),
@@ -611,6 +635,44 @@ object PipelineQueries {
          |  CAST(len(list_distinct($T)) AS BIGINT) AS n_distinct_tokens,
          |  CAST(n_chars - len($T) + 1 AS DOUBLE) / len($T) AS avg_token_len
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // mean_word_len = (chars − (n−1) single-space separators) / n —
+    // identical left-associative double expression as the Spark side.
+    "ta_gopher_rules" ->
+      s"""WITH g AS (SELECT doc_id,
+         |    CAST(len($T) AS BIGINT) AS n_words,
+         |    (CAST(length(text) AS DOUBLE) - CAST(len($T) - 1 AS DOUBLE))
+         |      / CAST(len($T) AS DOUBLE) AS mean_word_len,
+         |    CAST(len(list_filter($T, t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop,
+         |    CAST(len(list_filter($T, t -> regexp_matches(t, '^[a-z]+$$'))) AS DOUBLE)
+         |      / CAST(len($T) AS DOUBLE) AS frac_alpha
+         |  FROM documents)
+         |SELECT doc_id, n_words, mean_word_len, n_stop, frac_alpha,
+         |  (n_words >= 50 AND n_words <= 100000) AS pass_words,
+         |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS pass_mean_len,
+         |  (n_stop >= 2) AS pass_stop,
+         |  (frac_alpha >= 0.8) AS pass_alpha,
+         |  ((n_words >= 50 AND n_words <= 100000)
+         |    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+         |    AND n_stop >= 2 AND frac_alpha >= 0.8) AS pass_all
+         |FROM g ORDER BY doc_id""".stripMargin,
+    // score = tf · (N − df + 0.5)/(df + 0.5), the same rational
+    // log-free idf as ta_bm25, composed left-associatively on both
+    // engines; row_number ties broken by term.
+    "ta_tfidf_top" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($T) AS term FROM documents),
+         |postings AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tk GROUP BY 1, 2),
+         |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |scored AS (SELECT doc_id, term, tf, df,
+         |    CAST(tf AS DOUBLE) * ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |      / (CAST(df AS DOUBLE) + 0.5)) AS score
+         |  FROM postings JOIN dfs USING (term) CROSS JOIN n),
+         |ranked AS (SELECT *, row_number() OVER
+         |    (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+         |  FROM scored)
+         |SELECT doc_id, term, tf, df, score FROM ranked WHERE rk <= 5
+         |ORDER BY doc_id, score DESC, term""".stripMargin,
     "ta_regex_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_runs,

@@ -77,4 +77,18 @@ class DedupSpec extends SparkSpec {
     // pigeonhole blocking guarantee: every emitted pair respects the cap
     assert(pairs.forall(_._3 <= 3))
   }
+
+  test("dupNgramRate: copies rate 1.0, partial overlap in (0,1), unique 0.0") {
+    val out = Dedup.dupNgramRate(docs, n = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_sh"), r.getAs[Long]("n_dup"), r.getAs[Double]("dup_rate")))
+      .toMap
+    // d1 ≡ d2: every shingle shared → rate exactly 1.0
+    assert(out(1L)._3 == 1.0 && out(2L)._3 == 1.0)
+    // d3 shares some but not all of d1's shingles
+    assert(out(3L)._2 > 0 && out(3L)._2 < out(3L)._1)
+    assert(out(3L)._3 == out(3L)._2.toDouble / out(3L)._1.toDouble)
+    // d4 is disjoint → nothing shared
+    assert(out(4L) == ((out(4L)._1, 0L, 0.0)))
+  }
 }

@@ -125,4 +125,42 @@ class TextAnalysisSpec extends SparkSpec {
     // undercounts and a tiny stream can't collide past the slack
     assert(got.forall(_._3), got.toSeq)
   }
+
+  test("gopherRules: each rule flips on its own violation") {
+    val longText = (Seq("the", "a") ++ (1 to 60).map(_ => "word")).mkString(" ")
+    val df = mk(
+      (1L, longText, "en"),                           // passes everything
+      (2L, "the a short doc only", "en"),             // fails word count
+      (3L, (1 to 60).map(_ => "word").mkString(" "), "en")) // no stop words
+    val out = TextAnalysis.gopherRules(df).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Boolean]("pass_all"))
+    assert(byId(1L).getAs[Long]("n_words") == 62L)
+    assert(byId(1L).getAs[Double]("frac_alpha") == 1.0)
+    assert(!byId(2L).getAs[Boolean]("pass_words") &&
+      byId(2L).getAs[Boolean]("pass_stop"))
+    assert(!byId(3L).getAs[Boolean]("pass_stop") &&
+      byId(3L).getAs[Boolean]("pass_words"))
+    assert(!byId(2L).getAs[Boolean]("pass_all") && !byId(3L).getAs[Boolean]("pass_all"))
+    // exact mean word length: doc 3 = 60 'word's → 4.0
+    assert(byId(3L).getAs[Double]("mean_word_len") == 4.0)
+  }
+
+  test("tfidfTopK: rare terms outrank common ones, k bound, ties by term") {
+    val df = mk(
+      (1L, "shared shared rare1 rare1 rare1", "en"),
+      (2L, "shared other other", "en"),
+      (3L, "shared alone", "en"))
+    val out = TextAnalysis.tfidfTopK(df, k = 2).collect()
+    // every doc contributes at most k rows
+    assert(out.groupBy(_.getAs[Long]("doc_id")).forall(_._2.length <= 2))
+    val d1 = out.filter(_.getAs[Long]("doc_id") == 1L).map(_.getAs[String]("term"))
+    // rare1 (tf 3, df 1) beats shared (tf 2, df 3) for doc 1
+    assert(d1.head == "rare1")
+    // score formula exact: tf * (N - df + 0.5)/(df + 0.5), N = 3
+    val r1 = out.find(r => r.getAs[Long]("doc_id") == 1L &&
+      r.getAs[String]("term") == "rare1").get
+    assert(r1.getAs[Double]("score") == 3.0 * ((3.0 - 1.0 + 0.5) / (1.0 + 0.5)))
+    assert(r1.getAs[Long]("tf") == 3L && r1.getAs[Long]("df") == 1L)
+  }
 }

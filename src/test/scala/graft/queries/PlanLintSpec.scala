@@ -52,6 +52,9 @@ class PlanLintSpec extends SparkSpec {
     "ta_bm25" -> ("the broadcast side is the ONE-row corpus-stats frame " +
       "(N, avgdl) joined into the per-posting projection — scalar-subquery " +
       "shape, bounded by construction"),
+    "ta_tfidf_top" -> ("same shape as ta_bm25: the broadcast side is the " +
+      "ONE-row doc-count frame crossed into the per-posting score " +
+      "projection — scalar-subquery shape, bounded by construction"),
     "ev_daily_anomaly" -> ("the day-spine densification crosses the O(days) " +
       "sequence with the O(types) domain — both sides domain-bounded " +
       "aggregates, never the event stream"))
