@@ -56,7 +56,8 @@ object IvfIndex {
     * every re-built vector), and the next [[compact]] sweeps the
     * directories. */
   def build(emb: DataFrame, root: String, nCentroids: Int = 16,
-      iters: Int = 2, numBuckets: Int = 16): Unit = {
+      iters: Int = 2, numBuckets: Int = 16,
+      extraMeta: Map[String, String] = Map.empty): Unit = {
     val prevMark = SnapshotDir.currentDir(s"$root/cells")
       .map(d => watermark(SnapshotDir.metaAt(d))).getOrElse(-1L)
     val retireThrough =
@@ -67,10 +68,42 @@ object IvfIndex {
       .withColumn("cell", Ivf.assign(centroids))
     SnapshotDir.publishBucketed(cells, s"$root/cells",
       bucketCol = "cell", numBuckets = numBuckets,
-      meta = Map("centroids" -> encode(centroids)) ++
+      meta = Map("centroids" -> encode(centroids)) ++ extraMeta ++
         (if (retireThrough >= 0L)
            Map("compacted_through" -> retireThrough.toString)
          else Map.empty))
+  }
+
+  /** Content fingerprint of a build request: corpus row count, an
+    * order-independent XOR over (vec_id, embedding) row hashes
+    * (overflow-free under ANSI mode, unlike a hash SUM; rows are
+    * unique by vec_id so XOR self-cancellation needs a count match
+    * AND a 64-bit collision), and the training parameters. One narrow
+    * aggregate — far cheaper than the `iters` full k-means passes +
+    * republish it can save. */
+  private def buildFingerprint(emb: DataFrame, nCentroids: Int, iters: Int): String = {
+    val r = emb.agg(count(lit(1)),
+      expr("bit_xor(xxhash64(vec_id, embedding))")).head()
+    s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}:$nCentroids:$iters"
+  }
+
+  /** Idempotent [[build]] — the "train once, probe many" production
+    * shape: re-running an ingest pipeline over an UNCHANGED corpus
+    * publishes nothing. Skips the retrain iff the current snapshot
+    * records the same content fingerprint (params + row count +
+    * order-independent content hash-sum) AND no live deltas exist (a
+    * rebuild retires deltas, so their presence forces one). Returns
+    * true iff a build ran. Training is deterministic, so the skipped
+    * republish would have been bit-identical to the existing one. */
+  def buildIfAbsent(emb: DataFrame, root: String, nCentroids: Int = 16,
+      iters: Int = 2, numBuckets: Int = 16): Boolean = {
+    val fp = buildFingerprint(emb, nCentroids, iters)
+    val unchanged = DeltaDirs.list(s"$root/cells").isEmpty &&
+      SnapshotDir.currentDir(s"$root/cells")
+        .exists(d => SnapshotDir.metaAt(d).get("build_fp").contains(fp))
+    if (!unchanged)
+      build(emb, root, nCentroids, iters, numBuckets, Map("build_fp" -> fp))
+    !unchanged
   }
 
   // ------------------------------------------------- incremental appends

@@ -221,7 +221,9 @@ object PipelineQueries {
       // accumulating orphan temp dirs
       val root = s"${sys.props("java.io.tmpdir")}/graft-ivfq-${math.abs(d.hashCode)}"
       val e = emb(s, d)
-      graft.operators.IvfIndex.build(e, root, nCentroids = 16, iters = 2)
+      // idempotent ingest: retrains only when the corpus fingerprint
+      // changed — the production train-once/probe-many shape
+      graft.operators.IvfIndex.buildIfAbsent(e, root, nCentroids = 16, iters = 2)
       val queries = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("embedding"))
       recallContract(e, graft.operators.IvfIndex.topk(s, root, queries, k = 5, nProbe = 4)

@@ -20,8 +20,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Per-path schema cache: repeated loads of the same parquet path
+    * (every query re-resolves its input tables) skip footer-based
+    * schema inference — the dominant fixed cost of a short query.
+    * Safe because a parquet dataset's schema is immutable for a given
+    * path-version (overwrites create new files; a genuinely replaced
+    * dataset in a long-lived session can be refreshed via
+    * [[invalidateSchemaCache]]). Same idea as Spark's own
+    * FileStatusCache, one level up. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def invalidateSchemaCache(): Unit = schemaCache.clear()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

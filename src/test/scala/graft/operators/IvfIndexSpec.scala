@@ -146,4 +146,24 @@ class IvfIndexSpec extends SparkSpec {
     IvfIndex.build(emb, root, nCentroids = 4, iters = 1, numBuckets = 4)
     assert(IvfIndex.topk(spark, root, queries, k = 3, nProbe = 2).count() > 0)
   }
+
+  test("buildIfAbsent: trains once per content fingerprint, rebuilds on change") {
+    val root = Files.createTempDirectory("graft-ivfifa").toString
+    // first call trains; identical second call skips
+    assert(IvfIndex.buildIfAbsent(emb, root, nCentroids = 4, iters = 1, numBuckets = 4))
+    assert(!IvfIndex.buildIfAbsent(emb, root, nCentroids = 4, iters = 1, numBuckets = 4))
+    // changed params → new fingerprint → rebuild
+    assert(IvfIndex.buildIfAbsent(emb, root, nCentroids = 8, iters = 1, numBuckets = 4))
+    // changed corpus content → rebuild
+    assert(IvfIndex.buildIfAbsent(emb.filter(col("vec_id") < 100), root,
+      nCentroids = 8, iters = 1, numBuckets = 4))
+    // a live delta forces the rebuild path (appends must be retired)
+    IvfIndex.append(emb.filter(col("vec_id") >= 100), root)
+    assert(IvfIndex.buildIfAbsent(emb.filter(col("vec_id") < 100), root,
+      nCentroids = 8, iters = 1, numBuckets = 4))
+    // skipped build leaves a queryable index behind
+    val queries = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    assert(IvfIndex.topk(spark, root, queries, k = 3, nProbe = 2).count() > 0)
+  }
 }
