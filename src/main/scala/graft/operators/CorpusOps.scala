@@ -80,6 +80,32 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** The test-side inverted shingle index as a standalone table —
+    * what a CONTINUOUS decontamination pipeline builds once per
+    * benchmark release and probes on every ingest batch
+    * ([[graft.streaming.DecontamStream]]). Columns (test_id, shingle),
+    * hashed shingle space. */
+  def testIndex(testDocs: DataFrame, n: Int = 5): DataFrame =
+    inverted(testDocs, n).select(col("doc_id").as("test_id"), col("shingle"))
+
+  /** [[decontaminatedKeep]] against a PREBUILT test index: the train
+    * rows (full width) surviving the overlap check. Each document's
+    * verdict depends only on its own shingles and the static index —
+    * the property that makes the streaming form batch-identical
+    * regardless of how ingest is batched. The test index broadcasts
+    * (benchmarks are tiny by definition); the train side never
+    * shuffles for the probe. */
+  def decontaminatedKeepAgainstIndex(train: DataFrame, testInv: DataFrame,
+      n: Int = 5, minOverlap: Long = 3L): DataFrame = {
+    val bad = inverted(train, n)
+      .select(col("doc_id").as("train_id"), col("shingle"))
+      .join(broadcast(testInv), Seq("shingle"))
+      .groupBy("train_id", "test_id").agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .select(col("train_id").as("doc_id")).distinct()
+    train.join(broadcast(bad), Seq("doc_id"), "left_anti")
+  }
+
   /** Per-test-document contamination COVERAGE: what fraction of each
     * test document's distinct `n`-grams appears anywhere in the train
     * corpus — the diagnostic that tells you whether a benchmark is
@@ -195,6 +221,38 @@ object CorpusOps {
         .as("token_share"),
       (sum("n_tokens").over(all).cast("double") /
         (count(lit(1)).over(all) * col("n_tokens"))).as("uniform_weight"))
+      .orderBy("source")
+  }
+
+  /** Temperature-scaled mixture weights at α = 1/2 — the standard
+    * up-sample-the-tail scheme of multilingual/multi-source training
+    * mixtures (cf. the exponent-smoothed sampling of mC4/mT5 and the
+    * DoReMi baseline): w_i ∝ share_i^α, here α = 0.5 so the per-row
+    * transform is IEEE-correctly-rounded `sqrt`, never libm `pow`.
+    *
+    * Determinism note — the one subtle step is the normalizer
+    * Z = Σ√share_i: a plain double sum's value depends on addition
+    * order (partitioning!), so each √share is cast to DECIMAL(38,18)
+    * first and summed EXACTLY (order-independent), then the total is
+    * cast back to double. Ties in the 18th decimal digit cannot occur
+    * for sqrt outputs, so the double→decimal rounding is also
+    * engine-agnostic. Same aggregate shape as [[sourceMix]]: the
+    * global windows run over the one-row-per-source frame, never the
+    * corpus. */
+  def temperatureMix(docs: DataFrame): DataFrame = {
+    val agg = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val all = Window.partitionBy()
+    val share = col("n_tokens").cast("double") / sum("n_tokens").over(all)
+    val scaled = sqrt(share)
+    val z = sum(scaled.cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+      .over(all).cast("double")
+    agg.select(
+      col("source"), col("n_docs"), col("n_tokens"),
+      share.as("token_share"),
+      scaled.as("scaled_share"),
+      (scaled / z).as("temp_weight"))
       .orderBy("source")
   }
 }

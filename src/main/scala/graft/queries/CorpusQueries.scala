@@ -44,7 +44,10 @@ object CorpusQueries {
     "tp_pack_shards" -> ((s, d) =>
       CorpusOps.packShards(docs(s, d), budget = 2048L, blockSize = 64L)),
     // Mixture-weight table: per-source token shares + equalizing weights.
-    "tp_source_mix" -> ((s, d) => CorpusOps.sourceMix(docs(s, d)))
+    "tp_source_mix" -> ((s, d) => CorpusOps.sourceMix(docs(s, d))),
+    // Temperature-scaled (α = 1/2) mixture weights — sqrt-smoothed
+    // shares with an exact decimal-summed normalizer.
+    "tp_temperature_mix" -> ((s, d) => CorpusOps.temperatureMix(docs(s, d)))
   )
 
   private val T = OracleSql.T
@@ -114,6 +117,24 @@ object CorpusQueries {
          |  CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS BIGINT) AS token_share,
          |  CAST(CAST(sum(n_tokens) OVER () AS BIGINT) AS DOUBLE)
          |    / (count(*) OVER () * n_tokens) AS uniform_weight
-         |FROM a ORDER BY source""".stripMargin
+         |FROM a ORDER BY source""".stripMargin,
+    // Z = Σ√share summed as DECIMAL(38,18) — exact and therefore
+    // order-independent, mirroring the Spark side bit-for-bit.
+    "tp_temperature_mix" ->
+      s"""WITH a AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(len($T)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |s AS (SELECT *,
+         |    CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS BIGINT)
+         |      AS token_share
+         |  FROM a),
+         |t AS (SELECT *, sqrt(token_share) AS scaled_share FROM s),
+         |z AS (SELECT *,
+         |    CAST(sum(CAST(scaled_share AS DECIMAL(38,18))) OVER () AS DOUBLE) AS zn
+         |  FROM t)
+         |SELECT source, n_docs, n_tokens, token_share, scaled_share,
+         |  scaled_share / zn AS temp_weight
+         |FROM z ORDER BY source""".stripMargin
   )
 }

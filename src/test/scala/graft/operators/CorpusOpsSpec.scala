@@ -120,6 +120,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(mass.forall(m => math.abs(m - 20.0 / 3) < 1e-9), mass.toSeq)
   }
 
+  test("temperatureMix: sqrt-smoothing compresses the spread, weights sum to 1") {
+    val docs = mkDocs(Seq(
+      1L -> "a b c d e f g h",      // 8 tokens
+      2L -> "a b c d",              // 4 tokens
+      3L -> "a b c d",              // 4 tokens  → src0 has 8, src1 has 8
+      4L -> "x y z w"))             // 4 tokens  → src2 has 4
+      .withColumn("source", expr("CASE WHEN doc_id = 1 THEN 's0' WHEN doc_id = 4 THEN 's2' ELSE 's1' END"))
+    val out = CorpusOps.temperatureMix(docs).collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-12)
+    // α=1/2 up-samples the tail: the small source's weight exceeds its
+    // raw share, the big sources' weights drop below theirs
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId("s2")._4 > byId("s2")._2)
+    assert(byId("s0")._4 < byId("s0")._2)
+    // scaled_share is exactly sqrt(token_share)
+    assert(out.forall { case (_, sh, sc, _) => sc == math.sqrt(sh) })
+    // ordering between sources is preserved (monotone transform)
+    assert(byId("s0")._4 == byId("s1")._4 && byId("s0")._4 > byId("s2")._4)
+  }
+
   test("packShards: the only unpartitioned window runs over block totals, not documents") {
     val docs = mkDocs((1L to 500L).map(i => i -> s"some tokens for doc $i"))
     val plan = CorpusOps.packShards(docs, budget = 64L, blockSize = 16L)

@@ -66,6 +66,9 @@ class PlanLintSpec extends SparkSpec {
       "window input is one row per event type (domain-bounded), never the corpus"),
     "tp_source_mix" -> ("mixture weights over the per-source aggregate — one row " +
       "per corpus source, domain-bounded"),
+    "tp_temperature_mix" -> ("same frame as tp_source_mix: the global windows " +
+      "(token total, decimal normalizer) run over the one-row-per-source " +
+      "aggregate, never the corpus"),
     "fi_visualization" -> ("section position ranks run over the top-20 extension " +
       "page and the 12-month timeline — both frames bounded by the section's own " +
       "LIMIT/date-domain, never the raw index"),
