@@ -179,7 +179,16 @@ object CorpusOps {
     * totals — a table with one row per block, small enough that its
     * own prefix window is driver-trivial and broadcastable. */
   def packShards(docs: DataFrame, budget: Long = 2048L,
-      blockSize: Long = 64L): DataFrame = {
+      blockSize: Long = 64L): DataFrame =
+    withCumBefore(docs, blockSize)
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"cum_before div $budget").as("shard_id"))
+      .orderBy("doc_id")
+
+  /** (doc_id, n_tokens, cum_before) — corpus-wide running token total
+    * BEFORE each doc in id order, via the two-phase prefix sum shared
+    * by [[packShards]] and [[packSequences]]. */
+  private def withCumBefore(docs: DataFrame, blockSize: Long): DataFrame = {
     val toks = docs.select(
       col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"),
@@ -195,10 +204,31 @@ object CorpusOps {
         sum("n_tokens").over(Window.partitionBy("blk").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-      .select(col("doc_id"), col("n_tokens"),
-        expr(s"cum_before div $budget").as("shard_id"))
-      .orderBy("doc_id")
   }
+
+  /** Sequence PACKING — the tensor-building refinement of
+    * [[packShards]]: every document gets its training-sequence id AND
+    * its token offsets within that sequence (the layout an example-
+    * packing dataloader consumes, with document boundaries kept for
+    * attention masking, cf. the packed-sequence preprocessing of GPT/
+    * T5-style training). Deterministic greedy stream-packing in
+    * doc_id order: a doc starting at corpus token position p lands in
+    * sequence p div seqLen at offset p mod seqLen; `straddles` marks
+    * docs that cross their sequence's end (the dataloader's
+    * truncate-or-wrap decision, surfaced rather than hidden).
+    *
+    * Same two-phase prefix sum as [[packShards]] — the only
+    * unpartitioned window runs over the one-row-per-block offsets
+    * table; all per-doc arithmetic is exact integers. */
+  def packSequences(docs: DataFrame, seqLen: Long = 2048L,
+      blockSize: Long = 64L): DataFrame =
+    withCumBefore(docs, blockSize)
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"cum_before div $seqLen").as("seq_id"),
+        expr(s"cum_before % $seqLen").as("start_tok"),
+        (expr(s"cum_before % $seqLen") + col("n_tokens")).as("end_tok"),
+        (expr(s"cum_before % $seqLen") + col("n_tokens") > seqLen).as("straddles"))
+      .orderBy("doc_id")
 
   /** Corpus mixing table: per-source document/token totals, each
     * source's share of all tokens, and the repeat factor that would

@@ -43,6 +43,10 @@ object CorpusQueries {
     // MANY blocks, so the offset path is genuinely covered).
     "tp_pack_shards" -> ((s, d) =>
       CorpusOps.packShards(docs(s, d), budget = 2048L, blockSize = 64L)),
+    // Sequence packing with per-doc token offsets + straddle flags —
+    // the example-packing layout a training dataloader consumes.
+    "tp_pack_offsets" -> ((s, d) =>
+      CorpusOps.packSequences(docs(s, d), seqLen = 512L, blockSize = 64L)),
     // Mixture-weight table: per-source token shares + equalizing weights.
     "tp_source_mix" -> ((s, d) => CorpusOps.sourceMix(docs(s, d))),
     // Temperature-scaled (α = 1/2) mixture weights — sqrt-smoothed
@@ -107,6 +111,17 @@ object CorpusQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
          |  FROM t)
          |SELECT doc_id, n_tokens, cum_before // 2048 AS shard_id
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "tp_pack_offsets" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($T) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM t)
+         |SELECT doc_id, n_tokens, cum_before // 512 AS seq_id,
+         |  cum_before % 512 AS start_tok,
+         |  cum_before % 512 + n_tokens AS end_tok,
+         |  (cum_before % 512 + n_tokens > 512) AS straddles
          |FROM c ORDER BY doc_id""".stripMargin,
     "tp_source_mix" ->
       s"""WITH a AS (

@@ -141,6 +141,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(byId("s0")._4 == byId("s1")._4 && byId("s0")._4 > byId("s2")._4)
   }
 
+  test("packSequences: offsets tile the token stream exactly, straddles flagged") {
+    val docs = mkDocs((1L to 100L).map(i => i -> (1 to (1 + (i % 7)).toInt)
+      .map(j => s"t$j").mkString(" ")))
+    val out = CorpusOps.packSequences(docs, seqLen = 16L, blockSize = 8L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    // reconstruct the naive global prefix sum and check every column
+    var cum = 0L
+    out.sortBy(_._1).foreach { case (_, n, seqId, start, end, straddles) =>
+      assert(seqId == cum / 16 && start == cum % 16 && end == start + n)
+      assert(straddles == (start + n > 16))
+      cum += n
+    }
+    // packing is dense: consecutive docs are contiguous in the stream
+    assert(out.map(_._2).sum == cum)
+  }
+
   test("packShards: the only unpartitioned window runs over block totals, not documents") {
     val docs = mkDocs((1L to 500L).map(i => i -> s"some tokens for doc $i"))
     val plan = CorpusOps.packShards(docs, budget = 64L, blockSize = 16L)

@@ -81,6 +81,8 @@ class PlanLintSpec extends SparkSpec {
     "tp_pack_shards" -> ("two-phase prefix sum: the only global window runs over " +
       "the per-block offsets table (one row per blockSize docs), the per-doc " +
       "cumulative sums are partitioned by block — see CorpusOps.packShards"),
+    "tp_pack_offsets" -> ("same two-phase prefix sum core as tp_pack_shards " +
+      "(CorpusOps.withCumBefore) — the global window sees only per-block totals"),
     "tp_training_manifest" -> ("ends in CorpusOps.packShards — same reviewed " +
       "per-block offsets window as tp_pack_shards"),
     "ev_cumulative_users" -> ("running total over the per-DAY aggregate (one row " +
