@@ -53,6 +53,26 @@ object Dedup {
     else df.repartition(df.sparkSession.sparkContext.defaultParallelism)
   }
 
+  /** SORT-FIRST parallel spread for expensive narrow projections that
+    * must emit in `key` order: range-partition on the key with an
+    * EXPLICIT partition count and sort within partitions — globally
+    * ordered (range partitions are ordered, rows sorted inside), and
+    * the projection stacked on top runs exactly once, in parallel.
+    *
+    * Why not `orderBy(key)` under the projection: the range sampler
+    * would be fine (it samples the cheap input), but AQE's
+    * size-based partition coalescing sees a few KB of shuffle output
+    * and collapses the CPU-heavy stage to ONE task (measured 2.5× on
+    * the winnowing fingerprints). An explicit numPartitions is exempt
+    * from coalescing. Why not project-then-orderBy: the sampling pass
+    * executes the exchange input — the expensive projection — twice,
+    * and the shuffle then carries the projected copies. */
+  private[graft] def orderedSpread(df: DataFrame, keys: String*): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    df.repartitionByRange(n, keys.map(col): _*)
+      .sortWithinPartitions(keys.head, keys.tail: _*)
+  }
+
   /** Tokens plus DISTINCT word n-gram shingles (the shingle *set*). */
   def withShingles(docs: DataFrame, n: Int): DataFrame =
     spread(docs).withColumn("toks", split(col("text"), " "))
@@ -451,9 +471,12 @@ object Dedup {
           GraftSqlBridge.expression(col("tokmd5"))))
       })
 
-  /** Per-doc SimHash signatures (the reusable corpus artifact). */
+  /** Per-doc SimHash signatures (the reusable corpus artifact).
+    * Sort-first ([[orderedSpread]]): the signature fold runs once, in
+    * parallel, after the explicit range exchange, instead of also in
+    * a downstream sort's sampling pass. */
   def simhash(docs: DataFrame): DataFrame =
-    withSimhash(docs).select(col("doc_id"), col("simhash")).orderBy("doc_id")
+    withSimhash(orderedSpread(docs, "doc_id")).select(col("doc_id"), col("simhash"))
 
   /** SimHash near-dup pairs with hamming ≤ maxHamming (≤ 3), blocked
     * by the four 8-bit signature chunks: any pair within hamming 3

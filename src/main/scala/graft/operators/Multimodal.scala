@@ -125,8 +125,16 @@ object Multimodal {
     * partition-local stage — payload bytes never shuffle. */
   def imageTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.filter(col("doc_id") % 3 === 0)
-      .select(col("doc_id"), length(col("text")).cast("int").as("text_len"))
+    // SORT the narrow (id, len) rows BEFORE the encode stage
+    // (Dedup.orderedSpread): the PNG codec is the expensive part, and
+    // a downstream orderBy would re-run it in the range partitioner's
+    // sampling pass and shuffle the payload bytes; range-spread first,
+    // the codec runs exactly once, in parallel, and emits rows already
+    // in doc_id order (map stages preserve it).
+    graft.operators.Dedup.orderedSpread(
+        docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), length(col("text")).cast("int").as("text_len")),
+        "doc_id")
       .as[(Long, Int)]
       .mapPartitions { batch =>
         batch.map { case (docId, textLen) =>

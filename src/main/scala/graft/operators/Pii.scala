@@ -56,6 +56,15 @@ object Pii {
       redacted.as("redacted"))
   }
 
-  /** [[scrub]] with the deterministic doc_id output order (batch). */
-  def redact(docs: DataFrame): DataFrame = scrub(docs).orderBy("doc_id")
+  /** [[scrub]] with the deterministic doc_id output order (batch).
+    * SORT-FIRST via [[graft.operators.Dedup.orderedSpread]]: ordering
+    * the narrow input and projecting after the exchange runs the
+    * regex cascade exactly once, in parallel — projecting first would
+    * evaluate it twice (the range partitioner's sampling pass
+    * executes the exchange's input plan, then the real pass does) and
+    * shuffle the redacted copies instead of the raw rows. A map-side
+    * projection preserves the sort order, so the contract is
+    * unchanged. */
+  def redact(docs: DataFrame): DataFrame =
+    scrub(graft.operators.Dedup.orderedSpread(docs, "doc_id"))
 }

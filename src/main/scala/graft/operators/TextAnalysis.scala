@@ -25,13 +25,12 @@ object TextAnalysis {
     * the doubles are bit-identical; `round()` would *add* cross-engine
     * risk (each engine rounds doubles differently near ties). */
   def tokenStats(docs: DataFrame): DataFrame =
-    docs.select(
+    graft.operators.Dedup.orderedSpread(docs, "doc_id").select(
       col("doc_id"),
       size(toks).cast("long").as("n_tokens"),
       size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
       ((col("n_chars") - size(toks) + lit(1)).cast("double") / size(toks))
         .as("avg_token_len"))
-      .orderBy("doc_id")
 
   /** Quality scoring: length score (saturating at 400 chars),
     * stopword ratio, vocabulary-diversity ratio, and a weighted
@@ -44,13 +43,12 @@ object TextAnalysis {
     val lenScore      = least(col("n_chars").cast("double") / 400.0, lit(1.0).cast("double"))
     val stopRatio     = stop.cast("double") / n
     val distinctRatio = dist.cast("double") / n
-    docs.select(
+    graft.operators.Dedup.orderedSpread(docs, "doc_id").select(
       col("doc_id"),
       lenScore.as("len_score"),
       stopRatio.as("stopword_ratio"),
       distinctRatio.as("distinct_ratio"),
       qualityCol.as("quality")) // identical expression tree as the raw Column form
-      .orderBy("doc_id")
   }
 
   /** Occurrences of a character bigram, via length delta after
@@ -87,13 +85,12 @@ object TextAnalysis {
     val sEn = bigramCount("th") + bigramCount("he")
     val sDe = bigramCount("er") + bigramCount("in")
     val sFr = bigramCount("le") + bigramCount("ta")
-    docs.select(
+    graft.operators.Dedup.orderedSpread(docs, "doc_id").select(
       col("doc_id"), col("lang"),
       sEn.as("score_en"), sDe.as("score_de"), sFr.as("score_fr"),
       when(sEn >= sDe && sEn >= sFr, "en")
         .when(sDe >= sFr, "de")
         .otherwise("fr").as("predicted_lang"))
-      .orderBy("doc_id")
   }
 
   /** Gopher-style repetition signals: the most frequent token's share
@@ -140,13 +137,14 @@ object TextAnalysis {
     val topBg = maxRun(array_sort(bigrams))
     val topTokFrac = topTok.cast("double") / n
     val topBgFrac  = topBg.cast("double") / greatest(n - 1, lit(1))
-    docs.select(
+    // SORT-FIRST (Dedup.orderedSpread): the O(n log n)-per-doc array
+    // work runs once, in parallel, after the explicit range exchange
+    graft.operators.Dedup.orderedSpread(docs, "doc_id").select(
       col("doc_id"),
       topTokFrac.as("top_token_frac"),
       ((n - size(array_distinct(toksH))).cast("double") / n).as("dup_token_frac"),
       topBgFrac.as("top_bigram_frac"),
       (topTokFrac >= 0.125 || topBgFrac >= 0.05).as("repetitive"))
-      .orderBy("doc_id")
   }
 
   /** BM25 full-text retrieval over the corpus for a fixed bag of
@@ -295,7 +293,11 @@ object TextAnalysis {
     // that the last window reaches the end: ceil((n-size)/stride)+1
     val nChunks = when(n <= chunkSize, lit(1L))
       .otherwise(ceil((n - chunkSize).cast("double") / stride).cast("long") + 1L)
-    docs.select(col("doc_id"), toks.as("toks"))
+    // SORT-FIRST (Dedup.orderedSpread): explode emits chunk_id
+    // ascending per doc, so the (doc_id, chunk_id) ordering holds
+    // globally without a post-explosion sort of the chunk TEXT
+    graft.operators.Dedup.orderedSpread(
+        docs.select(col("doc_id"), toks.as("toks")), "doc_id")
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0L), nChunks - 1L)).as("chunk_id"))
       .select(col("doc_id"), col("chunk_id"),
@@ -304,7 +306,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("chunk_id"),
         size(col("chunk_toks")).cast("long").as("n_chunk_tokens"),
         array_join(col("chunk_toks"), " ").as("chunk_text"))
-      .orderBy("doc_id", "chunk_id")
   }
 
   /** Document fingerprinting: full-text hash, prefix hash (first 8
@@ -321,14 +322,17 @@ object TextAnalysis {
       GraftSqlBridge.column(graft.functions.WinnowMinExpr(
         GraftSqlBridge.expression(col("text")), 5))
     }
-    // rolling-hash stage is CPU-bound: spread a small-file scan's 1-2
-    // partitions across all cores first (no-op at real scan widths)
-    graft.operators.Dedup.spread(docs).select(
+    // SORT-FIRST (Dedup.orderedSpread): the rolling-hash stage runs
+    // once, in parallel, after an explicit range exchange — projecting
+    // before a sort would evaluate it twice (sampling pass + real
+    // pass) and shuffle the fingerprint columns, while a plain
+    // orderBy-first would let AQE coalesce the CPU-heavy stage to one
+    // task
+    graft.operators.Dedup.orderedSpread(docs, "doc_id").select(
       col("doc_id"),
       md5(col("text")).as("fp_full"),
       md5(array_join(slice(toks, 1, 8), " ")).as("fp_prefix"),
       winnow.as("fp_winnow"))
-      .orderBy("doc_id")
   }
 
   /** Gopher-style rule battery (Rae et al. 2021, §A1.1 — the public
@@ -356,7 +360,9 @@ object TextAnalysis {
     val passLen   = meanLen >= 3.0 && meanLen <= 10.0
     val passStop  = nStop >= 2L
     val passAlpha = fracAlpha >= 0.8
-    docs.select(
+    // SORT-FIRST (Dedup.orderedSpread): the per-token regex filter
+    // runs once, in parallel, after the explicit range exchange
+    graft.operators.Dedup.orderedSpread(docs, "doc_id").select(
       col("doc_id"),
       n.as("n_words"),
       meanLen.as("mean_word_len"),
@@ -367,7 +373,6 @@ object TextAnalysis {
       passStop.as("pass_stop"),
       passAlpha.as("pass_alpha"),
       (passWords && passLen && passStop && passAlpha).as("pass_all"))
-      .orderBy("doc_id")
   }
 
   /** Per-document top-k TF-IDF keyword extraction. idf is the

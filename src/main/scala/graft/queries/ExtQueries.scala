@@ -23,6 +23,14 @@ object ExtQueries {
   private def events(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
   private def media(s: SparkSession, d: String): DataFrame =
     Multimodal.mediaTable(Tables.documents(s, d))
+  /** [[media]] pre-sorted by doc_id (Dedup.orderedSpread) for the
+    * decode-stage queries: the codec mapPartitions preserves the
+    * order, so no post-decode sort re-runs the codec in a range
+    * sampler's pass. mm_dedup keeps the unsorted form — its next step
+    * is a hash aggregate that destroys ordering anyway. */
+  private def mediaOrdered(s: SparkSession, d: String): DataFrame =
+    Multimodal.mediaTable(
+      graft.operators.Dedup.orderedSpread(Tables.documents(s, d), "doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_tumbling_hourly" -> ((s, d) => Events.tumblingHourly(events(s, d))),
@@ -73,21 +81,25 @@ object ExtQueries {
     // Exact media dedup by payload hash, per modality — dedup BEFORE
     // decode, the standard multimodal pipeline ordering.
     "mm_dedup" -> ((s, d) => Multimodal.dedupPayloads(media(s, d))),
+    // ordering comes from mediaOrdered's pre-codec sort (the decode
+    // mapPartitions and frame explosion preserve it)
     "mm_metadata" -> ((s, d) =>
-      Multimodal.decodeMetadata(s, media(s, d)).toDF().orderBy("doc_id")),
+      Multimodal.decodeMetadata(s, mediaOrdered(s, d)).toDF()),
     "mm_frames" -> ((s, d) =>
-      Multimodal.sampleFrames(s, media(s, d), step = 4).toDF()
-        .orderBy("doc_id", "frame_idx")),
+      Multimodal.sampleFrames(s, mediaOrdered(s, d), step = 4).toDF()),
     "mm_resize" -> ((s, d) =>
-      Multimodal.resizeMeta(Multimodal.decodeMetadata(s, media(s, d)), maxSide = 128)
-        .orderBy("doc_id")),
+      Multimodal.resizeMeta(
+        Multimodal.decodeMetadata(s, mediaOrdered(s, d)), maxSide = 128)),
     // REAL in-JDK codec round-trip: payloads are actual PNGs, dims come
     // from javax.imageio reading the bytes — the oracle can only match
     // if encode(dimsFor(len)) → decode reproduces the formula dims.
+    // ordering comes from imageTable's pre-codec sort (map stages
+    // preserve it) — re-sorting here would re-run both codecs in the
+    // range sampler's pass
     "mm_image_decode" -> ((s, d) =>
       Multimodal.decodeImages(s,
           Multimodal.imageTable(s, Tables.documents(s, d)))
-        .toDF().orderBy("doc_id")),
+        .toDF()),
     // Percent-of-total via an unbounded window: event-type share of
     // all events (double division of exact integer counts — bit-
     // identical across engines, unlike decimal/decimal division).
@@ -114,7 +126,8 @@ object ExtQueries {
     // oracle-checked projection (LIKE/ILIKE/LOWER/SUBSTR/LENGTH/
     // REVERSE/STRPOS-INSTR, database.py:499 / database.go:238).
     "fi_string_funcs" -> ((s, d) => {
-      val f = Tables.files(s, d)
+      val f = graft.operators.Dedup.orderedSpread(
+        Tables.files(s, d).select("path", "filename"), "path", "filename")
       f.select(col("path"), col("filename"),
           col("filename").like("%.txt").as("is_txt"),
           col("filename").ilike("%ORDER%").as("has_order_ci"),
@@ -123,7 +136,6 @@ object ExtQueries {
           length(col("filename")).as("name_len"),
           reverse(col("filename")).as("reversed"),
           locate(".", col("filename")).cast("long").as("first_dot_pos"))
-        .orderBy("path", "filename")
     }),
     // H7 — raw SQL passthrough (Go -sql, file_indexer_go/db/database.go:269-317):
     // the engine exposes full SQL over registered views.

@@ -75,6 +75,33 @@ class EmptyInputSpec extends SparkSpec {
     assert(pii.length == 1 && pii(0).getAs[Boolean]("pii_free"))
   }
 
+  test("round-4 operators tolerate empty and degenerate docs") {
+    import spark.implicits._
+    val emptyDocs = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(graft.operators.TextAnalysis.gopherRules(emptyDocs).count() == 0)
+    assert(graft.operators.TextAnalysis.tfidfTopK(emptyDocs).count() == 0)
+    assert(graft.operators.Dedup.dupNgramRate(emptyDocs).count() == 0)
+    assert(graft.operators.CorpusOps.temperatureMix(emptyDocs).count() == 0)
+    assert(graft.operators.CorpusOps.packSequences(emptyDocs).count() == 0)
+    graft.operators.OpCaches.releaseAll()
+    // empty-STRING text: one empty token, sane values instead of crashes
+    val degenerate = Seq((1L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val g = graft.operators.TextAnalysis.gopherRules(degenerate).collect()
+    assert(g.length == 1 && g(0).getAs[Long]("n_words") == 1L &&
+      !g(0).getAs[Boolean]("pass_all"))
+    // a single empty token is its own (degenerate) top term
+    val tf = graft.operators.TextAnalysis.tfidfTopK(degenerate).collect()
+    assert(tf.length == 1 && tf(0).getAs[Long]("tf") == 1L)
+    // one clamped shingle, shared with nobody → rate 0.0
+    val dr = graft.operators.Dedup.dupNgramRate(degenerate).collect()
+    assert(dr.length == 1 && dr(0).getAs[Double]("dup_rate") == 0.0)
+    graft.operators.OpCaches.releaseAll()
+    val sq = graft.operators.CorpusOps.packSequences(degenerate).collect()
+    assert(sq.length == 1 && sq(0).getAs[Long]("start_tok") == 0L)
+  }
+
   test("incremental index against a missing snapshot behaves as first full index") {
     val root = Files.createTempDirectory("graft-empty-inc")
     Files.write(root.resolve("only.txt"), "content".getBytes)
