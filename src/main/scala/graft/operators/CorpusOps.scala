@@ -80,6 +80,29 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus-release diff: classify every doc_id across two corpus
+    * versions as added / deleted / modified / unchanged by CONTENT
+    * hash — the version-management primitive behind incremental
+    * re-processing (only `added`+`modified` re-enter the dedup/
+    * curation pipeline; `deleted` retires index entries). The
+    * documents twin of the file-index diff (reference
+    * `file_indexer/indexer.py:294-309`'s mtime/size diff, with
+    * content hashes instead of stat fields).
+    *
+    * Scale shape: each side is reduced to (doc_id, md5) AT THE SCAN —
+    * the full-outer join shuffles 8+16-byte rows, never text. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("old_fp"))
+    val n = newDocs.select(col("doc_id"), md5(col("text")).as("new_fp"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("new_fp").isNull, "deleted")
+          .when(col("old_fp").isNull, "added")
+          .when(col("old_fp") =!= col("new_fp"), "modified")
+          .otherwise("unchanged").as("status"))
+      .orderBy("doc_id")
+  }
+
   /** The test-side inverted shingle index as a standalone table —
     * what a CONTINUOUS decontamination pipeline builds once per
     * benchmark release and probes on every ingest batch

@@ -324,7 +324,13 @@ object Dedup {
     * shingle's probe partition, which a window-count over the index
     * could not. No pair enumeration anywhere: cost is O(index), not
     * O(pairs). */
-  def dupNgramRate(docs: DataFrame, n: Int = 3): DataFrame = {
+  def dupNgramRate(docs: DataFrame, n: Int = 3): DataFrame =
+    dupNgramRateRaw(docs, n).orderBy("doc_id")
+
+  /** [[dupNgramRate]] without the presentation sort — for composite
+    * consumers (the corpus-health dashboard) that aggregate the
+    * per-doc rows immediately. */
+  private[graft] def dupNgramRateRaw(docs: DataFrame, n: Int = 3): DataFrame = {
     // the shingle-set table feeds the index AND the per-doc sizes —
     // cache the tokenize+shingle pass (released by OpCaches.releaseAll)
     val sh = OpCaches.track(
@@ -340,7 +346,6 @@ object Dedup {
         coalesce(col("n_dup"), lit(0L)).as("n_dup"),
         (coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_sh").cast("double"))
           .as("dup_rate"))
-      .orderBy("doc_id")
   }
 
   /** Near-dup cluster assembly: connected components over a pair list

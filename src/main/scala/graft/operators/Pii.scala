@@ -56,6 +56,16 @@ object Pii {
       redacted.as("redacted"))
   }
 
+  /** "No PII anywhere" as a raw Column over `text`, for single-scan
+    * composites. Equivalent to [[scrub]]'s cascaded `pii_free`: when
+    * every cascaded count is zero each intermediate text equals the
+    * raw text, and vice versa — so zero-detection needs no cascade. */
+  def piiFreeCol: org.apache.spark.sql.Column =
+    regexp_count(col("text"), lit(EmailRe)) === 0 &&
+      regexp_count(col("text"), lit(CardRe)) === 0 &&
+      regexp_count(col("text"), lit(PhoneRe)) === 0 &&
+      regexp_count(col("text"), lit(Ipv4Re)) === 0
+
   /** [[scrub]] with the deterministic doc_id output order (batch).
     * SORT-FIRST via [[graft.operators.Dedup.orderedSpread]]: ordering
     * the narrow input and projecting after the exchange runs the

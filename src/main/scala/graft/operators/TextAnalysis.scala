@@ -349,13 +349,26 @@ object TextAnalysis {
     * presentation sort. mean_word_len derives exactly from integer
     * counts (chars minus the n−1 single-space separators, over n);
     * doubles are division-only → bit-identical cross-engine. */
-  def gopherRules(docs: DataFrame): DataFrame = {
+  /** The [[gopherRules]] conjunction as a raw Column over `text` —
+    * for single-scan composites ([[graft.queries]]' corpus-health
+    * dashboard) that need the flag without the full rule table. */
+  def gopherPassCol: Column = {
+    val (n, meanLen, nStop, fracAlpha) = gopherParts
+    (n >= 50L && n <= 100000L) && (meanLen >= 3.0 && meanLen <= 10.0) &&
+      (nStop >= 2L) && (fracAlpha >= 0.8)
+  }
+
+  private def gopherParts: (Column, Column, Column, Column) = {
     val n       = size(toks).cast("long")
     val meanLen = (length(col("text")).cast("double") - (n - lit(1L)).cast("double")) /
       n.cast("double")
     val nStop   = size(filter(toks, t => t.isin("the", "a"))).cast("long")
     val nAlpha  = size(filter(toks, t => t.rlike("^[a-z]+$"))).cast("long")
-    val fracAlpha = nAlpha.cast("double") / n.cast("double")
+    (n, meanLen, nStop, nAlpha.cast("double") / n.cast("double"))
+  }
+
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val (n, meanLen, nStop, fracAlpha) = gopherParts
     val passWords = n >= 50L && n <= 100000L
     val passLen   = meanLen >= 3.0 && meanLen <= 10.0
     val passStop  = nStop >= 2L

@@ -279,6 +279,47 @@ object PipelineQueries {
     // Lee et al. 2022 duplicate-text rate: share of each doc's distinct
     // 3-gram shingles that occur in ≥ 1 other document.
     "dd_dup_ngram_rate" -> ((s, d) => Dedup.dupNgramRate(docs(s, d), n = 3)),
+    // Corpus-release diff against a synthetic v2 (deterministic:
+    // %7==0 deleted, %5==0 modified, %11==0 re-added under +100000) —
+    // added/modified re-enter the pipeline, deleted retires indexes.
+    "dd_corpus_diff" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val all = docs(s, d)
+      val v2 = all.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(all.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      CorpusOps.corpusDiff(all, v2)
+    }),
+    // Single-row corpus HEALTH dashboard: doc counts, Gopher-pass /
+    // PII-free / English shares, the micro-averaged duplicate-ngram
+    // rate (exact integer totals → one division, no float averaging),
+    // and the near-dup pair count — the one table a pipeline operator
+    // checks before green-lighting a crawl snapshot.
+    "tp_corpus_health" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val all = docs(s, d)
+      val base = all.select(col("doc_id"), col("lang"),
+          TextAnalysis.gopherPassCol.as("gp"), Pii.piiFreeCol.as("pf"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("gp"), 1L).otherwise(0L)).as("n_gopher_pass"),
+          sum(when(col("pf"), 1L).otherwise(0L)).as("n_pii_free"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+      val dupAgg = Dedup.dupNgramRateRaw(all, n = 3)
+        .agg(sum("n_dup").as("t_dup"), sum("n_sh").as("t_sh"))
+      val pairAgg = Dedup.jaccardPairsRaw(all, n = 3, threshold = 0.5)
+        .agg(count(lit(1)).as("n_near_dup_pairs"))
+      base.crossJoin(broadcast(dupAgg)).crossJoin(broadcast(pairAgg))
+        .select(col("n_docs"), col("n_gopher_pass"), col("n_pii_free"), col("n_en"),
+          (col("n_gopher_pass").cast("double") / col("n_docs")).as("pct_gopher_pass"),
+          (col("n_pii_free").cast("double") / col("n_docs")).as("pct_pii_free"),
+          (col("n_en").cast("double") / col("n_docs")).as("pct_en"),
+          (col("t_dup").cast("double") / col("t_sh")).as("dup_ngram_rate"),
+          col("n_near_dup_pairs"))
+    }),
     // Count-min-sketch heavy hitters: exact top-10 + the CMS ε-bound
     // verdict (oracle = exact + TRUE; matches iff the bound held).
     "ta_heavy_hitters" -> ((s, d) =>
@@ -478,6 +519,69 @@ object PipelineQueries {
          |  CAST(coalesce(d.n_dup, 0) AS DOUBLE) / CAST(s.n_sh AS DOUBLE) AS dup_rate
          |FROM sizes s LEFT JOIN dup d USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "dd_corpus_diff" ->
+      """WITH oldv AS (SELECT doc_id, md5(text) AS old_fp FROM documents),
+        |newv AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS new_fp
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, md5(text) FROM documents WHERE doc_id % 11 = 0)
+        |SELECT doc_id,
+        |  CASE WHEN new_fp IS NULL THEN 'deleted'
+        |       WHEN old_fp IS NULL THEN 'added'
+        |       WHEN old_fp <> new_fp THEN 'modified'
+        |       ELSE 'unchanged' END AS status
+        |FROM oldv FULL OUTER JOIN newv USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // health dashboard: every share from exact integer counts; the
+    // dup-ngram rate is micro-averaged (Σn_dup / Σn_sh) so no float
+    // accumulates across rows
+    "tp_corpus_health" ->
+      s"""WITH f AS (SELECT doc_id, lang,
+         |    (len($T) >= 50 AND len($T) <= 100000
+         |     AND (CAST(length(text) AS DOUBLE) - CAST(len($T) - 1 AS DOUBLE))
+         |       / CAST(len($T) AS DOUBLE) >= 3.0
+         |     AND (CAST(length(text) AS DOUBLE) - CAST(len($T) - 1 AS DOUBLE))
+         |       / CAST(len($T) AS DOUBLE) <= 10.0
+         |     AND len(list_filter($T, t -> t IN ('the', 'a'))) >= 2
+         |     AND CAST(len(list_filter($T, t -> regexp_matches(t, '^[a-z]+$$'))) AS DOUBLE)
+         |       / CAST(len($T) AS DOUBLE) >= 0.8) AS gp,
+         |    (len(regexp_extract_all(text, '${Pii.EmailRe}')) = 0
+         |     AND len(regexp_extract_all(text, '${Pii.CardRe}')) = 0
+         |     AND len(regexp_extract_all(text, '${Pii.PhoneRe}')) = 0
+         |     AND len(regexp_extract_all(text, '${Pii.Ipv4Re}')) = 0) AS pf
+         |  FROM documents),
+         |base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN gp THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass,
+         |    CAST(sum(CASE WHEN pf THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_free,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+         |  FROM f),
+         |sh AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM documents),
+         |sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh FROM sh),
+         |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |shared AS (SELECT shingle FROM inv GROUP BY shingle HAVING count(*) >= 2),
+         |dup AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+         |  FROM inv JOIN shared USING (shingle) GROUP BY doc_id),
+         |dupagg AS (SELECT
+         |    CAST(sum(coalesce(d.n_dup, 0)) AS BIGINT) AS t_dup,
+         |    CAST(sum(s.n_sh) AS BIGINT) AS t_sh
+         |  FROM sizes s LEFT JOIN dup d USING (doc_id)),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT CAST(count(*) AS BIGINT) AS n_near_dup_pairs
+         |  FROM common JOIN sizes sa ON common.doc_a = sa.doc_id
+         |              JOIN sizes sb ON common.doc_b = sb.doc_id
+         |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5)
+         |SELECT n_docs, n_gopher_pass, n_pii_free, n_en,
+         |  CAST(n_gopher_pass AS DOUBLE) / n_docs AS pct_gopher_pass,
+         |  CAST(n_pii_free AS DOUBLE) / n_docs AS pct_pii_free,
+         |  CAST(n_en AS DOUBLE) / n_docs AS pct_en,
+         |  CAST(t_dup AS DOUBLE) / t_sh AS dup_ngram_rate,
+         |  n_near_dup_pairs
+         |FROM base, dupagg, pairs""".stripMargin,
     "dd_clusters" ->
       s"""WITH RECURSIVE sh AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM documents),
          |sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh FROM sh),

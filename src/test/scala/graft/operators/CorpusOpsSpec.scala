@@ -141,6 +141,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(byId("s0")._4 == byId("s1")._4 && byId("s0")._4 > byId("s2")._4)
   }
 
+  test("corpusDiff: content-hash classification across versions") {
+    val old = mkDocs(Seq(1L -> "alpha beta", 2L -> "gamma delta",
+      3L -> "epsilon zeta", 4L -> "eta theta"))
+    val v2 = mkDocs(Seq(1L -> "alpha beta",       // unchanged
+      2L -> "gamma delta CHANGED",                // modified
+      5L -> "brand new doc"))                     // added; 3,4 deleted
+    val got = CorpusOps.corpusDiff(old, v2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "modified",
+      3L -> "deleted", 4L -> "deleted", 5L -> "added"))
+  }
+
   test("packSequences: offsets tile the token stream exactly, straddles flagged") {
     val docs = mkDocs((1L to 100L).map(i => i -> (1 to (1 + (i % 7)).toInt)
       .map(j => s"t$j").mkString(" ")))

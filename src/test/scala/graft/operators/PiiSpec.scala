@@ -46,4 +46,20 @@ class PiiSpec extends SparkSpec {
     assert(out(0).getAs[String]("redacted") ==
       "<EMAIL> then <EMAIL> then <IP> then <IP>")
   }
+
+  test("piiFreeCol equals scrub's cascaded pii_free on every row") {
+    val df = Seq(
+      (1L, "mail jane@corp.example.com today"),
+      (2L, "card 4111 1111 1111 1111 on file"),
+      (3L, "call 555-867-5309 re 10.0.42.7"),
+      (4L, "nothing sensitive at all"),
+      (5L, "")).toDF("doc_id", "text")
+    val fromCol = df.select($"doc_id", Pii.piiFreeCol.as("p")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val fromScrub = Pii.scrub(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("pii_free")).toMap
+    assert(fromCol == fromScrub)
+    assert(fromCol == Map(1L -> false, 2L -> false, 3L -> false,
+      4L -> true, 5L -> true))
+  }
 }

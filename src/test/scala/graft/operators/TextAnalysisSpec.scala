@@ -146,6 +146,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byId(3L).getAs[Double]("mean_word_len") == 4.0)
   }
 
+  test("gopherPassCol equals gopherRules' pass_all on every row") {
+    val df = mk(
+      (1L, (Seq("the", "a") ++ (1 to 60).map(_ => "word")).mkString(" "), "en"),
+      (2L, "the a short", "en"),
+      (3L, (1 to 60).map(_ => "word").mkString(" "), "en"))
+    val fromCol = df.select(org.apache.spark.sql.functions.col("doc_id"),
+        TextAnalysis.gopherPassCol.as("p")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val fromTable = TextAnalysis.gopherRules(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("pass_all")).toMap
+    assert(fromCol == fromTable)
+  }
+
   test("tfidfTopK: rare terms outrank common ones, k bound, ties by term") {
     val df = mk(
       (1L, "shared shared rare1 rare1 rare1", "en"),

@@ -55,6 +55,9 @@ class PlanLintSpec extends SparkSpec {
     "ta_tfidf_top" -> ("same shape as ta_bm25: the broadcast side is the " +
       "ONE-row doc-count frame crossed into the per-posting score " +
       "projection — scalar-subquery shape, bounded by construction"),
+    "tp_corpus_health" -> ("the dashboard row is three ONE-row aggregates " +
+      "crossed together (base counts × dup totals × pair count) — " +
+      "scalar-subquery shape, every side bounded by construction"),
     "ev_daily_anomaly" -> ("the day-spine densification crosses the O(days) " +
       "sequence with the O(types) domain — both sides domain-bounded " +
       "aggregates, never the event stream"))
