@@ -90,10 +90,14 @@ object CorpusOps {
     * content hashes instead of stat fields).
     *
     * Scale shape: each side is reduced to (doc_id, md5) AT THE SCAN —
-    * the full-outer join shuffles 8+16-byte rows, never text. */
+    * the full-outer join shuffles 8+16-byte rows, never text. A NULL
+    * text fingerprints to the non-hex sentinel "<null>" (md5 of NULL
+    * is NULL, which the presence checks would misread as "row
+    * absent" and report a live doc as deleted). */
   def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
-    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("old_fp"))
-    val n = newDocs.select(col("doc_id"), md5(col("text")).as("new_fp"))
+    def fp(c: Column): Column = coalesce(md5(c), lit("<null>"))
+    val o = oldDocs.select(col("doc_id"), fp(col("text")).as("old_fp"))
+    val n = newDocs.select(col("doc_id"), fp(col("text")).as("new_fp"))
     o.join(n, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         when(col("new_fp").isNull, "deleted")

@@ -74,33 +74,48 @@ object IvfIndex {
          else Map.empty))
   }
 
+  /** Bumped whenever the build pipeline's OUTPUT could change for the
+    * same inputs (training, assignment, snapshot layout) — a persisted
+    * index built by older code must not satisfy [[buildIfAbsent]]. */
+  private val BuildFormat = "ivf-v1"
+
   /** Content fingerprint of a build request: corpus row count, an
     * order-independent XOR over (vec_id, embedding) row hashes
     * (overflow-free under ANSI mode, unlike a hash SUM; rows are
     * unique by vec_id so XOR self-cancellation needs a count match
-    * AND a 64-bit collision), and the training parameters. One narrow
-    * aggregate — far cheaper than the `iters` full k-means passes +
-    * republish it can save. */
-  private def buildFingerprint(emb: DataFrame, nCentroids: Int, iters: Int): String = {
+    * AND a 64-bit collision), every build parameter (including
+    * numBuckets — a re-bucketing request must rebuild), and the
+    * build-format version. One narrow aggregate — far cheaper than
+    * the `iters` full k-means passes + republish it can save. */
+  private def buildFingerprint(emb: DataFrame, nCentroids: Int, iters: Int,
+      numBuckets: Int): String = {
     val r = emb.agg(count(lit(1)),
       expr("bit_xor(xxhash64(vec_id, embedding))")).head()
-    s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}:$nCentroids:$iters"
+    s"$BuildFormat:${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}:" +
+      s"$nCentroids:$iters:$numBuckets"
   }
 
   /** Idempotent [[build]] — the "train once, probe many" production
     * shape: re-running an ingest pipeline over an UNCHANGED corpus
     * publishes nothing. Skips the retrain iff the current snapshot
-    * records the same content fingerprint (params + row count +
-    * order-independent content hash-sum) AND no live deltas exist (a
-    * rebuild retires deltas, so their presence forces one). Returns
-    * true iff a build ran. Training is deterministic, so the skipped
-    * republish would have been bit-identical to the existing one. */
+    * records the same fingerprint (build-format version + params +
+    * row count + order-independent content hash) AND no LIVE deltas
+    * exist (appends change the index content, so a rebuild must
+    * retire them; retired-but-unswept dirs from a prior [[compact]]
+    * don't count). [[compact]] deliberately drops `build_fp` from the
+    * meta it republishes: folding deltas changes the index content,
+    * so the next buildIfAbsent over ANY corpus must rebuild rather
+    * than skip against a stale fingerprint. Returns true iff a build
+    * ran. Training is deterministic, so a skipped republish would
+    * have been bit-identical to the existing one. */
   def buildIfAbsent(emb: DataFrame, root: String, nCentroids: Int = 16,
       iters: Int = 2, numBuckets: Int = 16): Boolean = {
-    val fp = buildFingerprint(emb, nCentroids, iters)
-    val unchanged = DeltaDirs.list(s"$root/cells").isEmpty &&
-      SnapshotDir.currentDir(s"$root/cells")
-        .exists(d => SnapshotDir.metaAt(d).get("build_fp").contains(fp))
+    val fp = buildFingerprint(emb, nCentroids, iters, numBuckets)
+    val unchanged = SnapshotDir.currentDir(s"$root/cells").exists { d =>
+      val meta = SnapshotDir.metaAt(d)
+      meta.get("build_fp").contains(fp) &&
+        DeltaDirs.live(s"$root/cells", watermark(meta)).isEmpty
+    }
     if (!unchanged)
       build(emb, root, nCentroids, iters, numBuckets, Map("build_fp" -> fp))
     !unchanged

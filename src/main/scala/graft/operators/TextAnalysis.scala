@@ -335,20 +335,6 @@ object TextAnalysis {
       winnow.as("fp_winnow"))
   }
 
-  /** Gopher-style rule battery (Rae et al. 2021, §A1.1 — the public
-    * heuristics later adopted by Dolma/RefinedWeb): per document, the
-    * lexical statistics and the pass/fail flag of each published rule
-    * that is computable from plain text — word count in [50, 100000],
-    * mean word length in [3, 10], ≥ 2 stop words, ≥ 80% alphabetic
-    * words — plus the conjunction a curation pipeline actually
-    * filters on. Flags are emitted (not filtered) so the pass RATE is
-    * inspectable per source/language before committing to a cut.
-    *
-    * Scale shape: one narrow codegen'd projection over the scan —
-    * columns pruned to (doc_id, text), no shuffle except the
-    * presentation sort. mean_word_len derives exactly from integer
-    * counts (chars minus the n−1 single-space separators, over n);
-    * doubles are division-only → bit-identical cross-engine. */
   /** The [[gopherRules]] conjunction as a raw Column over `text` —
     * for single-scan composites ([[graft.queries]]' corpus-health
     * dashboard) that need the flag without the full rule table. */
@@ -367,6 +353,21 @@ object TextAnalysis {
     (n, meanLen, nStop, nAlpha.cast("double") / n.cast("double"))
   }
 
+  /** Gopher-style rule battery (Rae et al. 2021, §A1.1 — the public
+    * heuristics later adopted by Dolma/RefinedWeb): per document, the
+    * lexical statistics and the pass/fail flag of each published rule
+    * that is computable from plain text — word count in [50, 100000],
+    * mean word length in [3, 10], ≥ 2 stop words, ≥ 80% alphabetic
+    * words — plus the conjunction a curation pipeline actually
+    * filters on ([[gopherPassCol]]). Flags are emitted (not filtered)
+    * so the pass RATE is inspectable per source/language before
+    * committing to a cut.
+    *
+    * Scale shape: one narrow codegen'd projection, columns pruned to
+    * (doc_id, text), evaluated once after the ordered-spread exchange.
+    * mean_word_len derives exactly from integer counts (chars minus
+    * the n−1 single-space separators, over n); doubles are
+    * division-only → bit-identical cross-engine. */
   def gopherRules(docs: DataFrame): DataFrame = {
     val (n, meanLen, nStop, fracAlpha) = gopherParts
     val passWords = n >= 50L && n <= 100000L

@@ -23,14 +23,6 @@ object ExtQueries {
   private def events(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
   private def media(s: SparkSession, d: String): DataFrame =
     Multimodal.mediaTable(Tables.documents(s, d))
-  /** [[media]] pre-sorted by doc_id (Dedup.orderedSpread) for the
-    * decode-stage queries: the codec mapPartitions preserves the
-    * order, so no post-decode sort re-runs the codec in a range
-    * sampler's pass. mm_dedup keeps the unsorted form — its next step
-    * is a hash aggregate that destroys ordering anyway. */
-  private def mediaOrdered(s: SparkSession, d: String): DataFrame =
-    Multimodal.mediaTable(
-      graft.operators.Dedup.orderedSpread(Tables.documents(s, d), "doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_tumbling_hourly" -> ((s, d) => Events.tumblingHourly(events(s, d))),
@@ -81,15 +73,20 @@ object ExtQueries {
     // Exact media dedup by payload hash, per modality — dedup BEFORE
     // decode, the standard multimodal pipeline ordering.
     "mm_dedup" -> ((s, d) => Multimodal.dedupPayloads(media(s, d))),
-    // ordering comes from mediaOrdered's pre-codec sort (the decode
-    // mapPartitions and frame explosion preserve it)
+    // decode-then-sort, NOT a pre-codec sort: the stub decode is a
+    // cheap digest, while a pre-codec range exchange would carry the
+    // full payload bytes — the module's scale contract is that only
+    // small typed metadata ever crosses a shuffle (the opposite
+    // trade-off from mm_image_decode, whose codec is the real cost
+    // and whose pre-sort input is the narrow (doc_id, text_len))
     "mm_metadata" -> ((s, d) =>
-      Multimodal.decodeMetadata(s, mediaOrdered(s, d)).toDF()),
+      Multimodal.decodeMetadata(s, media(s, d)).toDF().orderBy("doc_id")),
     "mm_frames" -> ((s, d) =>
-      Multimodal.sampleFrames(s, mediaOrdered(s, d), step = 4).toDF()),
+      Multimodal.sampleFrames(s, media(s, d), step = 4).toDF()
+        .orderBy("doc_id", "frame_idx")),
     "mm_resize" -> ((s, d) =>
-      Multimodal.resizeMeta(
-        Multimodal.decodeMetadata(s, mediaOrdered(s, d)), maxSide = 128)),
+      Multimodal.resizeMeta(Multimodal.decodeMetadata(s, media(s, d)), maxSide = 128)
+        .orderBy("doc_id")),
     // REAL in-JDK codec round-trip: payloads are actual PNGs, dims come
     // from javax.imageio reading the bytes — the oracle can only match
     // if encode(dimsFor(len)) → decode reproduces the formula dims.

@@ -23,19 +23,29 @@ object Tables {
   /** Per-path schema cache: repeated loads of the same parquet path
     * (every query re-resolves its input tables) skip footer-based
     * schema inference — the dominant fixed cost of a short query.
-    * Safe because a parquet dataset's schema is immutable for a given
-    * path-version (overwrites create new files; a genuinely replaced
-    * dataset in a long-lived session can be refreshed via
-    * [[invalidateSchemaCache]]). Same idea as Spark's own
-    * FileStatusCache, one level up. */
-  private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+    * Each entry is keyed by the path's last-modified time and
+    * revalidated on every load (one getLastModifiedTime call, ~µs,
+    * vs the footer read it saves): regenerating a dataset in place —
+    * a long-lived serve/notebook session re-writing a directory —
+    * bumps the mtime and transparently re-infers, so the cache can
+    * never serve a schema for bytes that changed under it. Same idea
+    * as Spark's own FileStatusCache, one level up. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (java.nio.file.attribute.FileTime, org.apache.spark.sql.types.StructType)]()
 
   def invalidateSchemaCache(): Unit = schemaCache.clear()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    val mtime =
+      try java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(path))
+      catch { case _: java.io.IOException =>
+        // non-local or vanished path: skip the cache, let Spark report
+        return spark.read.parquet(path)
+      }
+    val (_, schema) = schemaCache.compute(path, (p, cur) =>
+      if (cur != null && cur._1 == mtime) cur
+      else (mtime, spark.read.parquet(p).schema))
     spark.read.schema(schema).parquet(path)
   }
 

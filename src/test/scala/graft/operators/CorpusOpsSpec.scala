@@ -151,6 +151,16 @@ class CorpusOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "unchanged", 2L -> "modified",
       3L -> "deleted", 4L -> "deleted", 5L -> "added"))
+    // NULL text is a value, not absence: present-with-null on both
+    // sides is unchanged, null→text is modified (md5(NULL) would
+    // otherwise read as a missing row and report 'deleted')
+    val oldN = Seq((1L, null: String), (2L, null: String))
+      .toDF("doc_id", "text")
+    val newN = Seq((1L, null: String), (2L, "now present"))
+      .toDF("doc_id", "text")
+    val gotN = CorpusOps.corpusDiff(oldN, newN).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotN == Map(1L -> "unchanged", 2L -> "modified"))
   }
 
   test("packSequences: offsets tile the token stream exactly, straddles flagged") {

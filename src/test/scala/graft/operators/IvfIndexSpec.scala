@@ -154,6 +154,9 @@ class IvfIndexSpec extends SparkSpec {
     assert(!IvfIndex.buildIfAbsent(emb, root, nCentroids = 4, iters = 1, numBuckets = 4))
     // changed params → new fingerprint → rebuild
     assert(IvfIndex.buildIfAbsent(emb, root, nCentroids = 8, iters = 1, numBuckets = 4))
+    // a RE-BUCKETING request is a layout change → rebuild, then skip
+    assert(IvfIndex.buildIfAbsent(emb, root, nCentroids = 8, iters = 1, numBuckets = 8))
+    assert(!IvfIndex.buildIfAbsent(emb, root, nCentroids = 8, iters = 1, numBuckets = 8))
     // changed corpus content → rebuild
     assert(IvfIndex.buildIfAbsent(emb.filter(col("vec_id") < 100), root,
       nCentroids = 8, iters = 1, numBuckets = 4))
