@@ -320,6 +320,31 @@ object PipelineQueries {
           (col("t_dup").cast("double") / col("t_sh")).as("dup_ngram_rate"),
           col("n_near_dup_pairs"))
     }),
+    // tp_corpus_health per SOURCE — which crawl/provider is dragging
+    // quality down. Same exact-integer discipline; the dup totals are
+    // joined back to sources on doc_id (8-byte keys) and aggregated
+    // per source.
+    "tp_source_health" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val all = docs(s, d)
+      val base = all.select(col("source"), col("lang"),
+          TextAnalysis.gopherPassCol.as("gp"), Pii.piiFreeCol.as("pf"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("gp"), 1L).otherwise(0L)).as("n_gopher_pass"),
+          sum(when(col("pf"), 1L).otherwise(0L)).as("n_pii_free"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+      val dup = Dedup.dupNgramRateRaw(all, n = 3)
+        .join(all.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy("source").agg(sum("n_dup").as("t_dup"), sum("n_sh").as("t_sh"))
+      base.join(dup, Seq("source"))
+        .select(col("source"), col("n_docs"),
+          (col("n_gopher_pass").cast("double") / col("n_docs")).as("pct_gopher_pass"),
+          (col("n_pii_free").cast("double") / col("n_docs")).as("pct_pii_free"),
+          (col("n_en").cast("double") / col("n_docs")).as("pct_en"),
+          (col("t_dup").cast("double") / col("t_sh")).as("dup_ngram_rate"))
+        .orderBy("source")
+    }),
     // Count-min-sketch heavy hitters: exact top-10 + the CMS ε-bound
     // verdict (oracle = exact + TRUE; matches iff the bound held).
     "ta_heavy_hitters" -> ((s, d) =>
@@ -519,6 +544,45 @@ object PipelineQueries {
          |  CAST(coalesce(d.n_dup, 0) AS DOUBLE) / CAST(s.n_sh AS DOUBLE) AS dup_rate
          |FROM sizes s LEFT JOIN dup d USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "tp_source_health" ->
+      s"""WITH f AS (SELECT doc_id, source, lang,
+         |    (len($T) >= 50 AND len($T) <= 100000
+         |     AND (CAST(length(text) AS DOUBLE) - CAST(len($T) - 1 AS DOUBLE))
+         |       / CAST(len($T) AS DOUBLE) >= 3.0
+         |     AND (CAST(length(text) AS DOUBLE) - CAST(len($T) - 1 AS DOUBLE))
+         |       / CAST(len($T) AS DOUBLE) <= 10.0
+         |     AND len(list_filter($T, t -> t IN ('the', 'a'))) >= 2
+         |     AND CAST(len(list_filter($T, t -> regexp_matches(t, '^[a-z]+$$'))) AS DOUBLE)
+         |       / CAST(len($T) AS DOUBLE) >= 0.8) AS gp,
+         |    (len(regexp_extract_all(text, '${Pii.EmailRe}')) = 0
+         |     AND len(regexp_extract_all(text, '${Pii.CardRe}')) = 0
+         |     AND len(regexp_extract_all(text, '${Pii.PhoneRe}')) = 0
+         |     AND len(regexp_extract_all(text, '${Pii.Ipv4Re}')) = 0) AS pf
+         |  FROM documents),
+         |base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN gp THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass,
+         |    CAST(sum(CASE WHEN pf THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_free,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+         |  FROM f GROUP BY source),
+         |sh AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM documents),
+         |sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh FROM sh),
+         |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |shared AS (SELECT shingle FROM inv GROUP BY shingle HAVING count(*) >= 2),
+         |dup AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+         |  FROM inv JOIN shared USING (shingle) GROUP BY doc_id),
+         |dupsrc AS (SELECT d.source,
+         |    CAST(sum(coalesce(p.n_dup, 0)) AS BIGINT) AS t_dup,
+         |    CAST(sum(s.n_sh) AS BIGINT) AS t_sh
+         |  FROM sizes s LEFT JOIN dup p USING (doc_id)
+         |  JOIN documents d USING (doc_id)
+         |  GROUP BY d.source)
+         |SELECT source, n_docs,
+         |  CAST(n_gopher_pass AS DOUBLE) / n_docs AS pct_gopher_pass,
+         |  CAST(n_pii_free AS DOUBLE) / n_docs AS pct_pii_free,
+         |  CAST(n_en AS DOUBLE) / n_docs AS pct_en,
+         |  CAST(t_dup AS DOUBLE) / t_sh AS dup_ngram_rate
+         |FROM base JOIN dupsrc USING (source)
+         |ORDER BY source""".stripMargin,
     "dd_corpus_diff" ->
       """WITH oldv AS (SELECT doc_id, md5(text) AS old_fp FROM documents),
         |newv AS (

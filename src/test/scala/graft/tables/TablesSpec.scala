@@ -61,4 +61,24 @@ class TablesSpec extends SparkSpec {
       assert(n > 0, s"$name must produce rows on real sf0.001 events")
     }
   }
+
+  test("schema cache revalidates on mtime: in-place regeneration re-infers") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-schemacache").toString
+    Seq((1L, "a")).toDF("id", "v").write.mode("overwrite")
+      .parquet(s"$dir/t.parquet")
+    assert(Tables.load(spark, dir, "t").schema("v").dataType ==
+      org.apache.spark.sql.types.StringType)
+    // regenerate IN PLACE with a different column type; bump mtime
+    // explicitly (same-second rewrites can otherwise share a coarse
+    // filesystem timestamp)
+    Seq((1L, 42L)).toDF("id", "v").write.mode("overwrite")
+      .parquet(s"$dir/t.parquet")
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$dir/t.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
+    assert(Tables.load(spark, dir, "t").schema("v").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "stale cached schema served after in-place regeneration")
+  }
 }
