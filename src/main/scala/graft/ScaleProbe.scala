@@ -98,6 +98,10 @@ object ScaleProbe {
       run("repetition", k, graft.operators.TextAnalysis.repetitionStats(docsAt(k)))
       run("embedding_lsh", k,
         graft.operators.Similarity.cosinePairsLsh(embAt(k), threshold = 0.45))
+      // round-4 additions: the dup-rate semi-join and the tfidf
+      // postings/df/top-k pipeline both claim O(index) cost
+      run("dup_ngram_rate", k, graft.operators.Dedup.dupNgramRateRaw(docsAt(k)))
+      run("tfidf_top", k, graft.operators.TextAnalysis.tfidfTopK(docsAt(k), k = 5))
     }
     spark.stop()
   }
