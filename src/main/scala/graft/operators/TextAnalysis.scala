@@ -389,6 +389,35 @@ object TextAnalysis {
       (passWords && passLen && passStop && passAlpha).as("pass_all"))
   }
 
+  /** Per-document token-RARITY statistics against the corpus's own
+    * document frequencies — the log-free self-perplexity surrogate: a
+    * document whose tokens are mostly corpus-rare is gibberish or
+    * highly specialized; one whose tokens are all ubiquitous is
+    * boilerplate. Per doc: number of token occurrences, the SUM of
+    * each occurrence's document frequency (exact integer — so
+    * mean_df = sum_df / n is one division, no float accumulation),
+    * and the rarest token's df.
+    *
+    * Scale shape: same postings/df skeleton as [[tfidfTopK]] — one
+    * explode + (doc, term) aggregate, a skew-safe df aggregate of the
+    * postings, an AQE-decided join back on term, and a final per-doc
+    * aggregate. Nothing is windowed over raw input. */
+  def rarityStats(docs: DataFrame): DataFrame = {
+    val postings = graft.operators.Dedup.spread(docs)
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    postings.join(dfs, Seq("term"))
+      .groupBy("doc_id").agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("df")).as("sum_df"),
+        min(col("df")).as("min_df"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_df"), col("min_df"),
+        (col("sum_df").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_df"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document top-k TF-IDF keyword extraction. idf is the
     * RATIONAL Robertson surrogate (N − df + 0.5)/(df + 0.5) — the
     * same log-free monotone form [[bm25TopK]] uses, because `ln` is

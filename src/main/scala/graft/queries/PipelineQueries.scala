@@ -276,6 +276,9 @@ object PipelineQueries {
     // Per-doc top-5 TF-IDF keywords (rational log-free idf, same
     // Robertson surrogate as ta_bm25).
     "ta_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTopK(docs(s, d), k = 5)),
+    // Token-rarity stats vs the corpus's own dfs (log-free
+    // self-perplexity surrogate; exact-integer micro-average).
+    "ta_rarity" -> ((s, d) => TextAnalysis.rarityStats(docs(s, d))),
     // Lee et al. 2022 duplicate-text rate: share of each doc's distinct
     // 3-gram shingles that occur in ≥ 1 other document.
     "dd_dup_ngram_rate" -> ((s, d) => Dedup.dupNgramRate(docs(s, d), n = 3)),
@@ -825,6 +828,19 @@ object PipelineQueries {
          |    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
          |    AND n_stop >= 2 AND frac_alpha >= 0.8) AS pass_all
          |FROM g ORDER BY doc_id""".stripMargin,
+    // every aggregate is an exact integer; mean_df is one division
+    "ta_rarity" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($T) AS term FROM documents),
+         |postings AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tk GROUP BY 1, 2),
+         |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY 1)
+         |SELECT doc_id,
+         |  CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |  CAST(sum(tf * df) AS BIGINT) AS sum_df,
+         |  CAST(min(df) AS BIGINT) AS min_df,
+         |  CAST(sum(tf * df) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS mean_df
+         |FROM postings JOIN dfs USING (term)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // score = tf · (N − df + 0.5)/(df + 0.5), the same rational
     // log-free idf as ta_bm25, composed left-associatively on both
     // engines; row_number ties broken by term.

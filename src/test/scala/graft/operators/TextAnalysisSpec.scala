@@ -159,6 +159,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fromCol == fromTable)
   }
 
+  test("rarityStats: exact df sums, repeated tokens weighted by tf") {
+    val df = mk(
+      (1L, "common common rare", "en"),   // common df=2, rare df=1
+      (2L, "common other", "en"))
+    val out = TextAnalysis.rarityStats(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("sum_df"),
+          r.getAs[Long]("min_df"), r.getAs[Double]("mean_df"))).toMap
+    // doc 1: 3 occurrences; sum_df = 2*2 (common twice) + 1 (rare) = 5
+    assert(out(1L) == ((3L, 5L, 1L, 5.0 / 3.0)))
+    // doc 2: common(df 2) + other(df 1) = 3 over 2 tokens
+    assert(out(2L) == ((2L, 3L, 1L, 3.0 / 2.0)))
+  }
+
   test("tfidfTopK: rare terms outrank common ones, k bound, ties by term") {
     val df = mk(
       (1L, "shared shared rare1 rare1 rare1", "en"),
