@@ -376,9 +376,17 @@ object Events {
 
   /** Two-stage salted per-type totals — identical result to the plain
     * groupBy (the oracle runs the unsalted SQL) with the hot key's
-    * rows split across `saltBuckets` partial groups first, so one
-    * mega-hot event_type can never pin a whole aggregation partition
-    * at 100 TB. Decimal sums keep the two-stage reassociation exact. */
+    * rows split across `saltBuckets` partial groups first. Decimal
+    * sums keep the two-stage reassociation exact.
+    *
+    * Honest scope (measured, see [[graft.NaiveCompare]]): for an
+    * ALGEBRAIC aggregate like this sum, the plain groupBy already
+    * neutralizes hot keys — partial combine collapses them map-side,
+    * so the salted form costs ~1.4× pure overhead and exists here as
+    * the exercised demonstration of the SkewTools lever. Reach for it
+    * when the aggregation state does NOT collapse under partial
+    * combine (very large per-key distinct or collect-style states);
+    * for skewed JOIN keys, AQE's skew-join is the first lever. */
   def typeTotalsSalted(events: DataFrame, saltBuckets: Int = 32): DataFrame =
     graft.operators.SkewTools.saltedAgg(events,
         col("event_type"), valueDec, saltBuckets)
