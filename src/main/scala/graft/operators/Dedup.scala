@@ -102,6 +102,43 @@ object Dedup {
         count(lit(1)).as("n_copies"))
       .orderBy(col("fp"))
 
+  /** Per-source exact-duplication scorecard: how much of each
+    * crawl/provider's contribution is copies of content whose keeper
+    * (global min doc_id per content hash) lives elsewhere — the table
+    * that decides which upstream source to throttle or re-crawl.
+    *
+    * A doc counts as a duplicate iff it is not its fp-group's keeper;
+    * the keeper's own source gets credit for the one kept copy.
+    * `chars_dup` = characters that deduplication would delete from
+    * this source (all copies share the text, so the group's n_chars
+    * multiplies the dropped count).
+    *
+    * Scale shape: one hash aggregate on (fp, source) — map-side
+    * combine collapses intra-partition copies before the shuffle —
+    * then a second aggregate of THAT (unique-content-sized) table on
+    * fp for the global keeper, joined back on fp. Both sides of the
+    * join come out of aggregates hash-partitioned on fp, so the join
+    * reuses the exchange instead of re-shuffling; the final per-source
+    * rollup is |sources|-sized. Nothing touches raw text twice and no
+    * window runs over raw input. */
+  def dedupStatsBySource(docs: DataFrame): DataFrame = {
+    val g = docs.groupBy(md5(col("text")).as("fp"), col("source"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("src_min"),
+        min(col("n_chars")).as("n_chars"))
+    val keepers = g.groupBy("fp").agg(min(col("src_min")).as("keeper"))
+    val dupN = col("n") - when(col("src_min") === col("keeper"), 1L).otherwise(0L)
+    g.join(keepers, Seq("fp"))
+      .groupBy("source").agg(
+        sum(col("n")).as("n_docs"),
+        sum(dupN).as("n_dup_docs"),
+        sum(dupN * col("n_chars")).as("chars_dup"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        (col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+          .as("dup_rate"),
+        col("chars_dup"))
+      .orderBy("source")
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via an inverted shingle
     * index: explode → self-join on shingle → pair-count = |A∩B| →
     * |A∪B| from per-doc set sizes. */
@@ -205,6 +242,38 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash ESTIMATOR-QUALITY contract: over the exact near-dup pair
+    * set (jaccard ≥ threshold), compare the signature-agreement
+    * estimate Ĵ = |{i : mhᵃᵢ = mhᵇᵢ}| / k against the exact Jaccard
+    * and assert the mean absolute error clears `maxMeanAbsErr`. This
+    * pins the sketch the LSH path PRUNES with — [[minhashLsh]]'s
+    * banding math (collision p = 1 − (1 − Ĵʳ)ᵇ) is only sound if Ĵ is
+    * an unbiased estimator in practice, and a broken hash family or
+    * band-key bug shows up here as estimator bias long before it is
+    * visible as missing pairs downstream. E[|Ĵ−J|] ≈ √(J(1−J)/k)
+    * ≈ 0.07 at k = 24 near J = 0.5; the 0.2 bound is ~3σ clear.
+    *
+    * Scale shape: the contract runs on the SURVIVOR pair set (tiny by
+    * construction), joining two signature columns per pair — AQE
+    * broadcasts the k·8-byte signatures; the shingle machinery is the
+    * already-bounded [[jaccardPairs]] index path. */
+  def minhashEstQuality(docs: DataFrame, n: Int = 3, numHashes: Int = 24,
+      threshold: Double = 0.5, maxMeanAbsErr: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val mh = GraftSqlBridge.column(graft.functions.MinHashesExpr(
+      GraftSqlBridge.expression(col("shingles")), numHashes))
+    val sig = withShingles(docs, n).select(col("doc_id"), mh.as("mh"))
+    val pairs = jaccardPairs(docs, n, threshold)
+    pairs
+      .join(sig.toDF("doc_a", "mh_a"), "doc_a")
+      .join(sig.toDF("doc_b", "mh_b"), "doc_b")
+      .withColumn("est",
+        expr("size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), b -> b))")
+          .cast("double") / numHashes.toDouble)
+      .agg(count(lit(1)).as("n_pairs"),
+        (avg(abs(col("est") - col("jaccard"))) <= maxMeanAbsErr).as("mean_err_ok"))
   }
 
   /** Persistable inverted shingle index: (shingle, doc_id, n_sh) —

@@ -143,7 +143,13 @@ object Similarity {
     * honest scale answer is balanced work distribution, not lossy
     * pruning; for the high-threshold near-dup regime use
     * [[cosinePairsLsh]]. */
-  def cosinePairsBlocked(emb: DataFrame, threshold: Double, blocks: Int = 16): DataFrame = {
+  def cosinePairsBlocked(emb: DataFrame, threshold: Double, blocks: Int = 16): DataFrame =
+    cosinePairsBlockedRaw(emb, threshold, blocks).orderBy("vec_a", "vec_b")
+
+  /** [[cosinePairsBlocked]] without the presentation sort — the core
+    * consumed by aggregating callers ([[cosineHistogram]]). */
+  private[graft] def cosinePairsBlockedRaw(emb: DataFrame, threshold: Double,
+      blocks: Int = 16): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val e = prepared(emb).select("vec_id", "v", "nrm")
@@ -164,7 +170,35 @@ object Similarity {
         greatest(col("ida"), col("idb")).as("vec_b"),
         (VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Threshold-sweep histogram: exact pair counts per cosine band of
+    * width `step` starting at `lo` — the one-pass answer to "where
+    * should the near-dup cutoff sit for THIS corpus". Running the
+    * full pair operator once per candidate threshold re-pays the n²/B
+    * comparison each time; the histogram pays it once and reads every
+    * operating point off the cumulative counts.
+    *
+    * Band edges: band i covers [lo + i·step, lo + (i+1)·step), the
+    * final band is clamped to close at 1 (cosine can exceed 1 only by
+    * float round-off). floor of the same IEEE doubles bands each pair
+    * identically cross-engine. Scale shape: the pair stream comes from
+    * the balanced block-pair join ([[cosinePairsBlockedRaw]] — no
+    * cartesian node), and the histogram itself is a |bands|-key hash
+    * aggregate with map-side combine: nothing materializes the pair
+    * set. */
+  def cosineHistogram(emb: DataFrame, lo: Double = 0.3, step: Double = 0.05,
+      blocks: Int = 16): DataFrame = {
+    val nBands = math.ceil((1.0 - lo) / step).toInt
+    val band = least(floor((col("cosine") - lo) / step).cast("int"), lit(nBands - 1))
+    cosinePairsBlockedRaw(emb, threshold = lo, blocks)
+      .select(band.as("band"))
+      .groupBy("band").agg(count(lit(1)).as("n_pairs"))
+      .select(col("band"),
+        (lit(lo) + col("band").cast("double") * step).as("band_lo"),
+        (lit(lo) + (col("band") + 1).cast("double") * step).as("band_hi"),
+        col("n_pairs"))
+      .orderBy("band")
   }
 
   /** Candidate-based near-dup pairs for the HIGH-threshold regime
@@ -320,6 +354,58 @@ object Similarity {
     broadcast(q).join(e, col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("cand_id"),
         (VectorOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Int8 scalar quantization of the embedding column: one symmetric
+    * scale (the corpus max |coordinate|) maps every coordinate to an
+    * integer code in [-127, 127], stored as `array<tinyint>` — the
+    * 4-8× memory/shuffle compression that makes a 100 TB vector corpus
+    * fit the cluster (the same trade FAISS's SQ8 makes). The scale
+    * rides along as a column so any consumer can dequantize.
+    *
+    * Determinism: the scale is a MAX (order-independent, exact); code
+    * = round(v/scale·127) is one IEEE division + multiply + half-up
+    * round — bit-identical on any engine/partitioning. Scale shape:
+    * one tiny aggregate (a single max), broadcast back over the corpus
+    * scan; the quantization itself is a narrow codegen projection. */
+  def quantized(emb: DataFrame): DataFrame = {
+    val v = VectorOps.toDouble(col("embedding"))
+    val scaleRow = emb.agg(
+      max(aggregate(v, lit(0.0d), (acc, x) => greatest(acc, abs(x)))).as("scale"))
+    emb.select(col("vec_id"), v.as("v"))
+      .crossJoin(broadcast(scaleRow))
+      .select(col("vec_id"), col("scale"),
+        transform(col("v"), x => round(x / col("scale") * 127.0d, 0).cast("tinyint"))
+          .as("q"))
+  }
+
+  /** Approximate top-k over the QUANTIZED corpus: the ranking runs
+    * entirely on int8 codes (integer dot products and integer-code
+    * norms — exact in 64-bit arithmetic, so cross-engine
+    * deterministic), never touching the full-precision vectors. This
+    * is the memory-bound scan a quantized deployment actually runs;
+    * its agreement with the exact ranking is pinned by the
+    * ss_quantize_recall contract row (recall@5 vs [[topkBrute]]).
+    *
+    * Same plan shape as [[topkBrute]]: broadcast query side, one
+    * corpus stream, WindowGroupLimit top-k — but the streamed side
+    * carries 64 bytes/vector instead of 512. */
+  def topkQuantized(emb: DataFrame, queryMod: Long = 50L, k: Int = 5): DataFrame = {
+    // codes cast back to double for the native dot expr: values are
+    // integers ≤ 127, products ≤ 16129, 64-term sums ≤ ~10⁶ — all
+    // exactly representable, so this IS integer arithmetic
+    val e = quantized(emb)
+      .select(col("vec_id"), VectorOps.toDouble(col("q")).as("qv"))
+      .withColumn("qn", VectorOps.norm(col("qv")))
+    val q = e.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("a"), col("qn").as("an"))
+    val w = Window.partitionBy("query_id").orderBy(col("qcos").desc, col("cand_id"))
+    broadcast(q).join(e, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        (VectorOps.dot(col("a"), col("qv")) / (col("an") * col("qn"))).as("qcos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .orderBy("query_id", "rnk")

@@ -418,6 +418,48 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Bigram-level corpus rarity per document — the sibling of
+    * [[rarityStats]] one n-gram order up. Unigram df saturates fast
+    * (every doc shares "the"); bigram df separates formulaic
+    * boilerplate (high mean_df) from genuinely novel phrasing
+    * (high uniq_frac = share of bigram OCCURRENCES whose bigram
+    * appears in no other doc's postings) — the standard cheap
+    * surrogate for "is this document contributing new text to the
+    * corpus". All stats are exact integers plus one final division
+    * (log-free, like every rarity/idf surrogate in this file, so the
+    * cross-engine hash can't drift on libm).
+    *
+    * Scale shape: identical skeleton to [[rarityStats]] — explode →
+    * (doc, bigram) hash aggregate (map-side combine absorbs repeated
+    * bigrams before the shuffle), df = second aggregate of the
+    * postings (skew-safe for viral bigrams), AQE-decided join back on
+    * the bigram key, final per-doc aggregate. The bigram vocabulary is
+    * larger than the unigram one, which RAISES the value of partial
+    * aggregation and changes nothing structurally; the hashed-shingle
+    * lever ([[graft.operators.Dedup.withHashedShingles]]) applies
+    * identically if the string keys ever dominate shuffle bytes. */
+  def bigramRarity(docs: DataFrame): DataFrame = {
+    val bigrams = expr(
+      "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)), " +
+        "i -> array_join(slice(split(text, ' '), i, 2), ' '))")
+    val postings = graft.operators.Dedup.spread(docs)
+      .select(col("doc_id"), explode(bigrams).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    postings.join(dfs, Seq("term"))
+      .groupBy("doc_id").agg(
+        sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("df")).as("sum_df"),
+        min(col("df")).as("min_df"),
+        sum(when(col("df") === 1L, col("tf")).otherwise(0L)).as("n_uniq"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_df"), col("min_df"),
+        (col("sum_df").cast("double") / col("n_bigrams").cast("double"))
+          .as("mean_df"),
+        (col("n_uniq").cast("double") / col("n_bigrams").cast("double"))
+          .as("uniq_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document top-k TF-IDF keyword extraction. idf is the
     * RATIONAL Robertson surrogate (N − df + 0.5)/(df + 0.5) — the
     * same log-free monotone form [[bm25TopK]] uses, because `ln` is

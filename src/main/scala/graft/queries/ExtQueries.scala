@@ -58,6 +58,9 @@ object ExtQueries {
     // exact + TRUE — the row matches iff the bound held).
     "ev_approx_users" -> ((s, d) =>
       Events.approxUsersDaily(events(s, d), rsd = 0.05, maxRelErr = 0.15)),
+    // Markov next-event transition matrix: per-user adjacency pairs →
+    // (type, next_type) counts with conditional probabilities.
+    "ev_transitions" -> ((s, d) => Events.transitionMatrix(events(s, d))),
     // Moving ROWS frame: trailing-5-event sum/count per user (decimal-
     // exact; a moving AVG would divide differently across engines).
     "ev_moving_window" -> ((s, d) => {
@@ -310,6 +313,16 @@ object ExtQueries {
         |      ORDER BY file_size DESC, filename) AS INT) AS rnk
         |  FROM files)
         |WHERE rnk <= 3 ORDER BY path, rnk""".stripMargin),
+    "ev_transitions" ->
+      """WITH m AS (
+        |  SELECT event_type, lead(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (SELECT event_type, next_type, COUNT(*) AS n FROM m
+        |  WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_type, n,
+        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE) AS p
+        |FROM c ORDER BY event_type, next_type""".stripMargin,
     "ev_moving_window" ->
       """SELECT event_id, user_id,
         |  COUNT(*) OVER w AS n_in_window,

@@ -42,6 +42,11 @@ object PipelineQueries {
     // MinHash + banded LSH candidates, exact-Jaccard verified.
     "dd_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(docs(s, d), n = 3, numHashes = 12, bands = 4, threshold = 0.5)),
+    // MinHash estimator-quality contract: signature-agreement Ĵ vs
+    // exact Jaccard over the verified pair set; mean |Ĵ−J| ≤ 0.2
+    // (oracle = exact pair count + TRUE; matches iff the bound held).
+    "dd_minhash_est" -> ((s, d) =>
+      Dedup.minhashEstQuality(docs(s, d), n = 3, numHashes = 24, threshold = 0.5)),
     // Per-doc 32-bit SimHash signatures.
     "dd_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
     // Near-dup clusters: connected components over the jaccard pairs
@@ -114,6 +119,11 @@ object PipelineQueries {
     "dd_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(docs(s, d), maxHamming = 3)),
     // Embedding-cosine near-dup pairs (exact brute-force baseline).
     "ss_cosine_pairs" -> ((s, d) => Similarity.cosinePairs(emb(s, d), threshold = 0.4)),
+    // Threshold-sweep histogram: exact pair counts per 0.05 cosine
+    // band from 0.3 — pays the block-pair comparison once, reads every
+    // candidate dedup cutoff off the bands.
+    "ss_sim_hist" -> ((s, d) =>
+      Similarity.cosineHistogram(emb(s, d), lo = 0.3, step = 0.05)),
     // Embedding-cosine near-duplicate DOCUMENT pairs: docs joined to
     // their embedding rows, then cosine pairing — the "semantic dedup"
     // stage of a training-data pipeline. Runs the block-pair equi-join
@@ -207,6 +217,18 @@ object PipelineQueries {
       recallContract(e, graft.operators.Ivf.topkIvf(e, queryMod = 50L, k = 5)
         .select(col("query_id"), col("cand_id")))
     }),
+    // Int8 scalar quantization under the same contract, at a HIGH
+    // bound: quantization is near-lossless ranking (unlike the lossy
+    // cell/bucket pruning above), so mean recall@5 of the pure-int8
+    // scan must clear 0.8 — measured ≈ 0.95+ on the testdata; a
+    // regression in the quantizer (wrong scale, overflow, truncation
+    // instead of round) lands far below it.
+    "ss_quantize_recall" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val e = emb(s, d)
+      recallContract(e, Similarity.topkQuantized(e, queryMod = 50L, k = 5)
+        .select(col("query_id"), col("cand_id")), bound = 0.8)
+    }),
     // The PERSISTED-IVF path under the same contract: build the index
     // through the snapshot protocol (inverted lists bucketed by cell,
     // centroids in atomic meta), answer the identical query set from
@@ -279,6 +301,9 @@ object PipelineQueries {
     // Token-rarity stats vs the corpus's own dfs (log-free
     // self-perplexity surrogate; exact-integer micro-average).
     "ta_rarity" -> ((s, d) => TextAnalysis.rarityStats(docs(s, d))),
+    // Bigram-order rarity: mean bigram df + corpus-unique-bigram share
+    // (novel-phrasing signal; exact integers, one final division).
+    "ta_bigram_rarity" -> ((s, d) => TextAnalysis.bigramRarity(docs(s, d))),
     // Lee et al. 2022 duplicate-text rate: share of each doc's distinct
     // 3-gram shingles that occur in ≥ 1 other document.
     "dd_dup_ngram_rate" -> ((s, d) => Dedup.dupNgramRate(docs(s, d), n = 3)),
@@ -348,6 +373,10 @@ object PipelineQueries {
           (col("t_dup").cast("double") / col("t_sh")).as("dup_ngram_rate"))
         .orderBy("source")
     }),
+    // Per-source exact-duplication scorecard: duplicate docs/chars a
+    // dedup pass would delete from each source (keeper = global min
+    // doc_id per content hash, credited to its own source).
+    "tp_dedup_by_source" -> ((s, d) => Dedup.dedupStatsBySource(docs(s, d))),
     // Count-min-sketch heavy hitters: exact top-10 + the CMS ε-bound
     // verdict (oracle = exact + TRUE; matches iff the bound held).
     "ta_heavy_hitters" -> ((s, d) =>
@@ -373,7 +402,8 @@ object PipelineQueries {
     * IVF paths: mean recall@5 vs the exact scan must clear 0.4 (the
     * near-isotropic-testdata bound — see ss_topk_ivf_recall's comment).
     * `ann` = (query_id, cand_id) for queries {vec_id % 50 == 0}. */
-  private def recallContract(corpus: DataFrame, ann: DataFrame): DataFrame = {
+  private def recallContract(corpus: DataFrame, ann: DataFrame,
+      bound: Double = 0.4): DataFrame = {
     import org.apache.spark.sql.functions._
     val brute = Similarity.topkBrute(corpus, queryMod = 50L, k = 5)
       .select(col("query_id"), col("cand_id"))
@@ -384,7 +414,7 @@ object PipelineQueries {
       .select((coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_brute"))
         .as("recall"))
       .agg(count(lit(1)).as("n_queries"),
-        (avg(col("recall")) >= 0.4).as("mean_recall_ok"))
+        (avg(col("recall")) >= bound).as("mean_recall_ok"))
   }
 
   private val T = OracleSql.T
@@ -506,6 +536,21 @@ object PipelineQueries {
          |    (${dotSql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cosine
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |WHERE cosine >= 0.45 ORDER BY doc_a, doc_b""".stripMargin,
+    // contract row: the pair COUNT is the exact-Jaccard pair count
+    // (the same set dd_ngram_jaccard verifies member-by-member), the
+    // boolean is the estimator bound's verdict
+    "dd_minhash_est" ->
+      s"""WITH sh AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM documents),
+         |sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh FROM sh),
+         |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs, TRUE AS mean_err_ok
+         |FROM common JOIN sizes sa ON common.doc_a = sa.doc_id
+         |            JOIN sizes sb ON common.doc_b = sb.doc_id
+         |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5""".stripMargin,
     "dd_minhash_lsh" -> {
       val mhs = (0 until 12).map(i =>
         s"list_min(list_transform(shingles, s -> md5('$i|' || s))) AS mh$i").mkString(",\n  ")
@@ -586,6 +631,22 @@ object PipelineQueries {
          |  CAST(t_dup AS DOUBLE) / t_sh AS dup_ngram_rate
          |FROM base JOIN dupsrc USING (source)
          |ORDER BY source""".stripMargin,
+    "tp_dedup_by_source" ->
+      """WITH g AS (
+        |  SELECT md5(text) AS fp, source, COUNT(*) AS n,
+        |    MIN(doc_id) AS src_min, MIN(n_chars) AS n_chars
+        |  FROM documents GROUP BY 1, 2),
+        |k AS (SELECT fp, MIN(src_min) AS keeper FROM g GROUP BY fp)
+        |SELECT source,
+        |  CAST(SUM(n) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n - CASE WHEN src_min = keeper THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_docs,
+        |  CAST(SUM(n - CASE WHEN src_min = keeper THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(n) AS DOUBLE) AS dup_rate,
+        |  CAST(SUM((n - CASE WHEN src_min = keeper THEN 1 ELSE 0 END) * n_chars)
+        |    AS BIGINT) AS chars_dup
+        |FROM g JOIN k USING (fp)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "dd_corpus_diff" ->
       """WITH oldv AS (SELECT doc_id, md5(text) AS old_fp FROM documents),
         |newv AS (
@@ -724,6 +785,20 @@ object PipelineQueries {
          |    (${dotSql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cosine
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    // same pair stream as ss_cosine_pairs' oracle; identical IEEE
+    // banding arithmetic (floor((c - lo)/step), clamp at the top band)
+    "ss_sim_hist" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+         |p AS (
+         |  SELECT (${dotSql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cosine
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+         |f AS (SELECT LEAST(CAST(FLOOR((cosine - 0.3) / 0.05) AS INT), 13) AS band
+         |  FROM p WHERE cosine >= 0.3)
+         |SELECT band,
+         |  0.3 + CAST(band AS DOUBLE) * 0.05 AS band_lo,
+         |  0.3 + CAST(band + 1 AS DOUBLE) * 0.05 AS band_hi,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM f GROUP BY band ORDER BY band""".stripMargin,
     "dd_embedding" ->
       s"""WITH j AS (SELECT vec_id, embedding FROM embeddings
          |  JOIN documents ON vec_id = doc_id),
@@ -798,6 +873,10 @@ object PipelineQueries {
     "ss_topk_ivf_recall" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS mean_recall_ok
         |FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id % 50 = 0)""".stripMargin,
+    // identical contract shape at the int8-quantization bound (0.8)
+    "ss_quantize_recall" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS mean_recall_ok
+        |FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id % 50 = 0)""".stripMargin,
     // identical contract for the persisted-index path
     "ss_topk_ivf_index_recall" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS mean_recall_ok
@@ -839,6 +918,26 @@ object PipelineQueries {
          |  CAST(sum(tf * df) AS BIGINT) AS sum_df,
          |  CAST(min(df) AS BIGINT) AS min_df,
          |  CAST(sum(tf * df) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS mean_df
+         |FROM postings JOIN dfs USING (term)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // bigram multiset = adjacent token pairs (short docs clamp to one
+    // truncated gram, same greatest(...,1) convention as the shingle
+    // helper); stats are exact ints + two final divisions
+    "ta_bigram_rarity" ->
+      s"""WITH bg AS (SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, greatest(len($T) - 1, 1)),
+         |      i -> array_to_string(list_slice($T, i, i + 1), ' '))) AS term
+         |  FROM documents),
+         |postings AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM bg GROUP BY 1, 2),
+         |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY 1)
+         |SELECT doc_id,
+         |  CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(tf * df) AS BIGINT) AS sum_df,
+         |  CAST(min(df) AS BIGINT) AS min_df,
+         |  CAST(sum(tf * df) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS mean_df,
+         |  CAST(sum(CASE WHEN df = 1 THEN tf ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(tf) AS DOUBLE) AS uniq_frac
          |FROM postings JOIN dfs USING (term)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // score = tf · (N − df + 0.5)/(df + 0.5), the same rational

@@ -394,6 +394,31 @@ object Events {
         col("total").cast("double").as("total_value"))
       .orderBy("event_type")
 
+  /** Markov next-event transition matrix: for each ordered pair of
+    * event types, how many times a user's event of type A was
+    * immediately followed by one of type B, and the conditional
+    * probability P(next=B | cur=A). The classic input to behavioral
+    * path analysis / next-action models.
+    *
+    * Scale shape: ONE shuffle on user_id for the `lead` window (the
+    * per-user sequence is the only ordering this needs); the
+    * (type, next_type) aggregate map-side-combines |types|² keys, so
+    * the reduce side is tiny at any corpus size. The probability
+    * normalization is a window over the AGGREGATED matrix — O(|types|²)
+    * rows, not raw input (allow-listed shape: window-over-aggregate).
+    * Division is double-over-exact-ints — bit-identical cross-engine
+    * (same convention as [[tumblingHourly]]'s final cast). */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = events.select(col("event_type"),
+        lead(col("event_type"), 1).over(byUser).as("next_type"))
+      .filter(col("next_type").isNotNull)
+    pairs.groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("event_type")).cast("double"))
+      .orderBy("event_type", "next_type")
+  }
+
   // ------------------------------------------------------------ streaming
 
   /** Unbounded source over a directory of parquet event files. */

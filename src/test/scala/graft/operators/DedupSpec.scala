@@ -24,6 +24,23 @@ class DedupSpec extends SparkSpec {
     assert(dup.getAs[Long]("keep_doc_id") == 1L)
   }
 
+  test("dedupStatsBySource attributes non-keeper copies to their own source") {
+    // fp X: docs 1 (src a, keeper), 2 (src b), 3 (src b) — b holds 2 dups
+    // fp Y: docs 4 (src b, keeper) — unique
+    // fp Z: docs 5 (src a, keeper), 6 (src a) — a holds 1 dup
+    val d = Seq(
+      (1L, "same text", "a", 9L), (2L, "same text", "b", 9L),
+      (3L, "same text", "b", 9L), (4L, "unique b", "b", 8L),
+      (5L, "other text", "a", 10L), (6L, "other text", "a", 10L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val r = Dedup.dedupStatsBySource(d).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3), x.getLong(4))).toSeq
+    assert(r == Seq(
+      ("a", 3L, 1L, 1.0 / 3.0, 10L),
+      ("b", 3L, 2L, 2.0 / 3.0, 18L)))
+  }
+
   test("jaccard pairs: exact set similarity with threshold") {
     // 9-token docs → 7 distinct 3-gram shingles each.
     // d1 vs d2: identical → J = 1. d1 vs d3: differ in token 5 ("jumps"/
@@ -37,6 +54,21 @@ class DedupSpec extends SparkSpec {
       Set((1L, 2L), (1L, 3L), (2L, 3L)))
     assert(loose.find(r => r.getLong(0) == 1L && r.getLong(1) == 3L)
       .get.getAs[Double]("jaccard") == 0.4)
+  }
+
+  test("minhashEstQuality: identical docs estimate J=1 exactly; bound verdict") {
+    val r = Dedup.minhashEstQuality(docs, n = 3, numHashes = 24, threshold = 0.5)
+      .collect().head
+    // only (1,2) clears 0.5, identical shingle sets → identical
+    // signatures → est = 1 = J, zero error
+    assert(r.getAs[Long]("n_pairs") == 1L)
+    assert(r.getAs[Boolean]("mean_err_ok"))
+    // at threshold 0.35 the (1,3)/(2,3) pairs at J=0.4 join the set:
+    // a 24-hash estimator must still land within the 0.2 bound
+    val loose = Dedup.minhashEstQuality(docs, n = 3, numHashes = 24, threshold = 0.35)
+      .collect().head
+    assert(loose.getAs[Long]("n_pairs") == 3L)
+    assert(loose.getAs[Boolean]("mean_err_ok"))
   }
 
   test("jaccard maxDocFreq cap drops only pairs connected through hot shingles") {

@@ -33,6 +33,45 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - math.sqrt(2)) < 1e-12)
   }
 
+  test("cosineHistogram bands exact pair counts, top band clamped closed") {
+    // pairs among {0,1,4} have cos 1.0 → top band (13, clamped);
+    // pairs of {0,1,4}×{2} have cos 1/√2 ≈ 0.7071 → band 8; {3} none ≥ 0.3
+    val h = Similarity.cosineHistogram(emb, lo = 0.3, step = 0.05).collect()
+      .map(r => r.getAs[Int]("band") ->
+        (r.getAs[Double]("band_lo"), r.getAs[Long]("n_pairs"))).toMap
+    assert(h.keySet == Set(8, 13))
+    assert(h(8)._2 == 3L && h(13)._2 == 3L)
+    assert(h(8)._1 == 0.3 + 8 * 0.05)
+  }
+
+  test("quantized: codes fit int8, scale is corpus max-abs, dequantization is tight") {
+    // mixed magnitudes so the shared scale is exercised: 2.0 is the max
+    val e = Seq(
+      (1L, Array.tabulate(64)(i => if (i == 0) 2.0f else 0.5f)),
+      (2L, Array.tabulate(64)(i => if (i == 1) -1.0f else 0.25f))
+    ).toDF("vec_id", "embedding").withColumn("label", lit(0))
+    val q = Similarity.quantized(e).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("scale"), r.getSeq[Byte](r.fieldIndex("q")))).toMap
+    assert(q(1L)._1 == 2.0 && q(2L)._1 == 2.0)
+    // 2.0/2.0*127 = 127; 0.5/2.0*127 = 31.75 → 32; -1.0 → -64 (half-up
+    // rounds away from zero on negatives via Spark's HALF_UP)
+    assert(q(1L)._2.head == 127.toByte && q(1L)._2(1) == 32.toByte)
+    assert(q(2L)._2(1) == -64.toByte && q(2L)._2.head == 16.toByte)
+    // every code within half-step of the exact value
+    q.values.foreach { case (scale, codes) =>
+      assert(codes.forall(c => c >= -127 && c <= 127))
+    }
+  }
+
+  test("topkQuantized reproduces the exact ranking on separated vectors") {
+    val top = Similarity.topkQuantized(emb, queryMod = 50L, k = 3).collect()
+      .map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("cand_id")))
+    val exact = Similarity.topkBrute(emb, queryMod = 50L, k = 3).collect()
+      .map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("cand_id")))
+    assert(top.toSeq == exact.toSeq)
+  }
+
   test("cosinePairs finds all high-cosine pairs exactly once, a < b") {
     val pairs = Similarity.cosinePairs(emb, threshold = 0.99).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -173,6 +173,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) == ((2L, 3L, 1L, 3.0 / 2.0)))
   }
 
+  test("bigramRarity: occurrence-weighted bigram dfs and unique share") {
+    val df = mk(
+      (1L, "a b a b c", "en"),  // bigrams: "a b","b a","a b","b c" → tf("a b")=2
+      (2L, "a b x", "en"),      // bigrams: "a b","b x"
+      (3L, "solo", "en"))       // 1 token → clamped single gram "solo"
+    val out = TextAnalysis.bigramRarity(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_df"),
+          r.getAs[Long]("min_df"), r.getAs[Double]("uniq_frac"))).toMap
+    // doc 1: "a b" df=2 (docs 1,2), "b a" df=1, "b c" df=1 →
+    // sum_df = 2*2 + 1 + 1 = 6 over 4 occurrences; unique occ = 2/4
+    assert(out(1L) == ((4L, 6L, 1L, 0.5)))
+    // doc 2: "a b" df=2, "b x" df=1 → sum 3; unique 1/2
+    assert(out(2L) == ((2L, 3L, 1L, 0.5)))
+    // doc 3: the clamped gram "solo" occurs only here → df=1, all unique
+    assert(out(3L) == ((1L, 1L, 1L, 1.0)))
+  }
+
   test("tfidfTopK: rare terms outrank common ones, k bound, ties by term") {
     val df = mk(
       (1L, "shared shared rare1 rare1 rare1", "en"),

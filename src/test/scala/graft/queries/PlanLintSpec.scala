@@ -46,6 +46,11 @@ class PlanLintSpec extends SparkSpec {
       "in the LSH/IVF top-k, which are equi-join plans"),
     "ss_topk_ivf_index_recall" -> ("same contract as ss_topk_ivf_recall for the " +
       "persisted-index path"),
+    "ss_quantize_recall" -> ("both sides of the contract are reviewed brute " +
+      "scans: the int8 ranking intentionally runs the same " +
+      "broadcast-query/stream-corpus shape as ss_topk_brute (that IS the " +
+      "quantized deployment's scan), and the recall check compares it against " +
+      "the exact brute baseline"),
     "q_acctbal_quartiles_approx" -> ("the broadcast side is ONE scalar-aggregate " +
       "row (the approx-percentile boundaries) — the scalar-subquery execution " +
       "shape, bounded by construction"),

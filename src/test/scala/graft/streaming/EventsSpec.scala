@@ -52,6 +52,26 @@ class EventsSpec extends SparkSpec {
       ("2024-01-01", 2L, 2L), ("2024-01-02", 0L, 2L), ("2024-01-03", 1L, 3L)))
   }
 
+  test("transitionMatrix counts per-user adjacent pairs with row-normalized p") {
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "click", 1.0, "{}"),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "view", 1.0, "{}"),
+      (4L, ts("2024-01-01 10:03:00"), 1L, "purchase", 1.0, "{}"),
+      (5L, ts("2024-01-01 09:00:00"), 2L, "view", 1.0, "{}"),
+      (6L, ts("2024-01-01 09:05:00"), 2L, "view", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Events.transitionMatrix(e).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(r == Seq(
+      ("click", "view", 1L, 1.0),
+      ("view", "click", 1L, 1.0 / 3.0),
+      ("view", "purchase", 1L, 1.0 / 3.0),
+      ("view", "view", 1L, 1.0 / 3.0)))
+    // no cross-user pair: user 2's last view never links to user 1
+    assert(r.map(_._3).sum == 4L)
+  }
+
   test("typeTotalsSalted equals the plain groupBy totals") {
     val plain = Events.topUsers(events, k = 100) // any exact aggregate as sanity
     assert(plain.count() == 2)
