@@ -267,6 +267,56 @@ object CorpusOps {
     * functions that turn totals into shares run over the AGGREGATED
     * frame — one row per source — so the single-partition window is
     * O(#sources), never O(corpus). */
+  /** Per-source quality gate: keep each source's best `keepFrac` of
+    * documents by the composite quality score (ties broken by doc_id)
+    * — the FineWeb-style curation step that filters every provider to
+    * its own bar instead of one global threshold that would empty the
+    * noisiest source and keep all of the cleanest.
+    *
+    * EXACT form: per-source quota k_s = floor(n_s · keepFrac) from a
+    * tiny count aggregate (broadcast back), then a row_number window
+    * partitioned by source. The window is the honest cost: at 100 TB
+    * a hot source is one giant sort partition, so this form is for
+    * moderate per-source volumes / backfill audits — the production
+    * scan-scale twin is [[qualityGateApprox]], which replaces the
+    * rank with an approx-percentile threshold filter (no sort at
+    * all) and is contract-checked against this form's quotas. */
+  def qualityGate(docs: DataFrame, keepFrac: Double = 0.4): DataFrame = {
+    val scored = Dedup.spread(docs).select(col("doc_id"), col("source"),
+      graft.operators.TextAnalysis.qualityCol.as("q"))
+    val quotas = scored.groupBy("source")
+      .agg(floor(count(lit(1)) * keepFrac).cast("long").as("k"))
+    val w = Window.partitionBy("source").orderBy(col("q").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), Seq("source"))
+      .filter(col("rnk") <= col("k"))
+      .select(col("doc_id"), col("source"), col("q"), col("rnk"))
+      .orderBy("doc_id")
+  }
+
+  /** The scan-scale quality gate: per-source cutoff from
+    * approx_percentile (one pass, mergeable sketch, NO per-source
+    * sort), filter q above it. Loses exactness at the boundary — the
+    * contract row asserts each source's kept count lands within
+    * `tol` of the exact quota, so sketch drift is a red row, not a
+    * silent corpus shift. Output: one row per source with the exact
+    * integer counts and the verdict (oracle emits counts + TRUE). */
+  def qualityGateApprox(docs: DataFrame, keepFrac: Double = 0.4,
+      tol: Double = 0.05): DataFrame = {
+    val scored = Dedup.spread(docs).select(col("doc_id"), col("source"),
+      graft.operators.TextAnalysis.qualityCol.as("q"))
+    val cuts = scored.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      percentile_approx(col("q"), lit(1.0 - keepFrac), lit(10000)).as("cut"))
+    scored.join(broadcast(cuts), Seq("source"))
+      .groupBy(col("source"), col("n_docs"))
+      .agg(sum(when(col("q") >= col("cut"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("source"), col("n_docs"),
+        (abs(col("n_kept") - floor(col("n_docs") * keepFrac)) <=
+          greatest(ceil(col("n_docs") * tol), lit(2.0))).as("within_tol"))
+      .orderBy("source")
+  }
+
   def sourceMix(docs: DataFrame): DataFrame = {
     val agg = docs.groupBy("source").agg(
       count(lit(1)).as("n_docs"),

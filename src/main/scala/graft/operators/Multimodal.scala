@@ -20,6 +20,12 @@ case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Int, frame_md5: Stri
 case class ImageDecoded(doc_id: Long, format: String, width: Int,
     height: Int, n_pixels: Long, valid: Boolean)
 
+/** One 64-bit perceptual average-hash, split into two unsigned 32-bit
+  * halves so both engines carry it in a plain non-negative BIGINT
+  * (bit 63 of a single packed long would wrap negative on one side
+  * and overflow a DuckDB HUGEINT→BIGINT cast on the other). */
+case class PHash(doc_id: Long, ahash_hi: Long, ahash_lo: Long)
+
 /** Multimodal-column operators for a training-data pipeline: treat
   * image/audio/video as opaque `binary` columns with typed metadata,
   * processed by batch-shaped `mapPartitions` stages (the JVM analogue
@@ -93,15 +99,21 @@ object Multimodal {
     def dimsFor(textLen: Int): (Int, Int) =
       (8 + textLen % 57, 8 + (textLen.toLong * 7 % 41).toInt)
 
-    /** Encode a real PNG with a fixed pixel pattern. */
-    def encodePng(docId: Long, w: Int, h: Int): Array[Byte] = {
+    /** Encode a real PNG with a fixed pixel pattern. With `perturb`,
+      * pixels on the sparse (x+y) % 19 == 0 diagonal grid get a
+      * half-intensity offset BEFORE the modulus — a deterministic
+      * "small visual edit" that leaves most of the image (and so most
+      * aHash cells) untouched, giving the perceptual-dedup operators a
+      * corpus with genuine near-duplicate image pairs. */
+    def encodePng(docId: Long, w: Int, h: Int, perturb: Boolean = false): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          img.setRGB(x, y, (((docId * 31 + x * 7 + y * 13) % 0xFFFFFF)).toInt)
+          val bump = if (perturb && (x + y) % 19 == 0) 8388608L else 0L
+          img.setRGB(x, y, ((docId * 31 + x * 7 + y * 13 + bump) % 0xFFFFFF).toInt)
           x += 1
         }
         y += 1
@@ -109,6 +121,37 @@ object Multimodal {
       val out = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", out)
       out.toByteArray
+    }
+
+    /** 64-bit average-hash from REAL decoded pixels: nearest-neighbor
+      * 8×8 downsample, integer BT.601 grayscale, threshold at the
+      * integer mean — all integer arithmetic, so the hash is exactly
+      * reproducible from the pixel-generation formula (the oracle's
+      * independent derivation). Returns (hi 32 bits, lo 32 bits). */
+    def ahash(img: java.awt.image.BufferedImage): (Long, Long) = {
+      val w = img.getWidth; val h = img.getHeight
+      val gray = new Array[Int](64)
+      var j = 0
+      while (j < 8) {
+        var i = 0
+        while (i < 8) {
+          val v = img.getRGB(i * w / 8, j * h / 8) & 0xFFFFFF
+          gray(j * 8 + i) =
+            ((v >> 16) * 299 + ((v >> 8) & 255) * 587 + (v & 255) * 114) / 1000
+          i += 1
+        }
+        j += 1
+      }
+      val mean = gray.sum / 64
+      var hi = 0L; var lo = 0L
+      var c = 0
+      while (c < 64) {
+        if (gray(c) > mean) {
+          if (c < 32) lo |= 1L << c else hi |= 1L << (c - 32)
+        }
+        c += 1
+      }
+      (hi, lo)
     }
 
     /** Decode: true dimensions from the bytes, or None if not an image. */
@@ -143,6 +186,80 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "payload")
+  }
+
+  /** [[imageTable]] plus near-duplicate VARIANTS: every tenth image
+    * (base doc_id % 30 == 0) also ships a perturbed copy under
+    * doc_id + 1000000 — the corpus shape perceptual dedup exists for
+    * (re-encodes/small edits of the same picture). Same sort-first
+    * spread and partition-local encode as the base table. */
+  def imageTableWithVariants(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val base = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), length(col("text")).cast("int").as("text_len"),
+        lit(false).as("perturb"))
+    val variants = docs.filter(col("doc_id") % 30 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        length(col("text")).cast("int").as("text_len"), lit(true).as("perturb"))
+    graft.operators.Dedup.orderedSpread(base.unionByName(variants), "doc_id")
+      .as[(Long, Int, Boolean)]
+      .mapPartitions { batch =>
+        batch.map { case (docId, textLen, perturb) =>
+          val (w, h) = ImageCodec.dimsFor(textLen)
+          // variants render the BASE doc's pattern (+ the perturbation)
+          val patternId = if (perturb) docId - 1000000L else docId
+          (docId, ImageCodec.encodePng(patternId, w, h, perturb))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Perceptual-hash extraction: decode each PNG (real codec) and
+    * aHash its pixels. Payloads never leave the partition; only the
+    * 24-byte (id, hi, lo) rows continue downstream. */
+  def imagePHash(spark: SparkSession, images: DataFrame): Dataset[PHash] = {
+    import spark.implicits._
+    images.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (docId, payload) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          val (hi, lo) = ImageCodec.ahash(img)
+          PHash(docId, hi, lo)
+        }
+      }
+  }
+
+  /** Near-duplicate IMAGE pairs by aHash hamming distance ≤
+    * `maxHamming`, pigeonhole-blocked: the 64 hash bits split into 9
+    * chunks (eight 7-bit + one 8-bit), so any pair within hamming 8
+    * agrees on at least one chunk and only chunk-bucket-mates are ever
+    * compared — the [[graft.operators.Dedup.simhashPairs]] recipe one
+    * level up in hash width. Random unrelated hashes agree on a 7-bit
+    * chunk with p ≈ 2⁻⁷, so candidate fan-out stays near-linear while
+    * recall at ≤ 8 is exact, not probabilistic. */
+  def phashPairs(hashes: DataFrame, maxHamming: Int = 8): DataFrame = {
+    require(maxHamming <= 8, "9-chunk blocking only guarantees recall for hamming <= 8")
+    val full = shiftleft(col("ahash_hi"), 32).bitwiseOR(col("ahash_lo"))
+    val chunkDefs = (0 until 9).map { c =>
+      val width = if (c == 8) 8 else 7
+      struct(lit(c).as("chunk"),
+        expr(s"shiftrightunsigned(full, ${7 * c}) & ${(1 << width) - 1}").as("cval"))
+    }
+    val chunks = hashes.withColumn("full", full)
+      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+        explode(array(chunkDefs: _*)).as("ck"))
+      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+        col("ck.chunk").as("chunk"), col("ck.cval").as("cval"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (expr("bit_count(a.ahash_hi ^ b.ahash_hi)") +
+          expr("bit_count(a.ahash_lo ^ b.ahash_lo)")).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
   }
 
   /** REAL decode stage: javax.imageio reads each PNG's true dimensions

@@ -51,7 +51,16 @@ object CorpusQueries {
     "tp_source_mix" -> ((s, d) => CorpusOps.sourceMix(docs(s, d))),
     // Temperature-scaled (α = 1/2) mixture weights — sqrt-smoothed
     // shares with an exact decimal-summed normalizer.
-    "tp_temperature_mix" -> ((s, d) => CorpusOps.temperatureMix(docs(s, d)))
+    "tp_temperature_mix" -> ((s, d) => CorpusOps.temperatureMix(docs(s, d))),
+    // Per-source quality gate: keep each source's best 40% by the
+    // composite quality score (exact per-source rank form).
+    "tp_quality_gate" -> ((s, d) =>
+      CorpusOps.qualityGate(docs(s, d), keepFrac = 0.4)),
+    // The scan-scale twin: approx-percentile cutoffs, no per-source
+    // sort; contract row per source asserts the kept count lands
+    // within tolerance of the exact quota.
+    "tp_quality_gate_approx" -> ((s, d) =>
+      CorpusOps.qualityGateApprox(docs(s, d), keepFrac = 0.4, tol = 0.05))
   )
 
   private val T = OracleSql.T
@@ -150,6 +159,27 @@ object CorpusQueries {
          |  FROM t)
          |SELECT source, n_docs, n_tokens, token_share, scaled_share,
          |  scaled_share / zn AS temp_weight
-         |FROM z ORDER BY source""".stripMargin
+         |FROM z ORDER BY source""".stripMargin,
+    // same composite-quality expression as ta_quality's oracle; the
+    // rank order (q DESC, doc_id) is deterministic because both
+    // engines hold bit-identical q doubles
+    "tp_quality_gate" ->
+      s"""WITH s AS (SELECT doc_id, source,
+         |    least(CAST(n_chars AS DOUBLE) / 400.0, CAST(1.0 AS DOUBLE)) * 0.4
+         |    + (CAST(1.0 AS DOUBLE) - CAST(len(list_filter($T, t -> t IN ('the', 'a'))) AS DOUBLE) / len($T)) * 0.3
+         |    + CAST(len(list_distinct($T)) AS DOUBLE) / len($T) * 0.3 AS q
+         |  FROM documents),
+         |c AS (SELECT source, CAST(floor(count(*) * 0.4) AS BIGINT) AS k
+         |  FROM s GROUP BY source),
+         |r AS (SELECT doc_id, source, q,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY q DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM s)
+         |SELECT doc_id, source, q, rnk FROM r JOIN c USING (source)
+         |WHERE rnk <= k ORDER BY doc_id""".stripMargin,
+    // contract row: exact integer counts + the tolerance verdict
+    "tp_quality_gate_approx" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs, TRUE AS within_tol
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 }

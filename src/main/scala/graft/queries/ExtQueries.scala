@@ -100,6 +100,23 @@ object ExtQueries {
       Multimodal.decodeImages(s,
           Multimodal.imageTable(s, Tables.documents(s, d)))
         .toDF()),
+    // Perceptual average-hash over REAL decoded pixels (base images +
+    // perturbed near-dup variants): the oracle re-derives every hash
+    // from the pixel-generation formula, so a row matches only if the
+    // PNG encode → decode → 8×8 downsample → threshold pipeline is
+    // bit-exact end to end. Ordering from the pre-codec sort.
+    "mm_phash" -> ((s, d) =>
+      Multimodal.imagePHash(s,
+          Multimodal.imageTableWithVariants(s, Tables.documents(s, d)))
+        .toDF()),
+    // Near-dup image pairs at hamming ≤ 8, pigeonhole-blocked; the
+    // oracle runs the same threshold over its formula-derived hashes
+    // as an all-pairs join — recall of the 9-chunk blocking is exact,
+    // so the two pair sets must be identical.
+    "mm_phash_pairs" -> ((s, d) =>
+      Multimodal.phashPairs(
+        Multimodal.imagePHash(s,
+          Multimodal.imageTableWithVariants(s, Tables.documents(s, d))).toDF())),
     // Percent-of-total via an unbounded window: event-type share of
     // all events (double division of exact integer counts — bit-
     // identical across engines, unlike decimal/decimal division).
@@ -150,6 +167,40 @@ object ExtQueries {
 
   private val mediaTypeSql =
     "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
+
+  /** Shared CTE chain deriving every image's aHash halves from the
+    * pixel-generation formula — the independent twin of the real
+    * PNG encode → ImageIO decode → Multimodal.ImageCodec.ahash path.
+    * Ends with a relation `h(out_id, ahash_hi, ahash_lo)`. */
+  private val phashCte: String =
+    """WITH imgs AS (
+      |  SELECT doc_id AS out_id, doc_id AS base_id, 0 AS pert, length(text) AS n
+      |  FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, doc_id, 1, length(text)
+      |  FROM documents WHERE doc_id % 30 = 0),
+      |dims AS (SELECT out_id, base_id, pert,
+      |    8 + n % 57 AS w, 8 + (n * 7) % 41 AS h FROM imgs),
+      |cells AS (SELECT out_id, base_id, pert, w, h,
+      |    unnest(generate_series(0, 63)) AS c FROM dims),
+      |px AS (SELECT out_id, base_id, pert, c,
+      |    ((c % 8) * w) // 8 AS x, ((c // 8) * h) // 8 AS y FROM cells),
+      |v AS (SELECT out_id, c,
+      |    (base_id * 31 + x * 7 + y * 13
+      |     + CASE WHEN pert = 1 AND (x + y) % 19 = 0 THEN 8388608 ELSE 0 END)
+      |      % 16777215 AS val
+      |  FROM px),
+      |gray AS (SELECT out_id, c,
+      |    ((val // 65536) * 299 + ((val // 256) % 256) * 587 + (val % 256) * 114)
+      |      // 1000 AS gy
+      |  FROM v),
+      |m AS (SELECT out_id, SUM(gy) // 64 AS mean FROM gray GROUP BY out_id),
+      |h AS (SELECT g.out_id,
+      |    CAST(SUM(CASE WHEN gy > mean AND c >= 32
+      |      THEN (CAST(1 AS BIGINT) << (c - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+      |    CAST(SUM(CASE WHEN gy > mean AND c < 32
+      |      THEN (CAST(1 AS BIGINT) << c) ELSE 0 END) AS BIGINT) AS ahash_lo
+      |  FROM gray g JOIN m USING (out_id) GROUP BY g.out_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "ev_tumbling_hourly" ->
@@ -376,6 +427,19 @@ object ExtQueries {
         |    AS n_pixels,
         |  TRUE AS valid
         |FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin,
+    "mm_phash" ->
+      s"""$phashCte
+         |SELECT out_id AS doc_id, ahash_hi, ahash_lo FROM h
+         |ORDER BY doc_id""".stripMargin,
+    "mm_phash_pairs" ->
+      s"""$phashCte
+         |SELECT a.out_id AS doc_a, b.out_id AS doc_b,
+         |  CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))
+         |     + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS INT) AS hamming
+         |FROM h a JOIN h b ON a.out_id < b.out_id
+         |WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
+         |    + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 8
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "mm_frames" ->
       """WITH f AS (
         |  SELECT doc_id, CAST(unnest(generate_series(0,

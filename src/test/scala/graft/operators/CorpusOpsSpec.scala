@@ -104,6 +104,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(shards.head == 0L && shards.sliding(2).forall(p => p(0) <= p(1)))
   }
 
+  test("qualityGate keeps each source's top floor(n*frac) by score, ties by doc_id") {
+    // single-token docs: stopRatio 0, distinctRatio 1 → q ranks by n_chars
+    def doc(id: Long, len: Int, src: String) = (id, "w" * len, "en", src, len.toLong)
+    val d = Seq(
+      doc(1, 10, "a"), doc(2, 50, "a"), doc(3, 100, "a"), doc(4, 200, "a"),
+      doc(5, 30, "a"),
+      doc(6, 20, "b"), doc(7, 80, "b"), doc(8, 40, "b")
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = CorpusOps.qualityGate(d, keepFrac = 0.4).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rnk"))).toSeq
+    // a: k = floor(5·0.4) = 2 → docs 4 (rank 1), 3 (rank 2);
+    // b: k = floor(3·0.4) = 1 → doc 7
+    assert(kept == Seq((3L, 2L), (4L, 1L), (7L, 1L)))
+
+    val ok = CorpusOps.qualityGateApprox(d, keepFrac = 0.4).collect()
+      .map(r => (r.getString(0), r.getAs[Boolean]("within_tol")))
+    assert(ok.toSeq == Seq(("a", true), ("b", true)))
+  }
+
   test("sourceMix: shares sum to 1, uniform weights equalize token mass") {
     val docs = mkDocs(Seq(
       1L -> "a b c d e f g h",      // 8 tokens

@@ -72,6 +72,40 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0L).n_pixels == w.toLong * h)
   }
 
+  test("ahash: deterministic from pixels; perturbed variant is near, not equal") {
+    val (w, h) = (57, 43)
+    def hashOf(perturb: Boolean): (Long, Long) = {
+      val png = Multimodal.ImageCodec.encodePng(12345L, w, h, perturb)
+      Multimodal.ImageCodec.ahash(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png)))
+    }
+    val base = hashOf(perturb = false)
+    assert(base == hashOf(perturb = false)) // byte-for-byte reproducible
+    val variant = hashOf(perturb = true)
+    val hamming = java.lang.Long.bitCount(base._1 ^ variant._1) +
+      java.lang.Long.bitCount(base._2 ^ variant._2)
+    assert(hamming > 0 && hamming <= 8, s"hamming=$hamming")
+    // halves are unsigned 32-bit
+    assert(base._1 >= 0 && base._1 <= 0xFFFFFFFFL && base._2 >= 0 && base._2 <= 0xFFFFFFFFL)
+  }
+
+  test("imagePHash + phashPairs: variant pairs with its base, unrelated images don't") {
+    // doc_ids 0, 30, 33: all % 3 == 0 → images; 0 and 30 also get
+    // perturbed variants (+1000000)
+    val d = Seq(
+      (0L, "x" * 40, "en", "s", 40L),
+      (30L, "y" * 61, "en", "s", 61L),
+      (33L, "z" * 95, "en", "s", 95L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val hashes = Multimodal.imagePHash(
+      spark, Multimodal.imageTableWithVariants(spark, d)).toDF()
+    assert(hashes.count() == 5) // 3 bases + 2 variants
+    val pairs = Multimodal.phashPairs(hashes, maxHamming = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1000000L)))
+    assert(pairs.contains((30L, 1000030L)))
+  }
+
   test("resizeMeta caps the long side at maxSide, preserving aspect ratio") {
     val r = Multimodal.resizeMeta(
       Multimodal.decodeMetadata(spark, Multimodal.mediaTable(docs)), maxSide = 128)
