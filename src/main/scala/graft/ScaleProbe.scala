@@ -103,6 +103,17 @@ object ScaleProbe {
       // postings/df/top-k pipeline both claim O(index) cost
       run("dup_ngram_rate", k, graft.operators.Dedup.dupNgramRateRaw(docsAt(k)))
       run("tfidf_top", k, graft.operators.TextAnalysis.tfidfTopK(docsAt(k), k = 5))
+      // round-4 wave 2: the two quality-gate forms (the exact
+      // per-source rank vs the sort-free approx-cutoff scan — the
+      // curves SHOW the window's cost growing while the scan stays
+      // flat) and the full real-codec perceptual-hash pipeline
+      // (encode → decode → aHash → banded pair join)
+      run("quality_gate", k, graft.operators.CorpusOps.qualityGate(docsAt(k)))
+      run("quality_gate_approx", k,
+        graft.operators.CorpusOps.qualityGateApprox(docsAt(k)))
+      run("phash_pairs", k, graft.operators.Multimodal.phashPairs(
+        graft.operators.Multimodal.imagePHash(spark,
+          graft.operators.Multimodal.imageTableWithVariants(spark, docsAt(k))).toDF()))
     }
     spark.stop()
   }

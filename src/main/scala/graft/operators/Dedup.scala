@@ -113,21 +113,24 @@ object Dedup {
     * this source (all copies share the text, so the group's n_chars
     * multiplies the dropped count).
     *
-    * Scale shape: one hash aggregate on (fp, source) — map-side
-    * combine collapses intra-partition copies before the shuffle —
-    * then a second aggregate of THAT (unique-content-sized) table on
-    * fp for the global keeper, joined back on fp. Both sides of the
-    * join come out of aggregates hash-partitioned on fp, so the join
-    * reuses the exchange instead of re-shuffling; the final per-source
-    * rollup is |sources|-sized. Nothing touches raw text twice and no
-    * window runs over raw input. */
+    * Scale shape: ONE pass over the text — a hash aggregate on
+    * (fp, source) with map-side combine — then the global keeper as a
+    * `min() over (partition by fp)` window on that unique-content-
+    * sized table (a group spans at most |sources| rows, so the window
+    * key can never be hot). The aggregate-then-rejoin formulation
+    * reads cleaner but plans as TWO full corpus scans (Catalyst does
+    * not share the un-materialized aggregate across a self-join) —
+    * at 100 TB the second text+md5 pass is the whole cost, so the
+    * window form wins. Final per-source rollup is |sources|-sized. */
   def dedupStatsBySource(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val g = docs.groupBy(md5(col("text")).as("fp"), col("source"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("src_min"),
         min(col("n_chars")).as("n_chars"))
-    val keepers = g.groupBy("fp").agg(min(col("src_min")).as("keeper"))
+    val withKeeper = g.withColumn("keeper",
+      min(col("src_min")).over(Window.partitionBy("fp")))
     val dupN = col("n") - when(col("src_min") === col("keeper"), 1L).otherwise(0L)
-    g.join(keepers, Seq("fp"))
+    withKeeper
       .groupBy("source").agg(
         sum(col("n")).as("n_docs"),
         sum(dupN).as("n_dup_docs"),
