@@ -113,4 +113,53 @@ object Ivf {
       .filter(col("rnk") <= k)
       .orderBy("query_id", "rnk")
   }
+
+  /** The production ANN composition: IVF cells prune the candidate set
+    * (touch nProbe/nCentroids of the corpus per query), int8 codes
+    * score it — FAISS's IVF+SQ8 shape. The corpus-side scan carries
+    * cell id + 64 one-byte codes per vector (~70 bytes vs ~512 for
+    * raw doubles): at 100 TB the inverted lists ARE the working set,
+    * so the two levers compound — the coarse quantizer bounds how much
+    * is read, the scalar quantizer shrinks every byte of it.
+    *
+    * Cell assignment uses the exact vectors (training is the cheap,
+    * once-per-index step; a code-space assignment would move cell
+    * boundaries); ranking runs entirely on codes. One scan builds
+    * cells and codes together. Recall vs the exact scan is pinned by
+    * the ss_topk_ivfq_recall contract row at the IVF bound (the int8
+    * ranking loss is negligible next to cell pruning — measured by
+    * ss_quantize_recall's own 0.8 bound on the same data). */
+  def topkIvfQuantized(emb: DataFrame, queryMod: Long = 50L, k: Int = 5,
+      nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val prep = OpCaches.track(
+      Similarity.prepared(emb).select(col("vec_id"), col("v")))
+    val centroids = trainOnPrepared(prep, nCentroids, iters)
+    // one pass attaches BOTH the cell id and the int8 codes
+    val e = OpCaches.track(
+      prep.crossJoin(broadcast(Similarity.quantScale(emb)))
+        .withColumn("cell", assign(centroids))
+        .withColumn("qv", VectorOps.toDouble(Similarity.quantCodes(col("v"))))
+        .withColumn("qn", VectorOps.norm(col("qv")))
+        .select(col("vec_id"), col("v"), col("cell"), col("qv"), col("qn")))
+
+    val cellScores = array(centroids.map(c => score(col("v"), c)): _*)
+    val qCells = e.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("qn").as("qqn"),
+        posexplode(cellScores).as(Seq("cell", "cscore")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cscore").desc, col("cell"))))
+      .filter(col("rnk") <= nProbe)
+      .select("query_id", "qqv", "qqn", "cell")
+
+    val w = Window.partitionBy("query_id").orderBy(col("qcos").desc, col("cand_id"))
+    broadcast(qCells)
+      .join(e.select(col("vec_id").as("cand_id"), col("qv").as("cqv"),
+        col("qn").as("cqn"), col("cell")), "cell")
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (VectorOps.dot(col("qqv"), col("cqv")) / (col("qqn") * col("cqn"))).as("qcos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy("query_id", "rnk")
+  }
 }

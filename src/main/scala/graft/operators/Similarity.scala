@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -371,16 +371,20 @@ object Similarity {
     * round — bit-identical on any engine/partitioning. Scale shape:
     * one tiny aggregate (a single max), broadcast back over the corpus
     * scan; the quantization itself is a narrow codegen projection. */
-  def quantized(emb: DataFrame): DataFrame = {
-    val v = VectorOps.toDouble(col("embedding"))
-    val scaleRow = emb.agg(
-      max(aggregate(v, lit(0.0d), (acc, x) => greatest(acc, abs(x)))).as("scale"))
-    emb.select(col("vec_id"), v.as("v"))
-      .crossJoin(broadcast(scaleRow))
-      .select(col("vec_id"), col("scale"),
-        transform(col("v"), x => round(x / col("scale") * 127.0d, 0).cast("tinyint"))
-          .as("q"))
-  }
+  /** One-row (scale) frame: the corpus max |coordinate| — the shared
+    * symmetric quantization scale. */
+  private[operators] def quantScale(emb: DataFrame): DataFrame =
+    emb.agg(max(aggregate(VectorOps.toDouble(col("embedding")), lit(0.0d),
+      (acc, x) => greatest(acc, abs(x)))).as("scale"))
+
+  /** int8 code array for a double-array column under `scale`. */
+  private[operators] def quantCodes(v: Column): Column =
+    transform(v, x => round(x / col("scale") * 127.0d, 0).cast("tinyint"))
+
+  def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(quantScale(emb)))
+      .select(col("vec_id"), col("scale"), quantCodes(col("v")).as("q"))
 
   /** Approximate top-k over the QUANTIZED corpus: the ranking runs
     * entirely on int8 codes (integer dot products and integer-code

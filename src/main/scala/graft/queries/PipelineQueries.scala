@@ -217,6 +217,16 @@ object PipelineQueries {
       recallContract(e, graft.operators.Ivf.topkIvf(e, queryMod = 50L, k = 5)
         .select(col("query_id"), col("cand_id")))
     }),
+    // The composed production shape — IVF cell pruning + int8 scoring
+    // (FAISS IVF+SQ8) — under the IVF bound: the coarse quantizer is
+    // the recall-limiting stage, the int8 ranking loss is noise next
+    // to it (ss_quantize_recall pins that stage alone at 0.8).
+    "ss_topk_ivfq_recall" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val e = emb(s, d)
+      recallContract(e, graft.operators.Ivf.topkIvfQuantized(e, queryMod = 50L, k = 5)
+        .select(col("query_id"), col("cand_id")))
+    }),
     // Int8 scalar quantization under the same contract, at a HIGH
     // bound: quantization is near-lossless ranking (unlike the lossy
     // cell/bucket pruning above), so mean recall@5 of the pure-int8
@@ -871,6 +881,10 @@ object PipelineQueries {
     // identical plane family — one ground truth, two execution paths
     "ss_topk_ann_index" -> topkLshSql,
     "ss_topk_ivf_recall" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS mean_recall_ok
+        |FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id % 50 = 0)""".stripMargin,
+    // identical contract for the IVF+int8 composition
+    "ss_topk_ivfq_recall" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS mean_recall_ok
         |FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id % 50 = 0)""".stripMargin,
     // identical contract shape at the int8-quantization bound (0.8)

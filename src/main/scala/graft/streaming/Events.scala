@@ -43,6 +43,14 @@ case class FunnelState(lastType: String, lastTsUs: Long,
   * event time in micros), emitted exactly once per user. */
 case class FirstSeen(userId: Long, dayUs: Long)
 
+/** One observed (event_type → next event_type) adjacency — the delta
+  * feed whose plain count aggregate IS the transition matrix. */
+case class TransitionDelta(eventType: String, nextType: String)
+
+/** Keyed per-user adjacency state: the last event's (type, micros,
+  * id) — O(1) per user regardless of stream length. */
+case class TransState(lastType: String, lastTsUs: Long)
+
 /** Event analytics over the `events` table (event_id, ts, user_id,
   * event_type, value, props), in two forms:
   *
@@ -572,6 +580,32 @@ object Events {
     * in-order-per-user delivery inside it, the streaming counts equal
     * the batch backfill. Unlike sessionization there is nothing to
     * time out: state is two counters and one event, not a window. */
+  /** Streaming twin of [[transitionMatrix]]: keyed state carries only
+    * each user's LAST event across batch boundaries; every observed
+    * adjacency is emitted as a delta row, so the matrix itself is a
+    * downstream count aggregate of the delta feed (incrementally
+    * maintainable, or batch-aggregated at read time). State is O(1)
+    * per user — the stream can run forever. */
+  def streamingTransitions(spark: SparkSession, events: DataFrame): Dataset[TransitionDelta] = {
+    import spark.implicits._
+    events.withWatermark("ts", "2 hours")
+      .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS ts_us")
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TransState, TransitionDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[TransState]) =>
+          var s = state.getOption.getOrElse(TransState(null, Long.MinValue))
+          val out = Seq.newBuilder[TransitionDelta]
+          rows.toSeq.sortBy(r => (r._4, r._2)).foreach { case (_, _, typ, tsUs) =>
+            if (s.lastType != null) out += TransitionDelta(s.lastType, typ)
+            s = TransState(typ, tsUs)
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
   def streamingFunnel(spark: SparkSession, events: DataFrame,
       withinMinutes: Int = 10): Dataset[FunnelUpdate] = {
     import spark.implicits._

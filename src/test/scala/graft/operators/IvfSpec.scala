@@ -39,6 +39,24 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.95, s"recall=$recall ivf=${ivf.size} brute=${brute.size}")
   }
 
+  test("topkIvfQuantized keeps every neighbor inside the query's cluster") {
+    // int8 resolution is 1/127 ≈ 0.8% of the max coordinate — the
+    // fixture's 1% intra-cluster jitter sits AT that limit, so exact
+    // within-cluster rank order may legitimately shift under codes.
+    // What quantization must NOT lose is the coarse structure: with
+    // separated clusters, all k neighbors of every query stay
+    // cluster-mates (cross-cluster cosine ≈ 0 survives any 0.8% noise).
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Ivf.topkIvfQuantized(emb, queryMod = 50L, k = 5, nCentroids = 6, nProbe = 3)
+      .collect()
+    assert(rows.length == 15) // 3 queries × k
+    rows.foreach { r =>
+      val (q, c) = (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))
+      assert(labels(q) == labels(c), s"query $q got cross-cluster neighbor $c")
+    }
+  }
+
   test("topkIvf output shape: k rows per query, ranked by cosine desc") {
     val out = Ivf.topkIvf(emb, queryMod = 50L, k = 3, nCentroids = 6, nProbe = 6)
     val perQuery = out.collect().groupBy(_.getAs[Long]("query_id"))

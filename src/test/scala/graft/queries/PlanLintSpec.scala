@@ -46,6 +46,9 @@ class PlanLintSpec extends SparkSpec {
       "in the LSH/IVF top-k, which are equi-join plans"),
     "ss_topk_ivf_index_recall" -> ("same contract as ss_topk_ivf_recall for the " +
       "persisted-index path"),
+    "ss_topk_ivfq_recall" -> ("the recall CONTRACT compares the IVF+int8 " +
+      "composition against the brute exact scan, inheriting " +
+      "ss_topk_brute's reviewed nested loop"),
     "ss_quantize_recall" -> ("both sides of the contract are reviewed brute " +
       "scans: the int8 ranking intentionally runs the same " +
       "broadcast-query/stream-corpus shape as ss_topk_brute (that IS the " +

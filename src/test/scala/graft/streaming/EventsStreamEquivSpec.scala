@@ -92,6 +92,22 @@ class EventsStreamEquivSpec extends SparkSpec {
     }
   }
 
+  test("randomized: streamingTransitions delta counts equal the batch matrix") {
+    val log = randomEvents(seed = 7321L, n = 140, nUsers = 6)
+    val q = Events.streamingTransitions(spark, asMicroBatches(log, nFiles = 4))
+      .toDF().writeStream.format("memory").queryName("equiv_trans")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val streamed = spark.table("equiv_trans").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val batch = Events.transitionMatrix(log.toDF(cols: _*)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    assert(batch.nonEmpty && batch.values.sum > 50)
+    assert(streamed == batch,
+      s"streamed=$streamed\nbatch=$batch")
+  }
+
   test("randomized: streamingAsof enrichment equals the batch asofPrior backfill") {
     val log = randomEvents(seed = 77L, n = 160, nUsers = 7)
     val batchDf = log.toDF(cols: _*)
