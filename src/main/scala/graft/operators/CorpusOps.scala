@@ -317,6 +317,38 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  /** Epoch token-budget allocation: split an integer token budget
+    * across sources exactly proportionally to their token mass, by
+    * largest-remainder apportionment — base_s = ⌊budget·tokens_s /
+    * total⌋, then the leftover budget − Σbase goes to the sources with
+    * the largest division remainders (ties by source name). The
+    * allocations are INTEGERS that sum to the budget exactly — the
+    * contract a dataloader schedule needs (float shares never sum
+    * clean, and per-engine rounding of shares would drift).
+    *
+    * All arithmetic is 64-bit integer (div/mod), so the result is
+    * bit-identical on any engine and any partitioning. budget·tokens
+    * must fit a long — at 10¹³ corpus tokens that bounds budget at
+    * ~10⁵; lift to decimal(38,0) if a bigger product is ever needed.
+    *
+    * Scale shape: one corpus aggregate; every window (total, leftover,
+    * remainder rank) runs over the one-row-per-source frame. */
+  def mixSchedule(docs: DataFrame, budget: Long = 100000L): DataFrame = {
+    val byAll = Window.partitionBy()
+    val a = docs.groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .withColumn("total", sum(col("n_tokens")).over(byAll))
+      .withColumn("base", expr(s"(n_tokens * ${budget}L) div total"))
+      .withColumn("rem", expr(s"(n_tokens * ${budget}L) % total"))
+    a.withColumn("give", lit(budget) - sum(col("base")).over(byAll))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+      .select(col("source"), col("n_tokens"), col("base"),
+        when(col("rk") <= col("give"), 1L).otherwise(0L).as("extra"),
+        (col("base") + when(col("rk") <= col("give"), 1L).otherwise(0L)).as("alloc"))
+      .orderBy("source")
+  }
+
   def sourceMix(docs: DataFrame): DataFrame = {
     val agg = docs.groupBy("source").agg(
       count(lit(1)).as("n_docs"),

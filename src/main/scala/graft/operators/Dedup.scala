@@ -247,6 +247,50 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Cross-document duplicated-SPAN structure per document: the
+    * positional refinement of [[dupNgramRate]]. Where the rate says
+    * "35% of this doc's grams occur elsewhere", the span stats say
+    * whether that duplication is one long copied block (a quote, a
+    * template, a mirrored article — the spans Lee et al. 2022 cut) or
+    * scattered single grams (idiom-level noise): `max_run` = the
+    * longest run of CONSECUTIVE positions whose gram appears in ≥ 2
+    * documents, `n_dup_grams` = flagged positions (occurrence-
+    * weighted, unlike the rate's distinct-shingle count). Within-doc
+    * repetition is deliberately out of scope ([[TextAnalysis
+    * .repetitionStats]] owns it): the shared-set df counts distinct
+    * docs.
+    *
+    * Scale shape: positional grams explode once (hashed, 8-byte keys);
+    * the shared set is the same df-aggregate as the rate; the
+    * gaps-and-islands pass (pos − row_number) runs per doc_id — a
+    * fine-grained partition key, so no hot partitions — and only
+    * FLAGGED positions enter it. */
+  def dupSpans(docs: DataFrame, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gramsExpr = expr(
+      s"transform(sequence(1, greatest(size(split(text, ' ')) - ${n - 1}, 1)), " +
+        s"i -> xxhash64(array_join(slice(split(text, ' '), i, $n), ' ')))")
+    val posGrams = OpCaches.track(spread(docs).select(col("doc_id"),
+      posexplode(gramsExpr).as(Seq("pos", "shingle"))))
+    val shared = posGrams.select("doc_id", "shingle").distinct()
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2L).select("shingle")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = posGrams.join(shared, Seq("shingle"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("doc_id").agg(max(col("run")).as("max_run"),
+        sum(col("run")).as("n_dup_grams"))
+    docs.select(col("doc_id"),
+        greatest(size(split(col("text"), " ")) - (n - 1), lit(1))
+          .cast("long").as("n_grams"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash ESTIMATOR-QUALITY contract: over the exact near-dup pair
     * set (jaccard ≥ threshold), compare the signature-agreement
     * estimate Ĵ = |{i : mhᵃᵢ = mhᵇᵢ}| / k against the exact Jaccard

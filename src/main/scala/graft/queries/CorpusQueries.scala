@@ -60,7 +60,11 @@ object CorpusQueries {
     // sort; contract row per source asserts the kept count lands
     // within tolerance of the exact quota.
     "tp_quality_gate_approx" -> ((s, d) =>
-      CorpusOps.qualityGateApprox(docs(s, d), keepFrac = 0.4, tol = 0.05))
+      CorpusOps.qualityGateApprox(docs(s, d), keepFrac = 0.4, tol = 0.05)),
+    // Largest-remainder token-budget apportionment: integer
+    // allocations summing EXACTLY to the budget.
+    "tp_mix_schedule" -> ((s, d) =>
+      CorpusOps.mixSchedule(docs(s, d), budget = 100000L))
   )
 
   private val T = OracleSql.T
@@ -180,6 +184,20 @@ object CorpusQueries {
     // contract row: exact integer counts + the tolerance verdict
     "tp_quality_gate_approx" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs, TRUE AS within_tol
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // identical 64-bit integer div/mod apportionment
+    "tp_mix_schedule" ->
+      s"""WITH a AS (SELECT source, CAST(sum(len($T)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT *, CAST(sum(n_tokens) OVER () AS BIGINT) AS total FROM a),
+         |b AS (SELECT *, (n_tokens * 100000) // total AS base,
+         |    (n_tokens * 100000) % total AS rem FROM t),
+         |g AS (SELECT *, CAST(100000 - sum(base) OVER () AS BIGINT) AS give,
+         |    CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rk
+         |  FROM b)
+         |SELECT source, n_tokens, CAST(base AS BIGINT) AS base,
+         |  CAST(CASE WHEN rk <= give THEN 1 ELSE 0 END AS BIGINT) AS extra,
+         |  CAST(base + CASE WHEN rk <= give THEN 1 ELSE 0 END AS BIGINT) AS alloc
+         |FROM g ORDER BY source""".stripMargin
   )
 }

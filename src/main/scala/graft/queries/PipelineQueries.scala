@@ -317,6 +317,10 @@ object PipelineQueries {
     // Lee et al. 2022 duplicate-text rate: share of each doc's distinct
     // 3-gram shingles that occur in ≥ 1 other document.
     "dd_dup_ngram_rate" -> ((s, d) => Dedup.dupNgramRate(docs(s, d), n = 3)),
+    // The positional refinement: longest CONSECUTIVE duplicated-gram
+    // run per doc (one copied block vs scattered idioms) + flagged
+    // position count — gaps-and-islands over the shared-gram set.
+    "dd_dup_spans" -> ((s, d) => Dedup.dupSpans(docs(s, d), n = 3)),
     // Corpus-release diff against a synthetic v2 (deterministic:
     // %7==0 deleted, %5==0 modified, %11==0 re-added under +100000) —
     // added/modified re-enter the pipeline, deleted retires indexes.
@@ -588,6 +592,29 @@ object PipelineQueries {
          |ORDER BY doc_a, doc_b""".stripMargin
     },
     // string-shingle twin of the hashed-space Spark plan: counts agree
+    // positional (non-distinct) grams; islands via pos − row_number
+    // (1-based vs Spark's 0-based pos — a constant shift, so runs and
+    // counts are identical); shared set = distinct-doc df ≥ 2
+    "dd_dup_spans" ->
+      s"""WITH base AS (SELECT doc_id, $T AS T FROM documents),
+         |pg AS (SELECT doc_id, T,
+         |    unnest(generate_series(1, greatest(len(T) - 2, 1))) AS pos FROM base),
+         |g AS (SELECT doc_id, pos,
+         |    array_to_string(list_slice(T, pos, pos + 2), ' ') AS gram FROM pg),
+         |shared AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+         |  GROUP BY gram HAVING count(*) >= 2),
+         |f AS (SELECT doc_id, pos FROM g JOIN shared USING (gram)),
+         |runs AS (SELECT doc_id,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM f),
+         |r AS (SELECT doc_id, count(*) AS run FROM runs GROUP BY doc_id, grp),
+         |agg AS (SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_dup_grams,
+         |    CAST(max(run) AS BIGINT) AS max_run FROM r GROUP BY doc_id),
+         |sz AS (SELECT doc_id,
+         |    CAST(greatest(len($T) - 2, 1) AS BIGINT) AS n_grams FROM documents)
+         |SELECT sz.doc_id, n_grams,
+         |  coalesce(n_dup_grams, 0) AS n_dup_grams,
+         |  coalesce(max_run, 0) AS max_run
+         |FROM sz LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     // modulo 64-bit shingle-hash collisions (~|sh|²/2⁶⁵ — immaterial),
     // same convention as the dd_ngram_jaccard family.
     "dd_dup_ngram_rate" ->

@@ -123,6 +123,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(ok.toSeq == Seq(("a", true), ("b", true)))
   }
 
+  test("mixSchedule: largest-remainder allocations sum exactly to the budget") {
+    def doc(id: Long, nTok: Int, src: String) = {
+      val text = (1 to nTok).map(i => s"t$i").mkString(" ")
+      (id, text, "en", src, text.length.toLong)
+    }
+    // tokens a=5, b=3, c=2; budget 7: bases 3/2/1 (sum 6), remainders
+    // 5/1/4 → the leftover unit goes to a → allocs 4/2/1, sum 7
+    val d = Seq(doc(1, 5, "a"), doc(2, 3, "b"), doc(3, 2, "c"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusOps.mixSchedule(d, budget = 7L).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("base"), r.getAs[Long]("extra"),
+        r.getAs[Long]("alloc")))
+    assert(out.toSeq == Seq(("a", 3L, 1L, 4L), ("b", 2L, 0L, 2L), ("c", 1L, 0L, 1L)))
+    assert(out.map(_._4).sum == 7L)
+    // tie remainders: equal sources, budget not divisible — ties break
+    // by source name, total still exact
+    val e = Seq(doc(1, 1, "x"), doc(2, 1, "y"), doc(3, 1, "z"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out2 = CorpusOps.mixSchedule(e, budget = 10L).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("alloc")))
+    assert(out2.toSeq == Seq(("x", 4L), ("y", 3L), ("z", 3L)))
+  }
+
   test("sourceMix: shares sum to 1, uniform weights equalize token mass") {
     val docs = mkDocs(Seq(
       1L -> "a b c d e f g h",      // 8 tokens

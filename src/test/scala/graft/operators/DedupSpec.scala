@@ -56,6 +56,20 @@ class DedupSpec extends SparkSpec {
       .get.getAs[Double]("jaccard") == 0.4)
   }
 
+  test("dupSpans: longest consecutive duplicated-gram run per doc") {
+    val out = Dedup.dupSpans(docs, n = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup_grams"),
+          r.getAs[Long]("max_run"))).toMap
+    // d1 ≡ d2: all 7 grams shared → one run of 7
+    assert(out(1L) == ((7L, 7L, 7L)))
+    assert(out(2L) == ((7L, 7L, 7L)))
+    // d3 differs at token 5: grams 1-2 and 6-7 shared (two runs of 2)
+    assert(out(3L) == ((7L, 4L, 2L)))
+    // d4 disjoint: 7 tokens → 5 grams, none shared
+    assert(out(4L) == ((5L, 0L, 0L)))
+  }
+
   test("minhashEstQuality: identical docs estimate J=1 exactly; bound verdict") {
     val r = Dedup.minhashEstQuality(docs, n = 3, numHashes = 24, threshold = 0.5)
       .collect().head

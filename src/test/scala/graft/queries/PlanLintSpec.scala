@@ -80,6 +80,9 @@ class PlanLintSpec extends SparkSpec {
     "tp_temperature_mix" -> ("same frame as tp_source_mix: the global windows " +
       "(token total, decimal normalizer) run over the one-row-per-source " +
       "aggregate, never the corpus"),
+    "tp_mix_schedule" -> ("largest-remainder apportionment: every window " +
+      "(token total, leftover budget, remainder rank) runs over the " +
+      "one-row-per-source aggregate — domain-bounded, never the corpus"),
     "fi_visualization" -> ("section position ranks run over the top-20 extension " +
       "page and the 12-month timeline — both frames bounded by the section's own " +
       "LIMIT/date-domain, never the raw index"),
