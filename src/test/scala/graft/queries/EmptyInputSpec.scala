@@ -102,6 +102,42 @@ class EmptyInputSpec extends SparkSpec {
     assert(sq.length == 1 && sq(0).getAs[Long]("start_tok") == 0L)
   }
 
+  test("round-4 operators tolerate empty and degenerate inputs") {
+    import spark.implicits._
+    val emptyDocs = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val emptyEv = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(graft.streaming.Events.transitionMatrix(emptyEv).count() == 0)
+    assert(graft.operators.Dedup.dedupStatsBySource(emptyDocs).count() == 0)
+    assert(graft.operators.Dedup.dupSpans(emptyDocs).count() == 0)
+    assert(graft.operators.TextAnalysis.bigramRarity(emptyDocs).count() == 0)
+    assert(graft.operators.CorpusOps.qualityGate(emptyDocs).count() == 0)
+    assert(graft.operators.CorpusOps.qualityGateApprox(emptyDocs).count() == 0)
+    assert(graft.operators.CorpusOps.mixSchedule(emptyDocs).count() == 0)
+    // quantization on an empty corpus: the scale aggregate yields one
+    // null-scale row, but there are no vectors to quantize — empty out
+    assert(graft.operators.Similarity.quantized(emptyEmb).count() == 0)
+    assert(graft.operators.Similarity.topkQuantized(emptyEmb).count() == 0)
+    assert(graft.operators.Similarity.cosineHistogram(emptyEmb).count() == 0)
+    graft.operators.OpCaches.releaseAll()
+    // single-event user: no adjacency → empty matrix, not a null row
+    val oneEv = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+      1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(graft.streaming.Events.transitionMatrix(oneEv).count() == 0)
+    // single tiny doc: one clamped gram shared with nobody → zero spans
+    val degenerate = Seq((1L, "x", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sp = graft.operators.Dedup.dupSpans(degenerate).collect()
+    assert(sp.length == 1 && sp(0).getAs[Long]("max_run") == 0L)
+    // one source, one doc: the whole budget lands on it exactly
+    val ms = graft.operators.CorpusOps.mixSchedule(degenerate, budget = 13L).collect()
+    assert(ms.length == 1 && ms(0).getAs[Long]("alloc") == 13L)
+    graft.operators.OpCaches.releaseAll()
+  }
+
   test("incremental index against a missing snapshot behaves as first full index") {
     val root = Files.createTempDirectory("graft-empty-inc")
     Files.write(root.resolve("only.txt"), "content".getBytes)
