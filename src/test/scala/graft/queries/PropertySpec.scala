@@ -171,4 +171,68 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("property: mixSchedule allocations sum to the budget, each within 1 of exact share") {
+    val srcTok = for {
+      src <- Gen.oneOf("a", "b", "c", "d")
+      n <- Gen.chooseNum(1, 30)
+    } yield (src, n)
+    val budgetGen = Gen.chooseNum(1L, 500L)
+    check(Prop.forAll(Gen.nonEmptyListOf(srcTok), budgetGen) { (rows, budget) =>
+      val docs = rows.zipWithIndex.map { case ((src, n), i) =>
+        val text = (1 to n).map(j => s"w$j").mkString(" ")
+        (i.toLong, text, "en", src, text.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val out = graft.operators.CorpusOps.mixSchedule(docs, budget).collect()
+        .map(r => (r.getString(0), r.getAs[Long]("n_tokens"), r.getAs[Long]("alloc")))
+      val total = out.map(_._2).sum
+      val sumOk = out.map(_._3).sum == budget
+      // largest-remainder quota property: every allocation is within 1
+      // of the exact (real-valued) proportional share
+      val quotaOk = out.forall { case (_, tok, alloc) =>
+        val exact = budget.toDouble * tok / total
+        alloc >= math.floor(exact) - 1e-9 && alloc <= math.ceil(exact) + 1e-9
+      }
+      sumOk && quotaOk
+    })
+  }
+
+  test("property: dupSpans invariants — runs bounded, verbatim copies run full length") {
+    check(Prop.forAll(Gen.listOfN(6, docGen)) { texts =>
+      // plant one guaranteed verbatim duplicate of the first doc
+      val all = (texts :+ texts.head).zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val out = graft.operators.Dedup.dupSpans(all, n = 2).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup_grams"),
+            r.getAs[Long]("max_run")))).toMap
+      graft.operators.OpCaches.releaseAll()
+      val bounds = out.values.forall { case (n, dup, run) =>
+        run <= dup && dup <= n && run >= 0
+      }
+      // the planted copy pair: both docs fully duplicated end-to-end
+      val (n0, d0, r0) = out(0L)
+      bounds && d0 == n0 && r0 == n0
+    })
+  }
+
+  test("property: cosineHistogram band counts total the thresholded pair count") {
+    val vecGen = Gen.listOfN(64, Gen.chooseNum(-5, 5)).map(_.map(_.toFloat / 4f).toArray)
+    check(Prop.forAll(Gen.chooseNum(3, 8), Gen.long) { (nv, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val vecs = (0 until nv).map { i =>
+        val a = Array.tabulate(64)(_ => (rnd.nextInt(11) - 5) / 4f)
+        a(0) = 1.0f // avoid all-zero vectors (norm 0 → NaN cosine)
+        (i.toLong, a)
+      }
+      val emb = vecs.toDF("vec_id", "embedding")
+      // lo below -1: antipodal pairs can land at -1 − ε in floats; a
+      // band floor at exactly -1.0 would drop them from the total
+      val hist = graft.operators.Similarity.cosineHistogram(emb, lo = -1.25, step = 0.25)
+        .collect()
+      val totalPairs = nv.toLong * (nv - 1) / 2
+      hist.map(_.getAs[Long]("n_pairs")).sum == totalPairs
+    })
+  }
 }
