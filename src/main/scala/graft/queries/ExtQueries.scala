@@ -61,6 +61,10 @@ object ExtQueries {
     // Markov next-event transition matrix: per-user adjacency pairs →
     // (type, next_type) counts with conditional probabilities.
     "ev_transitions" -> ((s, d) => Events.transitionMatrix(events(s, d))),
+    // Trailing-7-day distinct users from MERGED daily HLL sketches
+    // (exact + within-bound verdict; oracle emits exact + TRUE).
+    "ev_users_7d_sketch" -> ((s, d) =>
+      Events.slidingUsersSketch(events(s, d), windowDays = 7, maxRelErr = 0.15)),
     // Moving ROWS frame: trailing-5-event sum/count per user (decimal-
     // exact; a moving AVG would divide differently across engines).
     "ev_moving_window" -> ((s, d) => {
@@ -364,6 +368,14 @@ object ExtQueries {
         |      ORDER BY file_size DESC, filename) AS INT) AS rnk
         |  FROM files)
         |WHERE rnk <= 3 ORDER BY path, rnk""".stripMargin),
+    "ev_users_7d_sketch" ->
+      """WITH ud AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+        |spine AS (SELECT DISTINCT day FROM ud)
+        |SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+        |  COUNT(DISTINCT ud.user_id) AS exact_users, TRUE AS within_bound
+        |FROM spine JOIN ud ON ud.day <= spine.day
+        |  AND ud.day >= spine.day - INTERVAL 6 DAY
+        |GROUP BY spine.day ORDER BY day""".stripMargin,
     "ev_transitions" ->
       """WITH m AS (
         |  SELECT event_type, lead(event_type) OVER (

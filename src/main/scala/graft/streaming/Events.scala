@@ -402,6 +402,39 @@ object Events {
         col("total").cast("double").as("total_value"))
       .orderBy("event_type")
 
+  /** Trailing-window distinct users per day via MERGEABLE daily HLL
+    * sketches (Spark 4's Datasketches `hll_*` functions). One corpus
+    * pass builds a sketch per day; a trailing window is then a union
+    * of ≤ `windowDays` sketches over the tiny day table — the
+    * production incremental pattern: store per-day sketches, answer
+    * ANY window (7d, 28d, month-to-date) by merging, never re-touching
+    * the event stream. Contrast [[approxUsersDaily]], which sketches
+    * per-day counts only — union-mergeability is what a single
+    * `approx_count_distinct` cannot give.
+    *
+    * The contract row carries the EXACT trailing count (from distinct
+    * (user, day) pairs — a far smaller relation than events) and the
+    * sketch-within-`maxRelErr` verdict, so sketch drift is a red row.
+    * The day×day range join is domain-bounded (|days|² at most, ≤
+    * windowDays partners per day) — never the event stream. */
+  def slidingUsersSketch(events: DataFrame, windowDays: Int = 7,
+      maxRelErr: Double = 0.15): DataFrame = {
+    val days = events.select(to_date(col("ts")).as("day"), col("user_id"))
+    val daily = days.groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val spine = daily.select(col("day").as("d"))
+    val inWin = col("day") <= col("d") &&
+      col("day") >= date_sub(col("d"), windowDays - 1)
+    val est = spine.join(daily, inWin)
+      .groupBy("d").agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+    val exact = spine.join(days.distinct(), inWin)
+      .groupBy("d").agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(est, Seq("d"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"), col("exact_users"),
+        (abs(col("est_users") - col("exact_users")).cast("double") <=
+          col("exact_users").cast("double") * maxRelErr).as("within_bound"))
+      .orderBy("day")
+  }
+
   /** Markov next-event transition matrix: for each ordered pair of
     * event types, how many times a user's event of type A was
     * immediately followed by one of type B, and the conditional

@@ -68,7 +68,11 @@ class PlanLintSpec extends SparkSpec {
       "scalar-subquery shape, every side bounded by construction"),
     "ev_daily_anomaly" -> ("the day-spine densification crosses the O(days) " +
       "sequence with the O(types) domain — both sides domain-bounded " +
-      "aggregates, never the event stream"))
+      "aggregates, never the event stream"),
+    "ev_users_7d_sketch" -> ("the trailing-window range joins cross the " +
+      "O(days) spine with the per-day sketch table and the distinct " +
+      "(user, day) pairs — all domain-bounded aggregates, never the raw " +
+      "event stream"))
 
   /** Queries whose plans legitimately contain a globally-ordered
     * (empty-partition) window, with the reviewed reason. */

@@ -52,6 +52,23 @@ class EventsSpec extends SparkSpec {
       ("2024-01-01", 2L, 2L), ("2024-01-02", 0L, 2L), ("2024-01-03", 1L, 3L)))
   }
 
+  test("slidingUsersSketch: merged daily sketches match exact trailing distincts") {
+    // users 1,2 on day 1; user 3 on day 3; user 1 again day 9 (outside
+    // the 7-day window of day 3's entry but its own window restarts)
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 2L, "view", 1.0, "{}"),
+      (3L, ts("2024-01-03 10:00:00"), 3L, "view", 1.0, "{}"),
+      (4L, ts("2024-01-09 10:00:00"), 1L, "view", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Events.slidingUsersSketch(e, windowDays = 7).collect()
+      .map(x => (x.getString(0), x.getAs[Long]("exact_users"),
+        x.getAs[Boolean]("within_bound"))).toSeq
+    // day 1: {1,2}; day 3: {1,2,3}; day 9: {3 (day 3 is within 7d), 1}
+    assert(r == Seq(
+      ("2024-01-01", 2L, true), ("2024-01-03", 3L, true), ("2024-01-09", 2L, true)))
+  }
+
   test("transitionMatrix counts per-user adjacent pairs with row-normalized p") {
     val e = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
