@@ -114,6 +114,66 @@ object Ivf {
       .orderBy("query_id", "rnk")
   }
 
+  /** Recall-vs-nProbe curve under EXACT mathematical contracts, not
+    * empirical bounds: probing more cells only ADDS candidates, so
+    * per-query (and therefore mean) recall@k is non-decreasing in
+    * nProbe; and at nProbe = nCentroids the candidate set is the whole
+    * corpus, so the ranking — same (cosine desc, cand_id) tie-break as
+    * the brute scan — is IDENTICAL to exact, recall exactly 1. Those
+    * two properties hold on any data; a violated row means a bug (lost
+    * cells, broken tie-break), not an unlucky corpus. This is the
+    * tuning artifact an operator reads to pick nProbe for a target
+    * recall, produced with ONE training pass and one brute baseline
+    * shared across all probe points.
+    *
+    * Output is a single verdict row; the per-probe recalls are
+    * collected driver-side (|probes| tiny aggregates — same bounded
+    * pattern as centroid training). */
+  def recallCurve(emb: DataFrame, queryMod: Long = 50L, k: Int = 5,
+      nCentroids: Int = 16, probes: Seq[Int] = Seq(1, 2, 4, 8, 16),
+      iters: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val prep = OpCaches.track(
+      Similarity.prepared(emb).select(col("vec_id"), col("v"), col("nrm")))
+    val centroids = trainOnPrepared(prep.select("vec_id", "v"), nCentroids, iters)
+    val e = OpCaches.track(prep.withColumn("cell", assign(centroids)))
+    val brute = OpCaches.track(
+      Similarity.topkBrute(emb, queryMod, k).select("query_id", "cand_id"))
+    val cellScores = array(centroids.map(c => score(col("v"), c)): _*)
+    val qAll = OpCaches.track(
+      e.filter(col("vec_id") % queryMod === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+          posexplode(cellScores).as(Seq("cell", "cscore")))
+        .withColumn("prk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cscore").desc, col("cell")))))
+    val recalls = probes.map { p =>
+      val qCells = qAll.filter(col("prk") <= p).select("query_id", "qv", "qn", "cell")
+      val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))
+      val ann = broadcast(qCells)
+        .join(e.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+          col("nrm").as("cn"), col("cell")), "cell")
+        .filter(col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"),
+          (graft.functions.VectorOps.dot(col("qv"), col("cv")) /
+            (col("qn") * col("cn"))).as("cosine"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select("query_id", "cand_id")
+      val row = brute.join(ann, Seq("query_id", "cand_id"), "left_semi")
+        .agg(count(lit(1))).collect().head.getLong(0)
+      val total = brute.count()
+      p -> (if (total == 0) 1.0 else row.toDouble / total)
+    }
+    val monotone = recalls.map(_._2).sliding(2).forall {
+      case Seq(a, b) => b >= a - 1e-12
+      case _ => true
+    }
+    val fullExact = recalls.toMap.get(nCentroids).forall(_ == 1.0)
+    Seq((probes.size.toLong, monotone, fullExact))
+      .toDF("n_probes_tested", "monotone_ok", "full_probe_exact")
+  }
+
   /** The production ANN composition: IVF cells prune the candidate set
     * (touch nProbe/nCentroids of the corpus per query), int8 codes
     * score it — FAISS's IVF+SQ8 shape. The corpus-side scan carries

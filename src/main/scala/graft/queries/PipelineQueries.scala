@@ -217,6 +217,13 @@ object PipelineQueries {
       recallContract(e, graft.operators.Ivf.topkIvf(e, queryMod = 50L, k = 5)
         .select(col("query_id"), col("cand_id")))
     }),
+    // Recall-vs-nProbe tuning curve under EXACT contracts: recall is
+    // provably non-decreasing in nProbe, and the full probe must equal
+    // the brute ranking bit-for-bit (recall exactly 1) — violations
+    // are bugs, not unlucky data.
+    "ss_recall_curve" -> ((s, d) =>
+      graft.operators.Ivf.recallCurve(emb(s, d), queryMod = 50L, k = 5,
+        nCentroids = 16, probes = Seq(1, 2, 4, 8, 16))),
     // The composed production shape — IVF cell pruning + int8 scoring
     // (FAISS IVF+SQ8) — under the IVF bound: the coarse quantizer is
     // the recall-limiting stage, the int8 ranking loss is noise next
@@ -910,6 +917,10 @@ object PipelineQueries {
     "ss_topk_ivf_recall" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS mean_recall_ok
         |FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id % 50 = 0)""".stripMargin,
+    // exact-property contract row (see the query comment)
+    "ss_recall_curve" ->
+      """SELECT CAST(5 AS BIGINT) AS n_probes_tested,
+        |  TRUE AS monotone_ok, TRUE AS full_probe_exact""".stripMargin,
     // identical contract for the IVF+int8 composition
     "ss_topk_ivfq_recall" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS mean_recall_ok

@@ -57,6 +57,14 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("recallCurve: monotone in nProbe, full probe exactly reproduces brute") {
+    val r = Ivf.recallCurve(emb, queryMod = 50L, k = 5, nCentroids = 6,
+      probes = Seq(1, 2, 3, 6)).collect().head
+    assert(r.getAs[Long]("n_probes_tested") == 4L)
+    assert(r.getAs[Boolean]("monotone_ok"))
+    assert(r.getAs[Boolean]("full_probe_exact"))
+  }
+
   test("topkIvf output shape: k rows per query, ranked by cosine desc") {
     val out = Ivf.topkIvf(emb, queryMod = 50L, k = 3, nCentroids = 6, nProbe = 6)
     val perQuery = out.collect().groupBy(_.getAs[Long]("query_id"))

@@ -46,6 +46,8 @@ class PlanLintSpec extends SparkSpec {
       "in the LSH/IVF top-k, which are equi-join plans"),
     "ss_topk_ivf_index_recall" -> ("same contract as ss_topk_ivf_recall for the " +
       "persisted-index path"),
+    "ss_recall_curve" -> ("the curve's baseline is the reviewed " +
+      "ss_topk_brute scan (one brute pass shared by all probe points)"),
     "ss_topk_ivfq_recall" -> ("the recall CONTRACT compares the IVF+int8 " +
       "composition against the brute exact scan, inheriting " +
       "ss_topk_brute's reviewed nested loop"),
