@@ -93,6 +93,21 @@ object TextAnalysis {
         .otherwise("fr").as("predicted_lang"))
   }
 
+  /** Classifier EVALUATION for [[langId]]: the labeled-vs-predicted
+    * confusion matrix with per-true-language recall shares — the table
+    * that says where the heuristic fails (which languages bleed into
+    * which), the check run before trusting any language gate at
+    * corpus scale. One hash aggregate over the scoring projection; the
+    * share window runs over the |langs|² aggregated matrix. */
+  def langIdConfusion(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    langId(docs).groupBy("lang", "predicted_lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("recall_share", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("lang")).cast("double"))
+      .orderBy("lang", "predicted_lang")
+  }
+
   /** Gopher-style repetition signals: the most frequent token's share
     * of all tokens, the fraction of tokens that repeat an earlier one,
     * and the most frequent word-bigram's share — the standard cheap

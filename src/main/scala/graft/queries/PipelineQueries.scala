@@ -410,6 +410,9 @@ object PipelineQueries {
     "ta_pii" -> ((s, d) => Pii.redact(docs(s, d))),
     // Language-ID n-gram heuristic — argmax of char-bigram profiles.
     "ta_lang_id" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
+    // The classifier's EVALUATION: labeled-vs-predicted confusion
+    // matrix with per-true-language recall shares.
+    "ta_langid_eval" -> ((s, d) => TextAnalysis.langIdConfusion(docs(s, d))),
     // Document fingerprinting — full / prefix / winnowing-min hashes.
     "ta_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(docs(s, d))),
     // Sliding-window chunking — 64-token windows every 48 tokens
@@ -1102,6 +1105,17 @@ object PipelineQueries {
          |   + len(regexp_extract_all(t3, '${Pii.Ipv4Re}')) = 0) AS pii_free,
          |  regexp_replace(t3, '${Pii.Ipv4Re}', '<IP>', 'g') AS redacted
          |FROM r3 ORDER BY doc_id""".stripMargin,
+    "ta_langid_eval" ->
+      s"""WITH p AS (SELECT lang,
+         |    CASE WHEN $sEnSql >= $sDeSql AND $sEnSql >= $sFrSql THEN 'en'
+         |         WHEN $sDeSql >= $sFrSql THEN 'de' ELSE 'fr' END AS predicted_lang
+         |  FROM documents),
+         |c AS (SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM p GROUP BY 1, 2)
+         |SELECT lang, predicted_lang, n,
+         |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE)
+         |    AS recall_share
+         |FROM c ORDER BY lang, predicted_lang""".stripMargin,
     "ta_lang_id" ->
       s"""SELECT doc_id, lang,
          |  $sEnSql AS score_en, $sDeSql AS score_de, $sFrSql AS score_fr,

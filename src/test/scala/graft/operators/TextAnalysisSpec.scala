@@ -173,6 +173,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) == ((2L, 3L, 1L, 3.0 / 2.0)))
   }
 
+  test("langIdConfusion: diagonal cells for clean profiles, shares per true lang") {
+    val df = mk(
+      (1L, "the weather thesis", "en"),
+      (2L, "the other thesis", "en"),
+      (3L, "einer interner termin", "de"))
+    val m = TextAnalysis.langIdConfusion(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("recall_share"))).toMap
+    assert(m(("en", "en")) == ((2L, 1.0)))
+    assert(m(("de", "de")) == ((1L, 1.0)))
+    assert(m.keySet == Set(("en", "en"), ("de", "de")))
+  }
+
   test("bigramRarity: occurrence-weighted bigram dfs and unique share") {
     val df = mk(
       (1L, "a b a b c", "en"),  // bigrams: "a b","b a","a b","b c" → tf("a b")=2
