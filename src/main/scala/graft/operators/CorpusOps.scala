@@ -317,6 +317,29 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  /** Deterministic per-epoch data order: each epoch gets its own
+    * pseudo-random permutation from a content-independent hash key
+    * md5(epoch ":" doc_id) — rerunning a crashed epoch reproduces the
+    * identical order on any cluster, and epochs are decorrelated
+    * without storing a permutation anywhere. This query form emits
+    * each epoch's first `head` positions (the inspectable prefix); the
+    * full-scale layout is the same key fed to `repartitionByRange` +
+    * `sortWithinPartitions` at write time — a range-sorted epoch
+    * directory, NO global window over the corpus (the rank here
+    * compiles to WindowGroupLimit: each map partition prunes to
+    * `head` rows per epoch before the shuffle). */
+  def epochOrder(docs: DataFrame, epochs: Int = 3, head: Int = 20): DataFrame = {
+    val w = Window.partitionBy("epoch").orderBy(col("okey"), col("doc_id"))
+    docs.select(col("doc_id"))
+      .withColumn("epoch", explode(array((1 to epochs).map(lit(_)): _*)))
+      .withColumn("okey", md5(concat(col("epoch").cast("string"), lit(":"),
+        col("doc_id").cast("string"))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= head)
+      .select(col("epoch"), col("rk"), col("doc_id"), col("okey"))
+      .orderBy("epoch", "rk")
+  }
+
   /** Epoch token-budget allocation: split an integer token budget
     * across sources exactly proportionally to their token mass, by
     * largest-remainder apportionment — base_s = ⌊budget·tokens_s /

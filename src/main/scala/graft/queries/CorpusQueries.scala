@@ -64,7 +64,11 @@ object CorpusQueries {
     // Largest-remainder token-budget apportionment: integer
     // allocations summing EXACTLY to the budget.
     "tp_mix_schedule" -> ((s, d) =>
-      CorpusOps.mixSchedule(docs(s, d), budget = 100000L))
+      CorpusOps.mixSchedule(docs(s, d), budget = 100000L)),
+    // Deterministic per-epoch shuffle order (inspectable 20-row prefix
+    // per epoch; WindowGroupLimit prunes pre-shuffle).
+    "tp_epoch_order" -> ((s, d) =>
+      CorpusOps.epochOrder(docs(s, d), epochs = 3, head = 20))
   )
 
   private val T = OracleSql.T
@@ -198,6 +202,16 @@ object CorpusQueries {
          |SELECT source, n_tokens, CAST(base AS BIGINT) AS base,
          |  CAST(CASE WHEN rk <= give THEN 1 ELSE 0 END AS BIGINT) AS extra,
          |  CAST(base + CASE WHEN rk <= give THEN 1 ELSE 0 END AS BIGINT) AS alloc
-         |FROM g ORDER BY source""".stripMargin
+         |FROM g ORDER BY source""".stripMargin,
+    "tp_epoch_order" ->
+      """WITH e AS (SELECT doc_id, unnest(generate_series(1, 3)) AS epoch
+        |  FROM documents),
+        |k AS (SELECT epoch, doc_id,
+        |    md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS okey
+        |  FROM e),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY epoch ORDER BY okey, doc_id) AS BIGINT) AS rk FROM k)
+        |SELECT CAST(epoch AS INT) AS epoch, rk, doc_id, okey
+        |FROM r WHERE rk <= 20 ORDER BY epoch, rk""".stripMargin
   )
 }

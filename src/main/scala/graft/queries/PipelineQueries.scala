@@ -53,6 +53,18 @@ object PipelineQueries {
     // (min-label propagation; oracle = DuckDB recursive CTE).
     "dd_clusters" -> ((s, d) =>
       Dedup.clusters(Dedup.jaccardPairsRaw(docs(s, d), n = 3, threshold = 0.5))),
+    // Cluster-SIZE distribution: how much of the near-dup mass sits in
+    // a few mega-clusters vs long-tail pairs — the number that decides
+    // whether cluster-collapse dedup is worth running at all.
+    "dd_cluster_stats" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Dedup.clusters(Dedup.jaccardPairsRaw(docs(s, d), n = 3, threshold = 0.5))
+        .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+        .orderBy("cluster_size")
+    }),
     // The corpus keep-list after exact + near-dup dedup.
     "dd_keep_list" -> ((s, d) => Dedup.keepList(docs(s, d))),
     // Capstone: the full training-corpus funnel with per-stage counts —
@@ -444,6 +456,30 @@ object PipelineQueries {
   private val T = OracleSql.T
   private def shinglesSql(n: Int): String = OracleSql.shingles(n)
 
+  /** Shared recursive-CTE cluster labeling (ends with relation
+    * `cl(doc_id, cluster)`) — one copy feeds dd_clusters and
+    * dd_cluster_stats so the two can never drift. */
+  private lazy val clustersCteSql: String =
+    s"""WITH RECURSIVE sh AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM documents),
+       |sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh FROM sh),
+       |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |p AS (
+       |  SELECT doc_a, doc_b FROM common
+       |  JOIN sizes sa ON common.doc_a = sa.doc_id
+       |  JOIN sizes sb ON common.doc_b = sb.doc_id
+       |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5),
+       |e AS (SELECT doc_a AS v, doc_b AS u FROM p
+       |      UNION ALL SELECT doc_b AS v, doc_a AS u FROM p),
+       |r(v, u) AS (
+       |  SELECT DISTINCT v, v AS u FROM e
+       |  UNION
+       |  SELECT r.v, e.u FROM r JOIN e ON r.u = e.v),
+       |cl AS (SELECT v AS doc_id, min(u) AS cluster FROM r GROUP BY v)""".stripMargin
+
   /** DuckDB twin of Dedup.withSimhash's 32-bit signature sum. */
   private val simhashSql: String = (0 until 32).map { j =>
     s"CASE WHEN len(list_filter(tokmd5, h -> substr(h, ${j + 1}, 1) >= '8')) * 2 " +
@@ -758,25 +794,14 @@ object PipelineQueries {
          |  n_near_dup_pairs
          |FROM base, dupagg, pairs""".stripMargin,
     "dd_clusters" ->
-      s"""WITH RECURSIVE sh AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM documents),
-         |sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh FROM sh),
-         |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-         |common AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-         |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |p AS (
-         |  SELECT doc_a, doc_b FROM common
-         |  JOIN sizes sa ON common.doc_a = sa.doc_id
-         |  JOIN sizes sb ON common.doc_b = sb.doc_id
-         |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5),
-         |e AS (SELECT doc_a AS v, doc_b AS u FROM p
-         |      UNION ALL SELECT doc_b AS v, doc_a AS u FROM p),
-         |r(v, u) AS (
-         |  SELECT DISTINCT v, v AS u FROM e
-         |  UNION
-         |  SELECT r.v, e.u FROM r JOIN e ON r.u = e.v)
-         |SELECT v AS doc_id, min(u) AS cluster FROM r GROUP BY v ORDER BY doc_id""".stripMargin,
+      s"""$clustersCteSql
+         |SELECT doc_id, cluster FROM cl ORDER BY doc_id""".stripMargin,
+    "dd_cluster_stats" ->
+      s"""$clustersCteSql,
+         |sz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n FROM cl GROUP BY cluster)
+         |SELECT n AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(n * COUNT(*) AS BIGINT) AS n_docs
+         |FROM sz GROUP BY n ORDER BY cluster_size""".stripMargin,
     "dd_keep_list" ->
       s"""WITH RECURSIVE ek AS (
          |  SELECT doc_id, text FROM (

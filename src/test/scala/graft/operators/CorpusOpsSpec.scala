@@ -123,6 +123,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(ok.toSeq == Seq(("a", true), ("b", true)))
   }
 
+  test("epochOrder: deterministic per-epoch permutations, decorrelated across epochs") {
+    val d = mkDocs((1L to 40L).map(i => i -> s"doc $i"))
+      .withColumn("source", expr("'s'"))
+    val a = CorpusOps.epochOrder(d, epochs = 2, head = 10).collect()
+      .map(r => (r.getAs[Int]("epoch"), r.getAs[Long]("rk"), r.getAs[Long]("doc_id")))
+    val b = CorpusOps.epochOrder(d, epochs = 2, head = 10).collect()
+      .map(r => (r.getAs[Int]("epoch"), r.getAs[Long]("rk"), r.getAs[Long]("doc_id")))
+    assert(a.toSeq == b.toSeq) // reproducible across runs
+    assert(a.count(_._1 == 1) == 10 && a.count(_._1 == 2) == 10)
+    // epochs produce different orders (hash keys include the epoch)
+    val e1 = a.filter(_._1 == 1).map(_._3).toSeq
+    val e2 = a.filter(_._1 == 2).map(_._3).toSeq
+    assert(e1 != e2)
+  }
+
   test("mixSchedule: largest-remainder allocations sum exactly to the budget") {
     def doc(id: Long, nTok: Int, src: String) = {
       val text = (1 to nTok).map(i => s"t$i").mkString(" ")
