@@ -320,7 +320,10 @@ object Dedup {
         expr("size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), b -> b))")
           .cast("double") / numHashes.toDouble)
       .agg(count(lit(1)).as("n_pairs"),
-        (avg(abs(col("est") - col("jaccard"))) <= maxMeanAbsErr).as("mean_err_ok"))
+        // vacuously true on an empty survivor set (avg over zero rows
+        // is NULL; the oracle emits (0, TRUE) for that corpus)
+        coalesce(avg(abs(col("est") - col("jaccard"))) <= maxMeanAbsErr,
+          lit(true)).as("mean_err_ok"))
   }
 
   /** Persistable inverted shingle index: (shingle, doc_id, n_sh) —

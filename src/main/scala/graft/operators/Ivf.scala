@@ -147,7 +147,10 @@ object Ivf {
           posexplode(cellScores).as(Seq("cell", "cscore")))
         .withColumn("prk", row_number().over(
           Window.partitionBy("query_id").orderBy(col("cscore").desc, col("cell")))))
-    val recalls = probes.map { p =>
+    // the full-probe point is always tested — without it the
+    // full_probe_exact contract below would be vacuously true
+    val probePts = (probes.filter(_ < nCentroids) :+ nCentroids).distinct.sorted
+    val recalls = probePts.map { p =>
       val qCells = qAll.filter(col("prk") <= p).select("query_id", "qv", "qn", "cell")
       val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))
       val ann = broadcast(qCells)
@@ -169,8 +172,8 @@ object Ivf {
       case Seq(a, b) => b >= a - 1e-12
       case _ => true
     }
-    val fullExact = recalls.toMap.get(nCentroids).forall(_ == 1.0)
-    Seq((probes.size.toLong, monotone, fullExact))
+    val fullExact = recalls.toMap.apply(nCentroids) == 1.0
+    Seq((probePts.size.toLong, monotone, fullExact))
       .toDF("n_probes_tested", "monotone_ok", "full_probe_exact")
   }
 

@@ -216,16 +216,22 @@ object Multimodal {
 
   /** Perceptual-hash extraction: decode each PNG (real codec) and
     * aHash its pixels. Payloads never leave the partition; only the
-    * 24-byte (id, hi, lo) rows continue downstream. */
+    * 24-byte (id, hi, lo) rows continue downstream. Undecodable
+    * payloads (truncated bytes, non-image modalities — ImageIO.read
+    * returns null or throws on those) are dropped rather than killing
+    * the task, mirroring [[decodeDims]]' valid=false contract. */
   def imagePHash(spark: SparkSession, images: DataFrame): Dataset[PHash] = {
     import spark.implicits._
     images.select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { batch =>
-        batch.map { case (docId, payload) =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(payload))
-          val (hi, lo) = ImageCodec.ahash(img)
-          PHash(docId, hi, lo)
+        batch.flatMap { case (docId, payload) =>
+          scala.util.Try(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload)))
+            .toOption.flatMap(Option(_))
+            .map { img =>
+              val (hi, lo) = ImageCodec.ahash(img)
+              PHash(docId, hi, lo)
+            }
         }
       }
   }

@@ -57,15 +57,18 @@ object TextAnalysis {
   private def bigramCount(bg: String): Column =
     (length(col("text")) - length(expr(s"replace(text, '$bg', '')"))) / 2
 
+  private def scoreEn: Column = bigramCount("th") + bigramCount("he")
+  private def scoreDe: Column = bigramCount("er") + bigramCount("in")
+  private def scoreFr: Column = bigramCount("le") + bigramCount("ta")
+  private def predictedLangCol: Column =
+    when(scoreEn >= scoreDe && scoreEn >= scoreFr, "en")
+      .when(scoreDe >= scoreFr, "de")
+      .otherwise("fr")
+
   /** "Predicted language is English" as a raw predicate Column (the
     * [[langId]] argmax with en winning ties) — reusable inside
     * single-pass flag aggregations like the corpus funnel. */
-  def isEnglishCol: Column = {
-    val sEn = bigramCount("th") + bigramCount("he")
-    val sDe = bigramCount("er") + bigramCount("in")
-    val sFr = bigramCount("le") + bigramCount("ta")
-    sEn >= sDe && sEn >= sFr
-  }
+  def isEnglishCol: Column = scoreEn >= scoreDe && scoreEn >= scoreFr
 
   /** The [[qualityScore]] composite as a raw Column. */
   def qualityCol: Column = {
@@ -81,17 +84,11 @@ object TextAnalysis {
     * profiles and take the argmax (fixed tie-break order en > de >
     * fr). A real pipeline would use a trained model; the *shape* —
     * one narrow projection per doc, no shuffle — is the point. */
-  def langId(docs: DataFrame): DataFrame = {
-    val sEn = bigramCount("th") + bigramCount("he")
-    val sDe = bigramCount("er") + bigramCount("in")
-    val sFr = bigramCount("le") + bigramCount("ta")
+  def langId(docs: DataFrame): DataFrame =
     graft.operators.Dedup.orderedSpread(docs, "doc_id").select(
       col("doc_id"), col("lang"),
-      sEn.as("score_en"), sDe.as("score_de"), sFr.as("score_fr"),
-      when(sEn >= sDe && sEn >= sFr, "en")
-        .when(sDe >= sFr, "de")
-        .otherwise("fr").as("predicted_lang"))
-  }
+      scoreEn.as("score_en"), scoreDe.as("score_de"), scoreFr.as("score_fr"),
+      predictedLangCol.as("predicted_lang"))
 
   /** Classifier EVALUATION for [[langId]]: the labeled-vs-predicted
     * confusion matrix with per-true-language recall shares — the table
@@ -101,7 +98,10 @@ object TextAnalysis {
     * share window runs over the |langs|² aggregated matrix. */
   def langIdConfusion(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    langId(docs).groupBy("lang", "predicted_lang")
+    // scores projected directly (NOT via langId, whose orderedSpread
+    // range-shuffle + sort would be discarded by the aggregate anyway)
+    docs.select(col("lang"), predictedLangCol.as("predicted_lang"))
+      .groupBy("lang", "predicted_lang")
       .agg(count(lit(1)).as("n"))
       .withColumn("recall_share", col("n").cast("double") /
         sum(col("n")).over(Window.partitionBy("lang")).cast("double"))
@@ -417,12 +417,8 @@ object TextAnalysis {
     * explode + (doc, term) aggregate, a skew-safe df aggregate of the
     * postings, an AQE-decided join back on term, and a final per-doc
     * aggregate. Nothing is windowed over raw input. */
-  def rarityStats(docs: DataFrame): DataFrame = {
-    val postings = graft.operators.Dedup.spread(docs)
-      .select(col("doc_id"), explode(toks).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
-    postings.join(dfs, Seq("term"))
+  def rarityStats(docs: DataFrame): DataFrame =
+    rarityPostings(docs, toks)
       .groupBy("doc_id").agg(
         sum(col("tf")).as("n_tokens"),
         sum(col("tf") * col("df")).as("sum_df"),
@@ -431,6 +427,16 @@ object TextAnalysis {
         (col("sum_df").cast("double") / col("n_tokens").cast("double"))
           .as("mean_df"))
       .orderBy("doc_id")
+
+  /** The shared rarity skeleton: explode `termCol` → (doc, term) tf
+    * aggregate → df aggregate of the postings → AQE-decided join back
+    * on term. Both rarity operators aggregate this frame per doc. */
+  private def rarityPostings(docs: DataFrame, termCol: Column): DataFrame = {
+    val postings = graft.operators.Dedup.spread(docs)
+      .select(col("doc_id"), explode(termCol).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    postings.join(dfs, Seq("term"))
   }
 
   /** Bigram-level corpus rarity per document — the sibling of
@@ -457,11 +463,7 @@ object TextAnalysis {
     val bigrams = expr(
       "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)), " +
         "i -> array_join(slice(split(text, ' '), i, 2), ' '))")
-    val postings = graft.operators.Dedup.spread(docs)
-      .select(col("doc_id"), explode(bigrams).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
-    postings.join(dfs, Seq("term"))
+    rarityPostings(docs, bigrams)
       .groupBy("doc_id").agg(
         sum(col("tf")).as("n_bigrams"),
         sum(col("tf") * col("df")).as("sum_df"),

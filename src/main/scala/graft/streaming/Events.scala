@@ -599,6 +599,43 @@ object Events {
       }
   }
 
+  /** Streaming twin of [[transitionMatrix]]: keyed state carries only
+    * each user's LAST event across batch boundaries; every observed
+    * adjacency is emitted as a delta row, so the matrix itself is a
+    * downstream count aggregate of the delta feed (incrementally
+    * maintainable, or batch-aggregated at read time). State is O(1)
+    * per user — the stream can run forever.
+    *
+    * Cross-batch inversions: an event OLDER than the state's last
+    * emitted event (late within the watermark, but its successor
+    * already left in a prior batch) cannot retroactively interpose, so
+    * it is DROPPED — emitting it forward would fabricate an adjacency
+    * the batch twin (ORDER BY ts, event_id) never produces, and
+    * regressing state to the older event would corrupt every
+    * subsequent delta. Under in-order-per-user delivery the drop path
+    * never fires and streaming equals the batch backfill exactly. */
+  def streamingTransitions(spark: SparkSession, events: DataFrame): Dataset[TransitionDelta] = {
+    import spark.implicits._
+    events.withWatermark("ts", "2 hours")
+      .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS ts_us")
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TransState, TransitionDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[TransState]) =>
+          var s = state.getOption.getOrElse(TransState(null, Long.MinValue))
+          val out = Seq.newBuilder[TransitionDelta]
+          rows.toSeq.sortBy(r => (r._4, r._2)).foreach { case (_, _, typ, tsUs) =>
+            if (tsUs >= s.lastTsUs) {
+              if (s.lastType != null) out += TransitionDelta(s.lastType, typ)
+              s = TransState(typ, tsUs)
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
   /** Streaming twin of [[funnel]]: per-user O(1) state — the LAST
     * event's (type, timestamp) for the view→click adjacency test plus
     * two running counters. Each batch a user's counts change, a
@@ -613,32 +650,6 @@ object Events {
     * in-order-per-user delivery inside it, the streaming counts equal
     * the batch backfill. Unlike sessionization there is nothing to
     * time out: state is two counters and one event, not a window. */
-  /** Streaming twin of [[transitionMatrix]]: keyed state carries only
-    * each user's LAST event across batch boundaries; every observed
-    * adjacency is emitted as a delta row, so the matrix itself is a
-    * downstream count aggregate of the delta feed (incrementally
-    * maintainable, or batch-aggregated at read time). State is O(1)
-    * per user — the stream can run forever. */
-  def streamingTransitions(spark: SparkSession, events: DataFrame): Dataset[TransitionDelta] = {
-    import spark.implicits._
-    events.withWatermark("ts", "2 hours")
-      .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS ts_us")
-      .as[(Long, Long, String, Long)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState[TransState, TransitionDelta](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (_, rows, state: GroupState[TransState]) =>
-          var s = state.getOption.getOrElse(TransState(null, Long.MinValue))
-          val out = Seq.newBuilder[TransitionDelta]
-          rows.toSeq.sortBy(r => (r._4, r._2)).foreach { case (_, _, typ, tsUs) =>
-            if (s.lastType != null) out += TransitionDelta(s.lastType, typ)
-            s = TransState(typ, tsUs)
-          }
-          state.update(s)
-          out.result().iterator
-      }
-  }
-
   def streamingFunnel(spark: SparkSession, events: DataFrame,
       withinMinutes: Int = 10): Dataset[FunnelUpdate] = {
     import spark.implicits._

@@ -218,7 +218,6 @@ class PropertySpec extends SparkSpec {
   }
 
   test("property: cosineHistogram band counts total the thresholded pair count") {
-    val vecGen = Gen.listOfN(64, Gen.chooseNum(-5, 5)).map(_.map(_.toFloat / 4f).toArray)
     check(Prop.forAll(Gen.chooseNum(3, 8), Gen.long) { (nv, seed) =>
       val rnd = new scala.util.Random(seed)
       val vecs = (0 until nv).map { i =>
