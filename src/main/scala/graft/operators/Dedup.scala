@@ -338,6 +338,65 @@ object Dedup {
         explode(col("shingles")).as("shingle"))
       .select("shingle", "doc_id", "n_sh")
 
+  /** Cross-SOURCE near-duplication matrix: the [[jaccardPairs]] pair
+    * set rolled up by (source, source) — which crawl/provider pairs
+    * are feeding each other's content. Off-diagonal rows are the
+    * cross-source contamination a mixture designer must know about
+    * (double-counting between "independent" sources silently skews
+    * mixture weights); the diagonal is within-source duplication,
+    * already priced per source by [[dedupBySource]]. The pair is
+    * normalized by source NAME (`least`/`greatest`), so (src1, src2)
+    * and (src2, src1) fold into one row. min/max jaccard are
+    * order-free aggregates (a double mean would be summation-order-
+    * dependent across engines).
+    *
+    * Scale shape: all O(n²)-shaped work lives inside the bounded
+    * inverted-index pass of [[jaccardPairsRaw]]; this adds two
+    * equi-joins of the (tiny, near-dup-rate-bounded) pair set against
+    * the narrow (doc_id, source) projection — AQE broadcasts the pair
+    * side — and a |sources|²-keyed aggregate that partial-combines
+    * map-side. */
+  def sourceOverlap(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    jaccardPairsRaw(docs, n, threshold)
+      .join(src.toDF("doc_a", "src_of_a"), "doc_a")
+      .join(src.toDF("doc_b", "src_of_b"), "doc_b")
+      .groupBy(least(col("src_of_a"), col("src_of_b")).as("src_a"),
+        greatest(col("src_of_a"), col("src_of_b")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("jaccard")).as("min_jaccard"),
+        max(col("jaccard")).as("max_jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Jaccard-band histogram over the candidate pair set — the TEXT
+    * twin of [[graft.operators.Similarity.cosineHistogram]]: one
+    * inverted-index pass prices every candidate dedup threshold ≥ `lo`
+    * (how many pairs would each cutoff merge?) without re-running the
+    * pair machinery per candidate setting. Band edges are computed
+    * from the identical literal expression on both engines, so the
+    * IEEE-double binning is bit-reproducible.
+    *
+    * Scale shape: exactly [[jaccardPairsRaw]] (the f²-bounded index
+    * self-join) plus a ⌈(1−lo)/step⌉-key hash aggregate — the pair
+    * set is never sorted or materialized beyond the aggregate's
+    * partial states. */
+  def jaccardHistogram(docs: DataFrame, n: Int = 3, lo: Double = 0.2,
+      step: Double = 0.1): DataFrame = {
+    val nBands = math.ceil((1.0 - lo) / step).toInt
+    val band = least(floor((col("jaccard") - lo) / step).cast("int"),
+      lit(nBands - 1))
+    jaccardPairsRaw(docs, n, threshold = lo)
+      .select(band.as("band"))
+      .groupBy("band").agg(count(lit(1)).as("n_pairs"))
+      .select(col("band"),
+        (lit(lo) + col("band").cast("double") * step).as("band_lo"),
+        (lit(lo) + (col("band") + 1).cast("double") * step).as("band_hi"),
+        col("n_pairs"))
+      .orderBy("band")
+  }
+
   /** Incremental near-dup detection: jaccard pairs between a DELTA of
     * new documents and an existing [[shingleIndex]], plus pairs within
     * the delta — without ever recomputing corpus×corpus. The daily

@@ -50,6 +50,10 @@ object ExtQueries {
     // Cohort retention matrix: first-seen-day cohorts × activity-day
     // offsets, with day-0 sizes and exact-long-division rates.
     "ev_retention" -> ((s, d) => Events.retentionCohorts(events(s, d))),
+    // Per-user inter-event-gap stats (exact-long µs gaps over the
+    // (ts, event_id) total order): the cadence profile for bot triage
+    // and sessionization-threshold tuning.
+    "ev_inter_event" -> ((s, d) => Events.interEventGaps(events(s, d))),
     // Daily volume anomalies: per-type z-scores against the trailing
     // 7-day window (sqrt is IEEE-exact, so z is oracle-safe).
     "ev_daily_anomaly" -> ((s, d) => Events.dailyAnomaly(events(s, d))),
@@ -333,6 +337,17 @@ object ExtQueries {
         |       THEN (CAST(n AS DOUBLE) - mean) / std END) >= 2.0, FALSE)
         |    AS anomalous
         |FROM z ORDER BY event_type, day""".stripMargin,
+    "ev_inter_event" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT user_id,
+        |  us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |    AS gap_us
+        |  FROM e)
+        |SELECT user_id, COUNT(*) AS n_events, COUNT(gap_us) AS n_gaps,
+        |  MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us,
+        |  CAST(SUM(gap_us) AS DOUBLE) / CAST(COUNT(gap_us) AS DOUBLE)
+        |    / 1000000.0 AS mean_gap_s
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "ev_retention" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),

@@ -39,6 +39,17 @@ object PipelineQueries {
     // sf0.1).
     "dd_ngram_jaccard_capped" -> ((s, d) =>
       Dedup.jaccardPairs(docs(s, d), n = 3, threshold = 0.5, maxDocFreq = Some(5L))),
+    // Cross-source near-duplication matrix: the jaccard pair set
+    // rolled up by normalized (source, source) — which "independent"
+    // sources are actually feeding each other content (the overlap a
+    // mixture designer must subtract before weighting).
+    "dd_source_overlap" -> ((s, d) =>
+      Dedup.sourceOverlap(docs(s, d), n = 3, threshold = 0.5)),
+    // Jaccard-band histogram over candidate pairs: one inverted-index
+    // pass prices every dedup threshold ≥ 0.2 (the text twin of
+    // ss_sim_hist).
+    "dd_jaccard_hist" -> ((s, d) =>
+      Dedup.jaccardHistogram(docs(s, d), n = 3, lo = 0.2, step = 0.1)),
     // MinHash + banded LSH candidates, exact-Jaccard verified.
     "dd_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(docs(s, d), n = 3, numHashes = 12, bands = 4, threshold = 0.5)),
@@ -456,6 +467,25 @@ object PipelineQueries {
   private val T = OracleSql.T
   private def shinglesSql(n: Int): String = OracleSql.shingles(n)
 
+  /** Shared exact-Jaccard pair CTE (ends with relation
+    * `pairs(doc_a, doc_b, jaccard)`) — one copy feeds the overlap
+    * matrix and the band histogram so their pair semantics can never
+    * drift from each other. */
+  private def pairsCteSql(threshold: Double): String =
+    s"""WITH sh AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM documents),
+       |sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh FROM sh),
+       |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+       |  FROM common JOIN sizes sa ON common.doc_a = sa.doc_id
+       |              JOIN sizes sb ON common.doc_b = sb.doc_id
+       |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= $threshold)""".stripMargin
+
   /** Shared recursive-CTE cluster labeling (ends with relation
     * `cl(doc_id, cluster)`) — one copy feeds dd_clusters and
     * dd_cluster_stats so the two can never drift. */
@@ -550,6 +580,25 @@ object PipelineQueries {
          |            JOIN sizes sb ON common.doc_b = sb.doc_id
          |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_source_overlap" ->
+      s"""${pairsCteSql(0.5)}
+         |SELECT least(da.source, db.source) AS src_a,
+         |  greatest(da.source, db.source) AS src_b,
+         |  count(*) AS n_pairs,
+         |  min(jaccard) AS min_jaccard, max(jaccard) AS max_jaccard
+         |FROM pairs JOIN documents da ON pairs.doc_a = da.doc_id
+         |           JOIN documents db ON pairs.doc_b = db.doc_id
+         |GROUP BY 1, 2
+         |ORDER BY src_a, src_b""".stripMargin,
+    "dd_jaccard_hist" ->
+      s"""${pairsCteSql(0.2)},
+         |b AS (SELECT least(CAST(floor((jaccard - 0.2) / 0.1) AS INT), 7) AS band
+         |  FROM pairs)
+         |SELECT band,
+         |  0.2 + CAST(band AS DOUBLE) * 0.1 AS band_lo,
+         |  0.2 + CAST(band + 1 AS DOUBLE) * 0.1 AS band_hi,
+         |  count(*) AS n_pairs
+         |FROM b GROUP BY band ORDER BY band""".stripMargin,
     "dd_ngram_jaccard_capped" ->
       s"""WITH sh AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM documents),
          |inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),

@@ -193,6 +193,39 @@ object Events {
       .orderBy(col("total_value").desc, col("user_id"))
       .limit(k)
 
+  /** Per-user inter-event-gap statistics — the cadence profile behind
+    * bot/anomaly triage (impossibly regular or impossibly fast users)
+    * and sessionization-threshold tuning (where does the gap
+    * distribution break?). Gaps are measured in MICROSECONDS as exact
+    * longs (`unix_micros` deltas) over the total order (ts, event_id),
+    * so ties are deterministic; the mean is the only double, built
+    * from one exact-long sum by a fixed division chain both engines
+    * evaluate identically. Single-event users keep NULL gap stats
+    * (there is no gap, not a zero gap).
+    *
+    * Scale shape: ONE shuffle on user_id feeds the lag window, and the
+    * per-user aggregate reuses that partitioning (no second
+    * exchange) — cost is a sort within each user's partition slice,
+    * the same shape as sessionization. user_id is a fine-grained key;
+    * no hot partitions. */
+  def interEventGaps(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    events.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("gap_us")).as("n_gaps"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        sum(col("gap_us")).as("sum_gap_us"))
+      .select(col("user_id"), col("n_events"), col("n_gaps"),
+        col("min_gap_us"), col("max_gap_us"),
+        (col("sum_gap_us").cast("double") / col("n_gaps").cast("double") /
+          lit(1000000.0)).as("mean_gap_s"))
+      .orderBy("user_id")
+  }
+
   /** Daily cumulative distinct users — the scale rewrite of
     * `count(DISTINCT user_id) OVER (ORDER BY day)`. The naive form
     * re-scans an ever-growing prefix per day (O(days · events) with

@@ -137,4 +137,43 @@ class DedupSpec extends SparkSpec {
     // d4 is disjoint → nothing shared
     assert(out(4L) == ((out(4L)._1, 0L, 0.0)))
   }
+
+  test("sourceOverlap rolls pairs up by normalized source pair") {
+    // (1,2) j=1.0 crosses a|b; (5,6) j=1.0 within c; d1~d3 share 4 of
+    // their 7+7 trigrams (one changed middle word kills 3): j = 4/10 =
+    // 0.4, crossing a|c and b|c at threshold 0.4.
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "a"),
+      (2L, "the quick brown fox jumps over the lazy dog", "b"),
+      (3L, "the quick brown fox runs over the lazy dog", "c"),
+      (4L, "completely different words in this sentence here", "a"),
+      (5L, "another shared body of text right here now", "c"),
+      (6L, "another shared body of text right here now", "c")
+    ).toDF("doc_id", "text", "source")
+    val r = Dedup.sourceOverlap(d, n = 3, threshold = 0.4).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSeq
+    // pairs: (1,2) a|b, (1,3) a|c, (2,3) b|c, (5,6) c|c
+    assert(r == Seq(("a", "b", 1L), ("a", "c", 1L), ("b", "c", 1L), ("c", "c", 1L)))
+    val ac = Dedup.sourceOverlap(d, n = 3, threshold = 0.4).collect()
+      .find(x => x.getString(0) == "a" && x.getString(1) == "c").get
+    assert(ac.getAs[Double]("min_jaccard") == 0.4 &&
+      ac.getAs[Double]("max_jaccard") == 0.4)
+  }
+
+  test("jaccardHistogram bands partition the candidate pair set") {
+    val h = Dedup.jaccardHistogram(docs, n = 3, lo = 0.2, step = 0.1).collect()
+    // every band row is well-formed and counts are positive
+    h.foreach { r =>
+      val band = r.getAs[Int]("band")
+      assert(band >= 0 && band <= 7)
+      assert(r.getAs[Double]("band_lo") == 0.2 + band * 0.1)
+      assert(r.getAs[Long]("n_pairs") > 0L)
+    }
+    // total mass = the pair count at the histogram's lo threshold
+    val total = h.map(_.getAs[Long]("n_pairs")).sum
+    val pairs = Dedup.jaccardPairs(docs, n = 3, threshold = 0.2).count()
+    assert(total == pairs)
+    // the exact d1≡d2 pair lands in the top band (j = 1.0 → band 7)
+    assert(h.exists(r => r.getAs[Int]("band") == 7 && r.getAs[Long]("n_pairs") >= 1L))
+  }
 }

@@ -414,4 +414,29 @@ class EventsSpec extends SparkSpec {
     // tiny cardinalities: HLL is exact here, so the bound must hold
     assert(got.toSeq == Seq(("2024-01-01", 2L, true), ("2024-01-02", 1L, true)))
   }
+
+  test("interEventGaps: exact long gaps, ties broken by event_id, singles null") {
+    // user 1: gaps 600 s and 2700 s; user 2: one event (no gaps);
+    // user 3: two events at the SAME ts — order falls to event_id,
+    // so the gap is exactly 0, not undefined.
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:10:00"), 1L, "view", 0.0, "{}"),
+      (3L, ts("2024-01-01 10:55:00"), 1L, "click", 0.0, "{}"),
+      (4L, ts("2024-01-01 09:30:00"), 2L, "view", 0.0, "{}"),
+      (6L, ts("2024-01-01 08:00:00"), 3L, "view", 0.0, "{}"),
+      (5L, ts("2024-01-01 08:00:00"), 3L, "view", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.interEventGaps(ev).collect()
+    val u1 = got.find(_.getAs[Long]("user_id") == 1L).get
+    assert(u1.getAs[Long]("n_events") == 3L && u1.getAs[Long]("n_gaps") == 2L)
+    assert(u1.getAs[Long]("min_gap_us") == 600L * 1000000L)
+    assert(u1.getAs[Long]("max_gap_us") == 2700L * 1000000L)
+    assert(u1.getAs[Double]("mean_gap_s") == (600.0 + 2700.0) / 2.0)
+    val u2 = got.find(_.getAs[Long]("user_id") == 2L).get
+    assert(u2.getAs[Long]("n_gaps") == 0L && u2.isNullAt(u2.fieldIndex("min_gap_us")))
+    assert(u2.isNullAt(u2.fieldIndex("mean_gap_s")))
+    val u3 = got.find(_.getAs[Long]("user_id") == 3L).get
+    assert(u3.getAs[Long]("n_gaps") == 1L && u3.getAs[Long]("min_gap_us") == 0L)
+  }
 }
