@@ -370,6 +370,39 @@ object Dedup {
       .orderBy("src_a", "src_b")
   }
 
+  /** Asymmetric CONTAINMENT pairs: |A∩B| / min(|A|, |B|) — the
+    * subset-copy detector symmetric Jaccard is blind to. A short doc
+    * quoted whole inside a much longer one scores J =
+    * |A|/(|B|) → 0 as the host grows, but containment stays 1.0;
+    * dedup pipelines that only threshold Jaccard keep every
+    * quote-expansion and boilerplate-wrapped copy. Emits both
+    * directional containments (of A in B and of B in A); the filter is
+    * on the max — i.e. "the smaller side is mostly inside the
+    * larger".
+    *
+    * Scale shape: identical to [[jaccardPairsRaw]] — the f²-bounded
+    * inverted-index self-join produces (pair, n_common), sizes join
+    * back, and the containment division replaces the union division.
+    * No new shuffle, no new scan. */
+  def containmentPairs(docs: DataFrame, n: Int = 3,
+      minContainment: Double = 0.8): DataFrame = {
+    val sh = OpCaches.track(
+      withHashedShingles(docs, n).select(col("doc_id"), col("shingles")))
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
+    inv.as("a").join(inv.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
+      .withColumn("cont_a", col("n_common").cast("double") / col("n_a"))
+      .withColumn("cont_b", col("n_common").cast("double") / col("n_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= minContainment)
+      .select("doc_a", "doc_b", "n_common", "cont_a", "cont_b")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Jaccard-band histogram over the candidate pair set — the TEXT
     * twin of [[graft.operators.Similarity.cosineHistogram]]: one
     * inverted-index pass prices every candidate dedup threshold ≥ `lo`

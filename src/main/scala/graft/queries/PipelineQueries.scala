@@ -50,6 +50,11 @@ object PipelineQueries {
     // ss_sim_hist).
     "dd_jaccard_hist" -> ((s, d) =>
       Dedup.jaccardHistogram(docs(s, d), n = 3, lo = 0.2, step = 0.1)),
+    // Asymmetric containment pairs (|A∩B|/min side): the subset-copy
+    // detector Jaccard is blind to — a short doc quoted whole inside
+    // a long host scores J→0 but containment 1.0.
+    "dd_containment" -> ((s, d) =>
+      Dedup.containmentPairs(docs(s, d), n = 3, minContainment = 0.6)),
     // MinHash + banded LSH candidates, exact-Jaccard verified.
     "dd_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(docs(s, d), n = 3, numHashes = 12, bands = 4, threshold = 0.5)),
@@ -590,6 +595,22 @@ object PipelineQueries {
          |           JOIN documents db ON pairs.doc_b = db.doc_id
          |GROUP BY 1, 2
          |ORDER BY src_a, src_b""".stripMargin,
+    "dd_containment" ->
+      s"""WITH sh AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM documents),
+         |sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh FROM sh),
+         |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_common,
+         |  CAST(n_common AS DOUBLE) / sa.n_sh AS cont_a,
+         |  CAST(n_common AS DOUBLE) / sb.n_sh AS cont_b
+         |FROM common JOIN sizes sa ON common.doc_a = sa.doc_id
+         |            JOIN sizes sb ON common.doc_b = sb.doc_id
+         |WHERE greatest(CAST(n_common AS DOUBLE) / sa.n_sh,
+         |               CAST(n_common AS DOUBLE) / sb.n_sh) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_jaccard_hist" ->
       s"""${pairsCteSql(0.2)},
          |b AS (SELECT least(CAST(floor((jaccard - 0.2) / 0.1) AS INT), 7) AS band

@@ -160,6 +160,25 @@ class DedupSpec extends SparkSpec {
       ac.getAs[Double]("max_jaccard") == 0.4)
   }
 
+  test("containmentPairs flags subset copies that jaccard misses") {
+    // d2 = d1 quoted whole inside a longer host: every one of d1's 4
+    // trigrams appears in d2 → cont_a = 1.0, while J = 4/12 = 1/3 is
+    // far below any dedup threshold.
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "intro words here alpha beta gamma delta epsilon zeta and a long tail of extra"),
+      (3L, "completely unrelated text with different words")
+    ).toDF("doc_id", "text")
+    val r = Dedup.containmentPairs(d, n = 3, minContainment = 0.8).collect()
+    assert(r.length == 1)
+    val p = r.head
+    assert(p.getAs[Long]("doc_a") == 1L && p.getAs[Long]("doc_b") == 2L)
+    assert(p.getAs[Double]("cont_a") == 1.0)
+    assert(p.getAs[Double]("cont_b") < 0.5)
+    // and the same pair is invisible to jaccard at the same bar
+    assert(Dedup.jaccardPairs(d, n = 3, threshold = 0.8).count() == 0L)
+  }
+
   test("jaccardHistogram bands partition the candidate pair set") {
     val h = Dedup.jaccardHistogram(docs, n = 3, lo = 0.2, step = 0.1).collect()
     // every band row is well-formed and counts are positive
