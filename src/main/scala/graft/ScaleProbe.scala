@@ -111,6 +111,12 @@ object ScaleProbe {
       run("quality_gate", k, graft.operators.CorpusOps.qualityGate(docsAt(k)))
       run("quality_gate_approx", k,
         graft.operators.CorpusOps.qualityGateApprox(docsAt(k)))
+      // round-4 wave 3: containment/overlap reuse jaccard's f²-bounded
+      // index join — the curves must match jaccard_pairs' shape (a
+      // divergence would mean the source join-back or the band
+      // aggregate added a hidden super-linear term)
+      run("containment", k, graft.operators.Dedup.containmentPairs(docsAt(k)))
+      run("source_overlap", k, graft.operators.Dedup.sourceOverlap(docsAt(k)))
       run("phash_pairs", k, graft.operators.Multimodal.phashPairs(
         graft.operators.Multimodal.imagePHash(spark,
           graft.operators.Multimodal.imageTableWithVariants(spark, docsAt(k))).toDF()))

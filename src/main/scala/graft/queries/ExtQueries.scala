@@ -54,6 +54,10 @@ object ExtQueries {
     // (ts, event_id) total order): the cadence profile for bot triage
     // and sessionization-threshold tuning.
     "ev_inter_event" -> ((s, d) => Events.interEventGaps(events(s, d))),
+    // Corpus-wide gap-distribution percentiles (exact integer-µs
+    // interpolation, cross-engine bit-identical): the number that
+    // sets the sessionization threshold.
+    "ev_gap_percentiles" -> ((s, d) => Events.gapPercentiles(events(s, d))),
     // Daily volume anomalies: per-type z-scores against the trailing
     // 7-day window (sqrt is IEEE-exact, so z is oracle-safe).
     "ev_daily_anomaly" -> ((s, d) => Events.dailyAnomaly(events(s, d))),
@@ -348,6 +352,18 @@ object ExtQueries {
         |  CAST(SUM(gap_us) AS DOUBLE) / CAST(COUNT(gap_us) AS DOUBLE)
         |    / 1000000.0 AS mean_gap_s
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ev_gap_percentiles" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT us - lag(us)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us
+        |  FROM e)
+        |SELECT COUNT(*) AS n_gaps,
+        |  quantile_cont(gap_us, 0.25) AS p25,
+        |  quantile_cont(gap_us, 0.5) AS p50,
+        |  quantile_cont(gap_us, 0.75) AS p75,
+        |  quantile_cont(gap_us, 0.9) AS p90,
+        |  quantile_cont(gap_us, 0.99) AS p99
+        |FROM g WHERE gap_us IS NOT NULL""".stripMargin,
     "ev_retention" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),

@@ -51,6 +51,15 @@ case class TransitionDelta(eventType: String, nextType: String)
   * id) — O(1) per user regardless of stream length. */
 case class TransState(lastType: String, lastTsUs: Long)
 
+/** One observed inter-event gap, keyed by the LATER event — the delta
+  * feed whose aggregate is [[Events.interEventGaps]]'s per-user stats
+  * (or [[Events.gapPercentiles]]'s distribution). */
+case class GapDelta(userId: Long, eventId: Long, gapUs: Long)
+
+/** Keyed per-user cadence state: the last event's (micros, id) plus a
+  * seen flag — O(1) per user regardless of stream length. */
+case class GapState(lastTsUs: Long, lastEventId: Long, seen: Boolean)
+
 /** Event analytics over the `events` table (event_id, ts, user_id,
   * event_type, value, props), in two forms:
   *
@@ -667,6 +676,67 @@ object Events {
           state.update(s)
           out.result().iterator
       }
+  }
+
+  /** Streaming twin of [[interEventGaps]]: keyed state carries only
+    * each user's LAST (micros, event_id) across batch boundaries;
+    * every observed gap is emitted as a [[GapDelta]] keyed by the
+    * later event, so per-user stats and distribution percentiles are
+    * downstream aggregates of the delta feed. State is O(1) per user.
+    *
+    * Ordering contract (same as [[streamingTransitions]]): events
+    * sort by (ts, event_id) within a batch; an event older than the
+    * state's last emitted event cannot retroactively interpose and is
+    * DROPPED — under in-order-per-user delivery the drop path never
+    * fires and the streamed gap set equals the batch lag-window's
+    * exactly. */
+  def streamingGaps(spark: SparkSession, events: DataFrame): Dataset[GapDelta] = {
+    import spark.implicits._
+    events.withWatermark("ts", "2 hours")
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us")
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[GapState, GapDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[GapState]) =>
+          var s = state.getOption.getOrElse(GapState(Long.MinValue, Long.MinValue, false))
+          val out = Seq.newBuilder[GapDelta]
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, eid, tsUs) =>
+            if (!s.seen) s = GapState(tsUs, eid, true)
+            else if (tsUs > s.lastTsUs ||
+                (tsUs == s.lastTsUs && eid >= s.lastEventId)) {
+              out += GapDelta(uid, eid, tsUs - s.lastTsUs)
+              s = GapState(tsUs, eid, true)
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
+  /** Corpus-wide gap-distribution percentiles — the number that SETS
+    * the sessionization threshold (a 30-min cutoff should sit far
+    * above p90 of within-session gaps). Gaps are exact integer µs, so
+    * Spark's `percentile` and DuckDB's `quantile_cont` interpolate
+    * bit-identically (the fi_size_percentiles precedent).
+    *
+    * Scale shape: the lag window shuffles once on user_id; the global
+    * exact percentile is the declared exact-form cost (it buffers the
+    * gap column), with `approx_percentile` as the drop-in 100 TB
+    * sketch — the gap COLUMN is |events|-sized, not |events|² —
+    * mirroring the fi_size_percentiles / _approx pairing. */
+  def gapPercentiles(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    events.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("percentile(gap_us, 0.25D)").as("p25"),
+        expr("percentile(gap_us, 0.5D)").as("p50"),
+        expr("percentile(gap_us, 0.75D)").as("p75"),
+        expr("percentile(gap_us, 0.9D)").as("p90"),
+        expr("percentile(gap_us, 0.99D)").as("p99"))
   }
 
   /** Streaming twin of [[funnel]]: per-user O(1) state — the LAST

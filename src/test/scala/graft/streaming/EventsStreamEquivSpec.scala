@@ -127,4 +127,32 @@ class EventsStreamEquivSpec extends SparkSpec {
     assert(batch.values.exists(_ == -1L) || batch.size > 1) // mix of shapes
     assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
   }
+
+  test("randomized: streamingGaps delta feed equals the batch lag-window gaps") {
+    val log = randomEvents(seed = 4711L, n = 150, nUsers = 6)
+    val q = Events.streamingGaps(spark, asMicroBatches(log, nFiles = 4))
+      .toDF().writeStream.format("memory").queryName("equiv_gaps")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    // streamed: one (later-event → gap) row per adjacency
+    val streamed = spark.table("equiv_gaps").collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // batch ground truth: the same lag window interEventGaps aggregates
+    val sorted = log.sortBy(e => (e._3, e._2.getTime, e._1))
+    val batch = sorted.sliding(2).collect {
+      case Seq(a, b) if a._3 == b._3 =>
+        b._1 -> (b._2.getTime - a._2.getTime) * 1000L
+    }.toMap
+    assert(batch.size > 100, "seed must produce a dense gap set")
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    // and the aggregate view agrees: per-user n_gaps from the delta
+    // feed equals interEventGaps' n_gaps column
+    val streamedPerUser = spark.table("equiv_gaps").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+    val agg = Events.interEventGaps(log.toDF(cols: _*)).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_gaps")).toMap
+    agg.foreach { case (u, n) =>
+      assert(streamedPerUser.getOrElse(u, 0L) == n, s"user $u n_gaps")
+    }
+  }
 }
