@@ -58,6 +58,11 @@ object ExtQueries {
     // interpolation, cross-engine bit-identical): the number that
     // sets the sessionization threshold.
     "ev_gap_percentiles" -> ((s, d) => Events.gapPercentiles(events(s, d))),
+    // Session-shape distribution (duration/size percentiles over the
+    // sessionized islands): the evidence behind the gap threshold and
+    // streaming state-store sizing.
+    "ev_session_percentiles" -> ((s, d) =>
+      Events.sessionPercentiles(events(s, d), gapMinutes = 30)),
     // Daily volume anomalies: per-type z-scores against the trailing
     // 7-day window (sqrt is IEEE-exact, so z is oracle-safe).
     "ev_daily_anomaly" -> ((s, d) => Events.dailyAnomaly(events(s, d))),
@@ -352,6 +357,27 @@ object ExtQueries {
         |  CAST(SUM(gap_us) AS DOUBLE) / CAST(COUNT(gap_us) AS DOUBLE)
         |    / 1000000.0 AS mean_gap_s
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ev_session_percentiles" ->
+      """WITH m AS (
+        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |    WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000 THEN 1
+        |    ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM m),
+        |sess AS (
+        |  SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |    MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS dur_us
+        |  FROM s GROUP BY user_id, session_seq)
+        |SELECT COUNT(*) AS n_sessions,
+        |  quantile_cont(dur_us, 0.5) AS dur_p50,
+        |  quantile_cont(dur_us, 0.9) AS dur_p90,
+        |  MAX(dur_us) AS dur_max,
+        |  quantile_cont(n_events, 0.5) AS events_p50,
+        |  quantile_cont(n_events, 0.9) AS events_p90
+        |FROM sess""".stripMargin,
     "ev_gap_percentiles" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
         |g AS (SELECT us - lag(us)

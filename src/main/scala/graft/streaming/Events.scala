@@ -108,24 +108,60 @@ object Events {
   /** Gap-based sessionization (30-min inactivity): lag + running sum
     * assigns session ordinals per user, then session-level rollup.
     * One shuffle on user_id; the two windows share the partitioning. */
-  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    // microsecond-exact gap test — both engines compare the same integers
-    val newSession = when(
-      unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
-        > gapMinutes * 60L * 1000000L, 1L).otherwise(lit(0L))
-    val marked = events.withColumn("is_new",
-        when(lag(col("ts"), 1).over(byUser).isNull, 1L).otherwise(newSession))
-      .withColumn("session_seq", sum(col("is_new")).over(
-        Window.partitionBy("user_id").orderBy("ts", "event_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    marked.groupBy(col("user_id"), col("session_seq"))
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessionized(events, gapMinutes)
+      .groupBy(col("user_id"), col("session_seq"))
       .agg(count(lit(1)).as("n_events"),
         date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
         sum(valueDec).cast("double").as("total_value"))
       .orderBy("user_id", "session_seq")
+
+  /** The shared sessionization core: events plus a `session_seq`
+    * column (gaps-and-islands over the (ts, event_id) total order,
+    * microsecond-exact gap test — both engines compare the same
+    * integers). One copy feeds [[sessionize]] and
+    * [[sessionPercentiles]] so the session definition can never
+    * drift between the listing and the distribution. */
+  private def sessionized(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val newSession = when(
+      unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+        > gapMinutes * 60L * 1000000L, 1L).otherwise(lit(0L))
+    events.withColumn("is_new",
+        when(lag(col("ts"), 1).over(byUser).isNull, 1L).otherwise(newSession))
+      .withColumn("session_seq", sum(col("is_new")).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
+
+  /** Corpus-wide SESSION-shape distribution — duration and size
+    * percentiles over the [[sessionized]] islands, one row: the
+    * numbers that justify (or indict) the chosen gap threshold and
+    * size state stores for stateful streaming. Durations are exact
+    * integer µs (max − min per session), so `percentile` /
+    * `quantile_cont` interpolate bit-identically; n_events is an
+    * exact long.
+    *
+    * Scale shape: the session windows shuffle once on user_id (same
+    * exchange as [[sessionize]]); sessions collapse to one row each
+    * in the (user, seq) aggregate (partial combine absorbs the
+    * events), and the global exact percentile buffers only the
+    * |sessions|-sized duration column — with `approx_percentile` as
+    * the drop-in sketch at extreme scale, mirroring
+    * fi_size_percentiles' pairing. */
+  def sessionPercentiles(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessionized(events, gapMinutes)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("dur_us"))
+      .agg(count(lit(1)).as("n_sessions"),
+        expr("percentile(dur_us, 0.5D)").as("dur_p50"),
+        expr("percentile(dur_us, 0.9D)").as("dur_p90"),
+        max(col("dur_us")).as("dur_max"),
+        expr("percentile(n_events, 0.5D)").as("events_p50"),
+        expr("percentile(n_events, 0.9D)").as("events_p90"))
 
   /** Per-event trailing-hour activity via a RANGE window over event
     * time (seconds) per user — the batch twin of a sliding-window

@@ -234,4 +234,71 @@ class PropertySpec extends SparkSpec {
       hist.map(_.getAs[Long]("n_pairs")).sum == totalPairs
     })
   }
+
+  test("property: containment dominates jaccard and bounds it from both sides") {
+    check(Prop.forAll(Gen.listOfN(8, docGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      // every candidate pair: union ≥ max side ⇒ jaccard ≤ min(cont)
+      // ≤ max(cont), and cont==1 on BOTH sides iff the sets are
+      // identical iff jaccard == 1
+      val cont = Dedup.containmentPairs(docs, n = 2, minContainment = 0.0).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+          (r.getAs[Double]("cont_a"), r.getAs[Double]("cont_b"))).toMap
+      graft.operators.OpCaches.releaseAll()
+      val jac = Dedup.jaccardPairs(docs, n = 2, threshold = 0.0).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+          r.getAs[Double]("jaccard")).toMap
+      graft.operators.OpCaches.releaseAll()
+      cont.keySet == jac.keySet && jac.forall { case (k, j) =>
+        val (ca, cb) = cont(k)
+        j <= math.min(ca, cb) + 1e-12 && math.min(ca, cb) <= math.max(ca, cb) &&
+          ((ca == 1.0 && cb == 1.0) == (j == 1.0))
+      }
+    })
+  }
+
+  test("property: jaccardHistogram totals the pair count at its lo threshold") {
+    check(Prop.forAll(Gen.listOfN(8, docGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val hist = Dedup.jaccardHistogram(docs, n = 2, lo = 0.1, step = 0.2).collect()
+      graft.operators.OpCaches.releaseAll()
+      val pairs = Dedup.jaccardPairs(docs, n = 2, threshold = 0.1).count()
+      graft.operators.OpCaches.releaseAll()
+      hist.map(_.getAs[Long]("n_pairs")).sum == pairs
+    })
+  }
+
+  private val gapEventGen = for {
+    user <- Gen.chooseNum(1L, 4L)
+    offMs <- Gen.chooseNum(0L, 3600L * 1000)
+    typ <- Gen.oneOf("view", "click")
+  } yield (user, offMs, typ)
+
+  test("property: interEventGaps sums telescope to last-minus-first per user") {
+    check(Prop.forAll(Gen.listOfN(30, gapEventGen)) { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, off, t), i) =>
+        (i.toLong + 1, new Timestamp(1700000000000L + off), u, t, 0.0, "{}")
+      }
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val got = graft.streaming.Events.interEventGaps(df).collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("n_events"), r.getAs[Long]("n_gaps"),
+            Option(r.getAs[Any]("min_gap_us")), Option(r.getAs[Any]("max_gap_us"))))
+        .toMap
+      val byUser = rows.groupBy(_._3)
+      byUser.forall { case (u, rs) =>
+        val (n, g, mn, mx) = got(u)
+        val span = (rs.map(_._2.getTime).max - rs.map(_._2.getTime).min) * 1000L
+        val gapsSumOk = // telescoping: gaps sum = span (total order covers all)
+          g == 0L || {
+            val mean = graft.streaming.Events.interEventGaps(df)
+              .filter(org.apache.spark.sql.functions.col("user_id") === u)
+              .collect().head.getAs[Double]("mean_gap_s")
+            math.abs(mean * g * 1e6 - span) < 1e-3 * math.max(span, 1L)
+          }
+        n == rs.size && g == n - 1 &&
+          (g > 0L || (mn.isEmpty && mx.isEmpty)) && gapsSumOk
+      }
+    })
+  }
 }

@@ -415,6 +415,19 @@ class EventsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("2024-01-01", 2L, true), ("2024-01-02", 1L, true)))
   }
 
+  test("sessionPercentiles: exact interpolation over session islands") {
+    // fixture sessions: u1 {10:00,10:10} dur 600s, u1 {10:55} dur 0,
+    // u2 {09:30,09:45} dur 900s → durations [0, 600e6, 900e6] µs
+    val r = Events.sessionPercentiles(events, gapMinutes = 30).collect().head
+    assert(r.getAs[Long]("n_sessions") == 3L)
+    assert(r.getAs[Double]("dur_p50") == 600e6)
+    // quantile_cont 0.9 over [0, 600e6, 900e6]: idx 1.8 → 600e6 + 0.8·300e6
+    assert(r.getAs[Double]("dur_p90") == 840e6)
+    assert(r.getAs[Long]("dur_max") == 900000000L)
+    assert(r.getAs[Double]("events_p50") == 2.0 &&
+      r.getAs[Double]("events_p90") == 2.0)
+  }
+
   test("interEventGaps: exact long gaps, ties broken by event_id, singles null") {
     // user 1: gaps 600 s and 2700 s; user 2: one event (no gaps);
     // user 3: two events at the SAME ts — order falls to event_id,
