@@ -138,6 +138,41 @@ class EmptyInputSpec extends SparkSpec {
     graft.operators.OpCaches.releaseAll()
   }
 
+  test("wave-3 operators tolerate empty and degenerate inputs") {
+    import spark.implicits._
+    val emptyDocs = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(graft.operators.Dedup.sourceOverlap(emptyDocs).count() == 0)
+    assert(graft.operators.Dedup.jaccardHistogram(emptyDocs).count() == 0)
+    assert(graft.operators.Dedup.containmentPairs(emptyDocs).count() == 0)
+    graft.operators.OpCaches.releaseAll()
+    val emptyEv = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(graft.streaming.Events.interEventGaps(emptyEv).count() == 0)
+    // empty stream: zero sessions, null percentiles — one row, no NPE
+    val gp = graft.streaming.Events.gapPercentiles(emptyEv).collect()
+    assert(gp.length == 1 && gp(0).getAs[Long]("n_gaps") == 0L &&
+      gp(0).isNullAt(gp(0).fieldIndex("p50")))
+    val sp = graft.streaming.Events.sessionPercentiles(emptyEv).collect()
+    assert(sp.length == 1 && sp(0).getAs[Long]("n_sessions") == 0L &&
+      sp(0).isNullAt(sp(0).fieldIndex("dur_p50")))
+    // single-user single-event stream: a 1-event session of duration 0
+    val oneEv = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+      1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val one = graft.streaming.Events.sessionPercentiles(oneEv).collect().head
+    assert(one.getAs[Long]("n_sessions") == 1L &&
+      one.getAs[Double]("dur_p50") == 0.0)
+    // a doc with ONE clamped gram duplicated in another source still
+    // produces a well-formed overlap row (cont/jaccard = 1 on both)
+    val tiny = Seq((1L, "x", "en", "a", 1L), (2L, "x", "en", "b", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ov = graft.operators.Dedup.sourceOverlap(tiny).collect()
+    assert(ov.length == 1 && ov(0).getAs[Long]("n_pairs") == 1L &&
+      ov(0).getAs[Double]("max_jaccard") == 1.0)
+    graft.operators.OpCaches.releaseAll()
+  }
+
   test("incremental index against a missing snapshot behaves as first full index") {
     val root = Files.createTempDirectory("graft-empty-inc")
     Files.write(root.resolve("only.txt"), "content".getBytes)
