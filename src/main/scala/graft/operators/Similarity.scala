@@ -359,6 +359,34 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** Metadata-FILTERED vector search — top-k restricted to corpus
+    * vectors sharing the query's label (the "filtered ANN" shape every
+    * production vector store needs: search within a tenant, language,
+    * or modality). The label EQUI-join IS the filter pushdown: unlike
+    * [[topkBrute]]'s reviewed non-equi broadcast, candidates outside
+    * the predicate never reach the scorer, the join is a plain
+    * hash/broadcast equi-join, and per-label partitions search
+    * independently — at 100 TB with a selective predicate this is the
+    * difference between scanning the corpus and scanning the slice.
+    * Top-k per query compiles to WindowGroupLimit (rank pushdown
+    * prunes to k rows per query before the final sort). */
+  def topkFiltered(emb: DataFrame, queryMod: Long = 50L, k: Int = 5): DataFrame = {
+    val e = prepared(emb)
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"))
+    val q = e.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))
+    broadcast(q).join(e, Seq("label"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("label"), col("vec_id").as("cand_id"),
+        (VectorOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy("query_id", "rnk")
+  }
+
   /** Int8 scalar quantization of the embedding column: one symmetric
     * scale (the corpus max |coordinate|) maps every coordinate to an
     * integer code in [-127, 127], stored as `array<tinyint>` — the

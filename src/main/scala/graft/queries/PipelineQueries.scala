@@ -200,6 +200,11 @@ object PipelineQueries {
     }),
     // Brute-force cosine top-10 for queries {vec_id % 50 = 0}.
     "ss_topk_brute" -> ((s, d) => Similarity.topkBrute(emb(s, d), queryMod = 50L, k = 10)),
+    // Metadata-FILTERED search: top-5 among corpus vectors sharing the
+    // query's label — the label equi-join IS the filter pushdown
+    // (search-within-a-slice, the production filtered-ANN shape).
+    "ss_topk_filtered" -> ((s, d) =>
+      Similarity.topkFiltered(emb(s, d), queryMod = 50L, k = 5)),
     // k-NN majority-label vote over the same query set (semantic
     // auto-labeling + its leave-one-out correctness flag).
     "ss_knn_label" -> ((s, d) => Similarity.knnLabel(emb(s, d), queryMod = 50L, k = 10)),
@@ -977,6 +982,18 @@ object PipelineQueries {
          |  SELECT a.vec_id FROM e a JOIN e b ON a.vec_id < b.vec_id
          |  WHERE (${dotSql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) >= 0.3)
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, TRUE AS coverage_ok FROM p""".stripMargin,
+    "ss_topk_filtered" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, q.label AS label, c.vec_id AS cand_id,
+         |    (${dotSql("q.embedding", "c.embedding")}) / (q.nrm * c.nrm) AS cosine
+         |  FROM e q JOIN e c ON q.label = c.label
+         |  WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+         |r AS (SELECT query_id, label, cand_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rnk
+         |  FROM scored)
+         |SELECT query_id, label, cand_id, cosine, rnk FROM r WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
     "ss_topk_brute" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
          |scored AS (

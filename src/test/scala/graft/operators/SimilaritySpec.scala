@@ -86,6 +86,23 @@ class SimilaritySpec extends SparkSpec {
     assert(ranked.toSeq == Seq((1, 1L), (2, 4L), (3, 2L)))
   }
 
+  test("topkFiltered searches only the query's label slice, via an equi-join plan") {
+    // mixed labels: the label-1 candidates must be invisible to the
+    // label-0 query even though one is a perfect cosine match
+    val mixed = Seq(
+      (0L, vec(0, 1), 0), (1L, vec(0, 1), 1), // id1: cos 1.0 but label 1
+      (2L, vec(0), 0), (3L, vec(5, 6), 0), (4L, vec(1, 0), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val top = Similarity.topkFiltered(mixed, queryMod = 50L, k = 3).collect()
+    assert(top.forall(_.getAs[Long]("query_id") == 0L))
+    val cands = top.map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("cand_id"))).toSeq
+    // only label-0 candidates rank: id2 (0.707) then id3 (0.0)
+    assert(cands == Seq((1, 2L), (2, 3L)))
+    // and the filter is an EQUI-join: no nested-loop/cartesian node
+    val plan = Similarity.topkFiltered(mixed).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("cosinePairsBlocked == cosinePairs bit-for-bit on real testdata, no nested-loop join") {
     val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = Similarity.cosinePairs(real, threshold = 0.3).collect()
