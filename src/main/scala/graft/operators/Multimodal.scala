@@ -284,6 +284,120 @@ object Multimodal {
       }
   }
 
+  /** REAL audio codec — no stub: WAV/PCM is a pure container format
+    * the JDK reads natively (`javax.sound.sampled.AudioSystem`), so
+    * the audio leg runs an actual binary codec end-to-end like the
+    * image leg's ImageIO. Encoding writes a genuine 44-byte RIFF
+    * header + 16-bit little-endian mono PCM from a deterministic
+    * integer wave; decoding recovers the TRUE sample rate, width and
+    * frames from the bytes — a corrupt payload or fake codec would
+    * not reproduce the generator's parameters. All features are
+    * integers (peak, floor-div mean |amplitude|), so the oracle can
+    * re-derive them from the wave formula exactly. Video remains the
+    * documented [[StubCodec]] (no container codec in the JDK). */
+  object AudioCodec {
+    /** Deterministic (sampleRate, nSamples) per doc — mirrored by the
+      * oracle; the WAV round-trip must reproduce them from bytes. */
+    def paramsFor(docId: Long, textLen: Int): (Int, Int) =
+      (8000 + (docId % 5).toInt * 2000, 256 + textLen % 200)
+
+    /** The integer wave: a pure function of (doc, i) in 16-bit range. */
+    def sample(docId: Long, i: Int): Int =
+      (((docId * 31 + i.toLong * 7) % 2048).toInt - 1024) * 16
+
+    /** A real WAV file: RIFF/WAVE header + PCM16LE mono samples. */
+    def encodeWav(docId: Long, rate: Int, n: Int): Array[Byte] = {
+      val data = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = sample(docId, i)
+        data(2 * i) = (s & 0xFF).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+      bb.array()
+    }
+
+    /** Decode via the JDK: true (rate, samples) from the bytes, or
+      * None for anything that is not 16-bit mono PCM. */
+    def decode(payload: Array[Byte]): Option[(Int, Array[Int])] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val f = in.getFormat
+        if (f.getSampleSizeInBits != 16 || f.getChannels != 1 || f.isBigEndian) None
+        else {
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          val samples = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            samples(i) = (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)
+            i += 1
+          }
+          Some((f.getSampleRate.toInt, samples))
+        }
+      } catch { case _: Exception => None }
+  }
+
+  /** Audio-only media table: REAL WAV payloads (every `doc_id % 3 == 1`
+    * document, matching [[mediaTable]]'s audio assignment). Same
+    * sort-first spread and partition-local encode as [[imageTable]] —
+    * payload bytes never shuffle. */
+  def audioTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    graft.operators.Dedup.orderedSpread(
+        docs.filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id"), length(col("text")).cast("int").as("text_len")),
+        "doc_id")
+      .as[(Long, Int)]
+      .mapPartitions { batch =>
+        batch.map { case (docId, textLen) =>
+          val (rate, n) = AudioCodec.paramsFor(docId, textLen)
+          (docId, AudioCodec.encodeWav(docId, rate, n))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** REAL audio decode + feature stage: AudioSystem reads each WAV's
+    * true format back from the binary column; features are exact
+    * integers over the decoded samples (floor-div mean |amplitude|,
+    * peak, integer duration). Payloads stay inside the partition;
+    * only the metadata row continues. */
+  def audioMeta(spark: SparkSession, audio: DataFrame): DataFrame = {
+    import spark.implicits._
+    audio.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (docId, payload) =>
+          AudioCodec.decode(payload) match {
+            case Some((rate, ss)) if ss.nonEmpty =>
+              var sumAbs = 0L; var peak = 0L
+              var i = 0
+              while (i < ss.length) {
+                val a = math.abs(ss(i).toLong)
+                sumAbs += a; if (a > peak) peak = a
+                i += 1
+              }
+              (docId, rate.toLong, ss.length.toLong,
+                ss.length.toLong * 1000L / rate, peak, sumAbs / ss.length, true)
+            case _ => (docId, 0L, 0L, 0L, 0L, 0L, false)
+          }
+        }
+      }
+      .toDF("doc_id", "sample_rate", "n_samples", "duration_ms",
+        "peak_amp", "mean_abs", "valid")
+      .orderBy("doc_id")
+  }
+
   /** Synthesize the media table from `documents`: payload = UTF-8 bytes
     * of the text (a stand-in for real image/audio bytes), media_type
     * cycles image/audio/video. Mirrored 1:1 by the oracle's

@@ -134,6 +134,14 @@ object ExtQueries {
       Multimodal.phashPairs(
         Multimodal.imagePHash(s,
           Multimodal.imageTableWithVariants(s, Tables.documents(s, d))).toDF())),
+    // REAL in-JDK AUDIO codec round-trip: payloads are actual RIFF/WAV
+    // files, format comes from javax.sound.sampled reading the bytes,
+    // features are exact integers over the DECODED samples — the
+    // oracle re-derives them from the wave formula, so a row matches
+    // only if encode → AudioSystem decode is bit-exact end to end.
+    "mm_audio_meta" -> ((s, d) =>
+      Multimodal.audioMeta(s,
+        Multimodal.audioTable(s, Tables.documents(s, d)))),
     // Percent-of-total via an unbounded window: event-type share of
     // all events (double division of exact integer counts — bit-
     // identical across engines, unlike decimal/decimal division).
@@ -509,6 +517,21 @@ object ExtQueries {
          |WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
          |    + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 8
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "mm_audio_meta" ->
+      """WITH a AS (SELECT doc_id, length(text) AS tl FROM documents WHERE doc_id % 3 = 1),
+        |p AS (SELECT doc_id, 8000 + (doc_id % 5) * 2000 AS rate,
+        |        256 + tl % 200 AS n FROM a),
+        |s AS (SELECT doc_id, rate, n,
+        |        list_transform(generate_series(0, n - 1),
+        |          i -> abs(((doc_id * 31 + i * 7) % 2048 - 1024) * 16)) AS amps
+        |      FROM p)
+        |SELECT doc_id, CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+        |  CAST(list_max(amps) AS BIGINT) AS peak_amp,
+        |  CAST(list_sum(amps) // n AS BIGINT) AS mean_abs,
+        |  TRUE AS valid
+        |FROM s ORDER BY doc_id""".stripMargin,
     "mm_frames" ->
       """WITH f AS (
         |  SELECT doc_id, CAST(unnest(generate_series(0,

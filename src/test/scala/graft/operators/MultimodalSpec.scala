@@ -117,6 +117,43 @@ class MultimodalSpec extends SparkSpec {
     assert(r(0L).getAs[Long]("out_width") == 104)
   }
 
+  test("AudioCodec: real WAV round-trip recovers rate and exact samples") {
+    val (rate, n) = Multimodal.AudioCodec.paramsFor(7L, 123)
+    assert(rate == 8000 + (7 % 5) * 2000 && n == 256 + 123 % 200)
+    val wav = Multimodal.AudioCodec.encodeWav(7L, rate, n)
+    // a genuine RIFF container, decoded by the JDK, not our own parser
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    val Some((decodedRate, samples)) = Multimodal.AudioCodec.decode(wav)
+    assert(decodedRate == rate && samples.length == n)
+    // every decoded sample equals the wave formula — bit-exact codec
+    samples.zipWithIndex.foreach { case (s, i) =>
+      assert(s == Multimodal.AudioCodec.sample(7L, i), s"sample $i")
+    }
+    // corrupt payload: valid=false path, not an exception
+    assert(Multimodal.AudioCodec.decode("not a wav".getBytes).isEmpty)
+  }
+
+  test("audioMeta features are exact integers over decoded samples") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x" * 50, "en", "s", 50L),   // doc_id % 3 == 1 → audio
+      (4L, "y" * 99, "en", "s", 99L),
+      (3L, "skipped", "en", "s", 7L)    // not audio-assigned
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Multimodal.audioMeta(spark, Multimodal.audioTable(spark, docs))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got.keySet == Set(1L, 4L))
+    val r1 = got(1L)
+    val (rate, n) = Multimodal.AudioCodec.paramsFor(1L, 50)
+    assert(r1.getAs[Long]("sample_rate") == rate)
+    assert(r1.getAs[Long]("n_samples") == n)
+    assert(r1.getAs[Long]("duration_ms") == n.toLong * 1000L / rate)
+    val amps = (0 until n).map(i => math.abs(Multimodal.AudioCodec.sample(1L, i).toLong))
+    assert(r1.getAs[Long]("peak_amp") == amps.max)
+    assert(r1.getAs[Long]("mean_abs") == amps.sum / n)
+    assert(r1.getAs[Boolean]("valid"))
+  }
+
   test("dedupPayloads: identical bytes collapse per modality, min id kept") {
     import spark.implicits._
     // docs 0 and 3 share text but differ in media_type (0->image,
