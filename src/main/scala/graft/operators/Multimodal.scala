@@ -305,8 +305,13 @@ object Multimodal {
     def sample(docId: Long, i: Int): Int =
       (((docId * 31 + i.toLong * 7) % 2048).toInt - 1024) * 16
 
-    /** A real WAV file: RIFF/WAVE header + PCM16LE mono samples. */
-    def encodeWav(docId: Long, rate: Int, n: Int): Array[Byte] = {
+    /** A real WAV file: RIFF/WAVE header + PCM16LE mono samples. With
+      * `infoChunk`, a LIST/INFO metadata chunk is inserted before the
+      * data chunk — a BYTE-different container carrying the IDENTICAL
+      * audio (the shape that defeats payload-hash dedup but not
+      * decode-level dedup). */
+    def encodeWav(docId: Long, rate: Int, n: Int,
+        infoChunk: Boolean = false): Array[Byte] = {
       val data = new Array[Byte](n * 2)
       var i = 0
       while (i < n) {
@@ -315,14 +320,18 @@ object Multimodal {
         data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
         i += 1
       }
-      val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      val extra = if (infoChunk) 12 else 0
+      val bb = java.nio.ByteBuffer.allocate(44 + extra + data.length)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + extra + data.length)
         .put("WAVE".getBytes("US-ASCII"))
         .put("fmt ".getBytes("US-ASCII")).putInt(16)
         .putShort(1).putShort(1) // PCM, mono
         .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
-        .put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+      if (infoChunk)
+        bb.put("LIST".getBytes("US-ASCII")).putInt(4)
+          .put("INFO".getBytes("US-ASCII"))
+      bb.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
       bb.array()
     }
 
@@ -366,6 +375,67 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "payload")
+  }
+
+  /** [[audioTable]] plus CONTAINER variants: every `doc_id % 30 == 1`
+    * clip also ships under doc_id + 1000000 with an extra LIST/INFO
+    * chunk — different payload BYTES (payload-hash dedup misses it),
+    * identical decoded PCM (decode-level dedup must catch it). */
+  def audioTableWithContainerVariants(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val base = docs.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), length(col("text")).cast("int").as("text_len"),
+        lit(false).as("info"))
+    val variants = docs.filter(col("doc_id") % 30 === 1)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        length(col("text")).cast("int").as("text_len"), lit(true).as("info"))
+    graft.operators.Dedup.orderedSpread(base.unionByName(variants), "doc_id")
+      .as[(Long, Int, Boolean)]
+      .mapPartitions { batch =>
+        batch.map { case (docId, textLen, info) =>
+          val patternId = if (info) docId - 1000000L else docId
+          val (rate, n) = AudioCodec.paramsFor(patternId, textLen)
+          (docId, AudioCodec.encodeWav(patternId, rate, n, infoChunk = info))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** DECODE-level audio dedup: clips group by an exact integer
+    * signature of their DECODED samples (count, Σ|s|, max|s|, and the
+    * position-weighted Σ(i+1)·|s|), not by payload bytes — so the
+    * same audio in a re-tagged/re-chunked container (different md5,
+    * identical PCM) still collapses, which is precisely the case
+    * [[dedupPayloads]]' payload hash cannot see. The signature is
+    * pure integer arithmetic over decoded samples, so the oracle can
+    * re-derive it from the wave formula — a matching row proves the
+    * JDK decode path ignored the container difference.
+    *
+    * Scale shape: decode is partition-local (payload bytes never
+    * shuffle); only the 5-long signature row enters the group-by,
+    * which partial-combines map-side like any exact-dedup aggregate. */
+  def audioDedup(spark: SparkSession, audio: DataFrame): DataFrame = {
+    import spark.implicits._
+    audio.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (docId, payload) =>
+          AudioCodec.decode(payload).collect { case (_, ss) if ss.nonEmpty =>
+            var sumAbs = 0L; var peak = 0L; var weighted = 0L
+            var i = 0
+            while (i < ss.length) {
+              val a = math.abs(ss(i).toLong)
+              sumAbs += a; weighted += (i + 1) * a
+              if (a > peak) peak = a
+              i += 1
+            }
+            (docId, ss.length.toLong, sumAbs, peak, weighted)
+          }
+        }
+      }
+      .toDF("doc_id", "n_samples", "sum_abs", "peak_amp", "weighted")
+      .groupBy("n_samples", "sum_abs", "peak_amp", "weighted")
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_doc_id")
   }
 
   /** REAL audio decode + feature stage: AudioSystem reads each WAV's

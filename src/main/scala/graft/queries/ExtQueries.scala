@@ -142,6 +142,14 @@ object ExtQueries {
     "mm_audio_meta" -> ((s, d) =>
       Multimodal.audioMeta(s,
         Multimodal.audioTable(s, Tables.documents(s, d)))),
+    // DECODE-level audio dedup over container variants: the extra
+    // LIST/INFO chunk changes the payload bytes (md5 dedup misses it)
+    // but not the decoded PCM — the integer-signature groups must
+    // collapse base+variant, and the oracle re-derives every
+    // signature from the wave formula.
+    "mm_audio_dedup" -> ((s, d) =>
+      Multimodal.audioDedup(s,
+        Multimodal.audioTableWithContainerVariants(s, Tables.documents(s, d)))),
     // Percent-of-total via an unbounded window: event-type share of
     // all events (double division of exact integer counts — bit-
     // identical across engines, unlike decimal/decimal division).
@@ -532,6 +540,27 @@ object ExtQueries {
         |  CAST(list_sum(amps) // n AS BIGINT) AS mean_abs,
         |  TRUE AS valid
         |FROM s ORDER BY doc_id""".stripMargin,
+    "mm_audio_dedup" ->
+      """WITH a AS (SELECT doc_id, length(text) AS tl FROM documents WHERE doc_id % 3 = 1),
+        |ids AS (
+        |  SELECT doc_id, doc_id AS pattern_id, tl FROM a
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, tl FROM a WHERE doc_id % 30 = 1),
+        |p AS (SELECT doc_id, pattern_id, 256 + tl % 200 AS n FROM ids),
+        |s AS (SELECT doc_id, n,
+        |        list_transform(generate_series(0, n - 1),
+        |          i -> abs(((pattern_id * 31 + i * 7) % 2048 - 1024) * 16)) AS amps
+        |      FROM p),
+        |sig AS (SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |        CAST(list_sum(amps) AS BIGINT) AS sum_abs,
+        |        CAST(list_max(amps) AS BIGINT) AS peak_amp,
+        |        CAST(list_sum(list_transform(generate_series(1, n),
+        |          i -> i * amps[i])) AS BIGINT) AS weighted
+        |      FROM s)
+        |SELECT n_samples, sum_abs, peak_amp, weighted,
+        |  MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+        |FROM sig GROUP BY 1, 2, 3, 4
+        |ORDER BY keep_doc_id""".stripMargin,
     "mm_frames" ->
       """WITH f AS (
         |  SELECT doc_id, CAST(unnest(generate_series(0,

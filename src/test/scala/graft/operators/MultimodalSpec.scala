@@ -154,6 +154,29 @@ class MultimodalSpec extends SparkSpec {
     assert(r1.getAs[Boolean]("valid"))
   }
 
+  test("audioDedup groups byte-different containers with identical PCM") {
+    import spark.implicits._
+    // doc 1 gets a container variant (1 % 30 == 1): extra LIST/INFO
+    // chunk → different bytes, identical samples
+    val docs = Seq(
+      (1L, "x" * 50, "en", "s", 50L),
+      (4L, "y" * 99, "en", "s", 99L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val table = Multimodal.audioTableWithContainerVariants(spark, docs)
+    val payloads = table.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(payloads.keySet == Set(1L, 4L, 1000001L))
+    // the container variant is genuinely byte-different...
+    assert(!java.util.Arrays.equals(payloads(1L), payloads(1000001L)))
+    // ...and the JDK decoder sees identical PCM through both containers
+    val Some((r1, s1)) = Multimodal.AudioCodec.decode(payloads(1L))
+    val Some((r2, s2)) = Multimodal.AudioCodec.decode(payloads(1000001L))
+    assert(r1 == r2 && s1.toSeq == s2.toSeq)
+    val groups = Multimodal.audioDedup(spark, table).collect()
+      .map(r => r.getAs[Long]("keep_doc_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(groups == Map(1L -> 2L, 4L -> 1L))
+  }
+
   test("dedupPayloads: identical bytes collapse per modality, min id kept") {
     import spark.implicits._
     // docs 0 and 3 share text but differ in media_type (0->image,
