@@ -164,16 +164,35 @@ object Dedup {
     * destroy. */
   private[graft] def jaccardPairsRaw(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.5, maxDocFreq: Option[Long] = None): DataFrame = {
-    // the shingle-set table feeds three plan branches (sizes, inverted
-    // index, and nothing else recomputes it) — cache the one pass
-    // (tracked: OpCaches.releaseAll() drops it after the caller's action).
-    // HASHED shingle space: the f² self-join below compares/shuffles
-    // longs, not n-gram strings.
+    val (common, sizes) = pairCounts(docs, n, maxDocFreq)
+    common
+      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+  }
+
+  /** The ONE copy of the pair-count machinery every set-similarity
+    * operator rides (jaccard, containment): cached hashed-shingle
+    * sets, the f²-bounded inverted-index self-join, the per-pair
+    * intersection count, and the per-doc set sizes — so a fix to the
+    * index (hashing, capping, join shape) reaches every consumer.
+    * Returns (common(doc_a, doc_b, n_common), sizes(doc_id, n_sh)).
+    *
+    * The shingle-set table feeds three plan branches (sizes, inverted
+    * index, and nothing else recomputes it) — cache the one pass
+    * (tracked: OpCaches.releaseAll() drops it after the caller's
+    * action). HASHED shingle space: the f² self-join compares/
+    * shuffles longs, not n-gram strings. */
+  private def pairCounts(docs: DataFrame, n: Int,
+      maxDocFreq: Option[Long]): (DataFrame, DataFrame) = {
     val sh = OpCaches.track(
       withHashedShingles(docs, n).select(col("doc_id"), col("shingles")))
     val invAll = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    // when capped, jaccard is computed IN the capped shingle space —
-    // sizes must come from the filtered index or similarity would be
+    // when capped, similarity is computed IN the capped shingle space —
+    // sizes must come from the filtered index or it would be
     // systematically underestimated
     val (inv, sizes) = maxDocFreq match {
       case None =>
@@ -189,13 +208,7 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
-      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
-      .withColumn("jaccard",
-        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "n_common", "jaccard")
+    (common, sizes)
   }
 
   /** MinHash + banded LSH near-dup detection, with exact-Jaccard
@@ -380,20 +393,16 @@ object Dedup {
     * on the max — i.e. "the smaller side is mostly inside the
     * larger".
     *
-    * Scale shape: identical to [[jaccardPairsRaw]] — the f²-bounded
-    * inverted-index self-join produces (pair, n_common), sizes join
-    * back, and the containment division replaces the union division.
-    * No new shuffle, no new scan. */
+    * Scale shape: identical to [[jaccardPairsRaw]] — it rides the
+    * SAME [[pairCounts]] machinery (shared, not duplicated: an index
+    * fix reaches both), and the containment division replaces the
+    * union division. No new shuffle, no new scan; the same
+    * `maxDocFreq` hot-shingle cap applies. */
   def containmentPairs(docs: DataFrame, n: Int = 3,
-      minContainment: Double = 0.8): DataFrame = {
-    val sh = OpCaches.track(
-      withHashedShingles(docs, n).select(col("doc_id"), col("shingles")))
-    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
-    inv.as("a").join(inv.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
+      minContainment: Double = 0.8,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    val (common, sizes) = pairCounts(docs, n, maxDocFreq)
+    common
       .join(sizes.toDF("doc_a", "n_a"), "doc_a")
       .join(sizes.toDF("doc_b", "n_b"), "doc_b")
       .withColumn("cont_a", col("n_common").cast("double") / col("n_a"))
@@ -417,7 +426,11 @@ object Dedup {
     * partial states. */
   def jaccardHistogram(docs: DataFrame, n: Int = 3, lo: Double = 0.2,
       step: Double = 0.1): DataFrame = {
-    val nBands = math.ceil((1.0 - lo) / step).toInt
+    // the -1e-9 guards FP quotients that land one ulp ABOVE the true
+    // integer (e.g. (1.0-0.7)/0.1 = 3.0000000000000004): a naive ceil
+    // would mint a spurious band entirely outside [lo, 1.0] and strand
+    // the jaccard=1.0 pairs there
+    val nBands = math.ceil((1.0 - lo) / step - 1e-9).toInt
     val band = least(floor((col("jaccard") - lo) / step).cast("int"),
       lit(nBands - 1))
     jaccardPairsRaw(docs, n, threshold = lo)

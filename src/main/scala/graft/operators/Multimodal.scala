@@ -361,35 +361,31 @@ object Multimodal {
     * document, matching [[mediaTable]]'s audio assignment). Same
     * sort-first spread and partition-local encode as [[imageTable]] —
     * payload bytes never shuffle. */
-  def audioTable(spark: SparkSession, docs: DataFrame): DataFrame = {
-    import spark.implicits._
-    graft.operators.Dedup.orderedSpread(
-        docs.filter(col("doc_id") % 3 === 1)
-          .select(col("doc_id"), length(col("text")).cast("int").as("text_len")),
-        "doc_id")
-      .as[(Long, Int)]
-      .mapPartitions { batch =>
-        batch.map { case (docId, textLen) =>
-          val (rate, n) = AudioCodec.paramsFor(docId, textLen)
-          (docId, AudioCodec.encodeWav(docId, rate, n))
-        }
-      }
-      .toDF("doc_id", "payload")
-  }
+  def audioTable(spark: SparkSession, docs: DataFrame): DataFrame =
+    audioTableImpl(spark, docs, withVariants = false)
 
   /** [[audioTable]] plus CONTAINER variants: every `doc_id % 30 == 1`
     * clip also ships under doc_id + 1000000 with an extra LIST/INFO
     * chunk — different payload BYTES (payload-hash dedup misses it),
     * identical decoded PCM (decode-level dedup must catch it). */
-  def audioTableWithContainerVariants(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def audioTableWithContainerVariants(spark: SparkSession, docs: DataFrame): DataFrame =
+    audioTableImpl(spark, docs, withVariants = true)
+
+  /** The ONE audio-table scaffold both public forms share: filter the
+    * audio-assigned docs, optionally add the container-variant rows,
+    * sort-first spread, and encode partition-locally — payload bytes
+    * never shuffle. */
+  private def audioTableImpl(spark: SparkSession, docs: DataFrame,
+      withVariants: Boolean): DataFrame = {
     import spark.implicits._
     val base = docs.filter(col("doc_id") % 3 === 1)
       .select(col("doc_id"), length(col("text")).cast("int").as("text_len"),
         lit(false).as("info"))
-    val variants = docs.filter(col("doc_id") % 30 === 1)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
-        length(col("text")).cast("int").as("text_len"), lit(true).as("info"))
-    graft.operators.Dedup.orderedSpread(base.unionByName(variants), "doc_id")
+    val rows = if (!withVariants) base else base.unionByName(
+      docs.filter(col("doc_id") % 30 === 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          length(col("text")).cast("int").as("text_len"), lit(true).as("info")))
+    graft.operators.Dedup.orderedSpread(rows, "doc_id")
       .as[(Long, Int, Boolean)]
       .mapPartitions { batch =>
         batch.map { case (docId, textLen, info) =>

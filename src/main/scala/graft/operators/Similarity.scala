@@ -189,7 +189,10 @@ object Similarity {
     * set. */
   def cosineHistogram(emb: DataFrame, lo: Double = 0.3, step: Double = 0.05,
       blocks: Int = 16): DataFrame = {
-    val nBands = math.ceil((1.0 - lo) / step).toInt
+    // -1e-9: guard FP quotients one ulp above the true integer (see
+    // Dedup.jaccardHistogram) — a naive ceil would mint a spurious
+    // band above 1.0 for some (lo, step)
+    val nBands = math.ceil((1.0 - lo) / step - 1e-9).toInt
     val band = least(floor((col("cosine") - lo) / step).cast("int"), lit(nBands - 1))
     cosinePairsBlockedRaw(emb, threshold = lo, blocks)
       .select(band.as("band"))
@@ -371,8 +374,12 @@ object Similarity {
     * Top-k per query compiles to WindowGroupLimit (rank pushdown
     * prunes to k rows per query before the final sort). */
   def topkFiltered(emb: DataFrame, queryMod: Long = 50L, k: Int = 5): DataFrame = {
-    val e = prepared(emb)
-      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+    // label projected in the SAME scan (the labelCentroidCosine shape)
+    // — a prepared()+rejoin would read the corpus twice and shuffle it
+    // once before any query filtering
+    val e = emb.select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("v", VectorOps.toDouble(col("embedding")))
+      .withColumn("nrm", VectorOps.norm(col("v")))
       .select(col("vec_id"), col("label"), col("v"), col("nrm"))
     val q = e.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("label"),

@@ -477,18 +477,24 @@ object PipelineQueries {
   private val T = OracleSql.T
   private def shinglesSql(n: Int): String = OracleSql.shingles(n)
 
-  /** Shared exact-Jaccard pair CTE (ends with relation
-    * `pairs(doc_a, doc_b, jaccard)`) — one copy feeds the overlap
-    * matrix and the band histogram so their pair semantics can never
-    * drift from each other. */
-  private def pairsCteSql(threshold: Double): String =
+  /** Shared pair-count CTE prefix (ends with relations
+    * `common(doc_a, doc_b, n_common)` and `sizes(doc_id, n_sh)`) —
+    * the oracle twin of `Dedup.pairCounts`: ONE copy feeds every
+    * set-similarity oracle (overlap, histogram, containment) so the
+    * pair semantics can never drift between them. */
+  private lazy val pairCountsCteSql: String =
     s"""WITH sh AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM documents),
        |sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh FROM sh),
        |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
        |common AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
        |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** [[pairCountsCteSql]] plus the thresholded jaccard step (ends
+    * with relation `pairs(doc_a, doc_b, jaccard)`). */
+  private def pairsCteSql(threshold: Double): String =
+    s"""$pairCountsCteSql,
        |pairs AS (
        |  SELECT doc_a, doc_b,
        |    CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
@@ -601,13 +607,7 @@ object PipelineQueries {
          |GROUP BY 1, 2
          |ORDER BY src_a, src_b""".stripMargin,
     "dd_containment" ->
-      s"""WITH sh AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM documents),
-         |sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh FROM sh),
-         |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-         |common AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-         |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
+      s"""$pairCountsCteSql
          |SELECT doc_a, doc_b, n_common,
          |  CAST(n_common AS DOUBLE) / sa.n_sh AS cont_a,
          |  CAST(n_common AS DOUBLE) / sb.n_sh AS cont_b

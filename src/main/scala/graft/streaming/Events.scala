@@ -740,7 +740,11 @@ object Events {
           rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, eid, tsUs) =>
             if (!s.seen) s = GapState(tsUs, eid, true)
             else if (tsUs > s.lastTsUs ||
-                (tsUs == s.lastTsUs && eid >= s.lastEventId)) {
+                (tsUs == s.lastTsUs && eid > s.lastEventId)) {
+              // strict > on the id: an at-least-once REDELIVERY of the
+              // state's own last event (same ts, same id) must not
+              // re-emit a spurious 0-gap; a genuinely distinct same-ts
+              // event still passes via its greater id
               out += GapDelta(uid, eid, tsUs - s.lastTsUs)
               s = GapState(tsUs, eid, true)
             }
