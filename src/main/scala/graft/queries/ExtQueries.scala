@@ -63,6 +63,9 @@ object ExtQueries {
     // streaming state-store sizing.
     "ev_session_percentiles" -> ((s, d) =>
       Events.sessionPercentiles(events(s, d), gapMinutes = 30)),
+    // Events-per-user power-law buckets (exact integer log2 via the
+    // binary-string length): bots vs long tail at one glance.
+    "ev_activity_hist" -> ((s, d) => Events.activityHistogram(events(s, d))),
     // Daily volume anomalies: per-type z-scores against the trailing
     // 7-day window (sqrt is IEEE-exact, so z is oracle-safe).
     "ev_daily_anomaly" -> ((s, d) => Events.dailyAnomaly(events(s, d))),
@@ -373,6 +376,14 @@ object ExtQueries {
         |  CAST(SUM(gap_us) AS DOUBLE) / CAST(COUNT(gap_us) AS DOUBLE)
         |    / 1000000.0 AS mean_gap_s
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ev_activity_hist" ->
+      """WITH per AS (
+        |  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id)
+        |SELECT CAST(length(bin(n_events)) AS INT) AS bucket,
+        |  COUNT(*) AS n_users, MIN(n_events) AS min_events,
+        |  MAX(n_events) AS max_events,
+        |  CAST(SUM(n_events) AS BIGINT) AS total_events
+        |FROM per GROUP BY 1 ORDER BY bucket""".stripMargin,
     "ev_session_percentiles" ->
       """WITH m AS (
         |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL THEN 1

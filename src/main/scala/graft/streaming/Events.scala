@@ -754,6 +754,25 @@ object Events {
       }
   }
 
+  /** Events-per-user POWER-LAW histogram: users bucketed by
+    * ⌊log₂(n_events)⌋ — the one-glance answer to "is this stream a
+    * few bots or a long tail?" (a straight line across buckets =
+    * power law; a spike in the top bucket = automation). The bucket
+    * is computed as `length(bin(n))` — an EXACT integer log2 both
+    * engines derive from the binary string, with none of libm's
+    * last-bit variability.
+    *
+    * Scale shape: two hash aggregates (user_id, then ~64 buckets),
+    * both with map-side partial combine; nothing else moves. */
+  def activityHistogram(events: DataFrame): DataFrame =
+    events.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .groupBy(length(bin(col("n_events"))).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("n_events")).as("min_events"),
+        max(col("n_events")).as("max_events"),
+        sum(col("n_events")).as("total_events"))
+      .orderBy("bucket")
+
   /** Corpus-wide gap-distribution percentiles — the number that SETS
     * the sessionization threshold (a 30-min cutoff should sit far
     * above p90 of within-session gaps). Gaps are exact integer µs, so

@@ -415,6 +415,23 @@ class EventsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("2024-01-01", 2L, true), ("2024-01-02", 1L, true)))
   }
 
+  test("activityHistogram buckets by exact integer log2") {
+    // users with 1, 2, 3, and 9 events → buckets 1, 2, 2, 4
+    val ev = (Seq((10L, 1)) ++ Seq((20L, 2)) ++ Seq((30L, 3)) ++ Seq((40L, 9)))
+      .flatMap { case (u, n) => (1 to n).map(i => (u * 100 + i, u, i)) }
+      .map { case (eid, u, i) =>
+        (eid, ts(f"2024-01-01 10:${i}%02d:00"), u, "view", 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.activityHistogram(ev).collect()
+      .map(r => r.getAs[Int]("bucket") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("min_events"),
+          r.getAs[Long]("max_events"), r.getAs[Long]("total_events"))).toMap
+    assert(got == Map(
+      1 -> ((1L, 1L, 1L, 1L)),   // n=1 → bin "1", length 1
+      2 -> ((2L, 2L, 3L, 5L)),   // n=2,3 → "10"/"11", length 2
+      4 -> ((1L, 9L, 9L, 9L)))) // n=9 → "1001", length 4
+  }
+
   test("sessionPercentiles: exact interpolation over session islands") {
     // fixture sessions: u1 {10:00,10:10} dur 600s, u1 {10:55} dur 0,
     // u2 {09:30,09:45} dur 900s → durations [0, 600e6, 900e6] µs
