@@ -383,6 +383,24 @@ object Dedup {
       .orderBy("src_a", "src_b")
   }
 
+  /** Shingle document-frequency histogram — the table that SETS the
+    * `maxDocFreq` cap the production jaccard/containment paths take:
+    * how many shingles occur in exactly df documents. A heavy tail
+    * here (boilerplate, viral phrases) is the f² fan-out the cap
+    * exists to bound; a corpus whose histogram dies at df ≤ 3 doesn't
+    * need one. Same [[withHashedShingles]] space the index joins in,
+    * so the histogram prices exactly the joins that will run.
+    *
+    * Scale shape: one explode + two hash aggregates (shingle, then
+    * ~|log df| distinct dfs), both partial-combining — strictly
+    * cheaper than any pair operator it tunes. */
+  def shingleDfHistogram(docs: DataFrame, n: Int = 3): DataFrame =
+    withHashedShingles(docs, n)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .groupBy("df").agg(count(lit(1)).as("n_shingles"))
+      .orderBy("df")
+
   /** Asymmetric CONTAINMENT pairs: |A∩B| / min(|A|, |B|) — the
     * subset-copy detector symmetric Jaccard is blind to. A short doc
     * quoted whole inside a much longer one scores J =

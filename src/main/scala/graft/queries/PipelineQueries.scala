@@ -55,6 +55,10 @@ object PipelineQueries {
     // a long host scores J→0 but containment 1.0.
     "dd_containment" -> ((s, d) =>
       Dedup.containmentPairs(docs(s, d), n = 3, minContainment = 0.6)),
+    // Shingle document-frequency histogram: the table that sets the
+    // maxDocFreq cap (how heavy is the boilerplate tail?).
+    "dd_shingle_df_hist" -> ((s, d) =>
+      Dedup.shingleDfHistogram(docs(s, d), n = 3)),
     // MinHash + banded LSH candidates, exact-Jaccard verified.
     "dd_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(docs(s, d), n = 3, numHashes = 12, bands = 4, threshold = 0.5)),
@@ -606,6 +610,12 @@ object PipelineQueries {
          |           JOIN documents db ON pairs.doc_b = db.doc_id
          |GROUP BY 1, 2
          |ORDER BY src_a, src_b""".stripMargin,
+    "dd_shingle_df_hist" ->
+      s"""WITH sh AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM documents),
+         |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |dfs AS (SELECT shingle, count(*) AS df FROM inv GROUP BY shingle)
+         |SELECT df, count(*) AS n_shingles FROM dfs
+         |GROUP BY df ORDER BY df""".stripMargin,
     "dd_containment" ->
       s"""$pairCountsCteSql
          |SELECT doc_a, doc_b, n_common,
