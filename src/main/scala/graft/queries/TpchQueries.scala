@@ -168,7 +168,64 @@ object TpchQueries {
       shareOk(3).as("q3_ok"), shareOk(4).as("q4_ok"))
   }
 
+  /** Q7-style nation trade flows: revenue between (supplier nation,
+    * customer nation) pairs per ship year. Exercises the one join
+    * class the other q* rows don't: TWO dimension CHAINS hanging off
+    * the fact (lineitem→supplier→nation AND lineitem→orders→
+    * customer→nation) with a genuine fact-to-fact shuffle join on
+    * orderkey in the middle — nation/supplier broadcast, while
+    * orders⋈customer and lineitem⋈orders are left to AQE (at 100 TB
+    * both ARE shuffle joins; hinting broadcast there would be wrong).
+    * Year extraction and the diagonal filter (supp ≠ cust nation) are
+    * engine-identical integer/string ops. */
+  def q7Trade(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val sup = Tables.supplier(spark, dir)
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.orders(spark, dir)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum((dec("l_extendedprice") * (lit(1).cast("decimal(18,6)") - dec("l_discount")))
+        .cast("decimal(18,6)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Q18-style large-volume customers: orders whose summed lineitem
+    * quantity clears a threshold, joined back to their customer — the
+    * aggregate-then-semi-join-the-fact shape (HAVING over a fact
+    * aggregate feeding a key join). The aggregate output is orders-
+    * sized (small); AQE broadcasts it back. Top 100 by quantity. */
+  def q18BigOrders(spark: SparkSession, dir: String, minQty: Int = 350): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("total_qty").cast("double").as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_nation_trade" -> ((s, d) => q7Trade(s, d)),
+    "q18_big_orders" -> ((s, d) => q18BigOrders(s, d)),
     "q1_pricing" -> ((s, d) => q1Pricing(s, d)),
     "q3_shipping" -> ((s, d) => q3Shipping(s, d)),
     "q5_region" -> ((s, d) => q5Region(s, d)),
@@ -183,6 +240,34 @@ object TpchQueries {
       "(CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))"
 
   val oracle: Map[String, String] = Map(
+    "q7_nation_trade" ->
+      s"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         |  CAST(year(l.l_shipdate) AS INT) AS l_year,
+         |  CAST(SUM($discPrice) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem l
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+         |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND ns.n_name <> nc.n_name
+         |GROUP BY 1, 2, 3
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q18_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 350)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  CAST(big.total_qty AS DOUBLE) AS total_qty
+        |FROM orders o
+        |JOIN big ON o.o_orderkey = big.l_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY total_qty DESC, o.o_orderkey LIMIT 100""".stripMargin,
     "q1_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
