@@ -223,7 +223,42 @@ object TpchQueries {
       .limit(100)
   }
 
+  /** Q4-style priority count over CORRELATED-EXISTS semantics: orders
+    * having at least one lineitem shipped more than 60 days after the
+    * order date, counted by priority. The EXISTS compiles to a LEFT
+    * SEMI join whose condition mixes the key equality with a
+    * cross-table date predicate — the fact side is touched once and
+    * never duplicated (a plain inner join would overcount orders with
+    * several late lines and force a distinct). */
+  def q4LateOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  /** Q13-style customer order-count distribution: how many customers
+    * placed exactly n orders — INCLUDING the zero bucket, which only
+    * an outer join preserves (the relational twin of
+    * [[graft.streaming.Events.activityHistogram]]'s power-law view).
+    * Two hash aggregates after the outer join; `count(o_orderkey)`
+    * counts non-null matches so empty customers land at n = 0. */
+  def q13OrderCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(Tables.orders(spark, dir).select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("n_orders")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_late_orders" -> ((s, d) => q4LateOrders(s, d)),
+    "q13_order_counts" -> ((s, d) => q13OrderCounts(s, d)),
     "q7_nation_trade" -> ((s, d) => q7Trade(s, d)),
     "q18_big_orders" -> ((s, d) => q18BigOrders(s, d)),
     "q1_pricing" -> ((s, d) => q1Pricing(s, d)),
@@ -240,6 +275,22 @@ object TpchQueries {
       "(CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))"
 
   val oracle: Map[String, String] = Map(
+    "q4_late_orders" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q13_order_counts" ->
+      """WITH per AS (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey)
+        |SELECT n_orders, COUNT(*) AS n_customers
+        |FROM per GROUP BY n_orders ORDER BY n_orders""".stripMargin,
     "q7_nation_trade" ->
       s"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
          |  CAST(year(l.l_shipdate) AS INT) AS l_year,
