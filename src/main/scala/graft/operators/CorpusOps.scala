@@ -212,6 +212,32 @@ object CorpusOps {
         expr(s"cum_before div $budget").as("shard_id"))
       .orderBy("doc_id")
 
+  /** Shard-BALANCE report over [[packShards]]' assignment: per-corpus
+    * one-row summary of how even the shards came out (doc counts and
+    * token totals per shard, min/max aggregated). Running-sum packing
+    * guarantees every full shard holds ≥ budget − max_doc_tokens and
+    * ≤ budget + max_doc_tokens tokens; this row is the operational
+    * check that the guarantee held (a skewed row here means the
+    * token counter or the prefix sum broke, not the data). All exact
+    * integers.
+    *
+    * Scale shape: [[packShards]]' own two-phase prefix sum plus two
+    * tiny aggregates (shard-sized, then one row). */
+  def shardSkew(docs: DataFrame, budget: Long = 2048L,
+      blockSize: Long = 64L): DataFrame =
+    // the raw prefix-sum core, NOT packShards: its presentation
+    // orderBy would range-exchange rows the aggregate immediately
+    // destroys (the sorted-wrapper-vs-raw-core rule, PLANS.md)
+    withCumBefore(docs, blockSize)
+      .select(expr(s"cum_before div $budget").as("shard_id"), col("n_tokens"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"))
+      .agg(count(lit(1)).as("n_shards"),
+        min(col("n_docs")).as("min_docs"), max(col("n_docs")).as("max_docs"),
+        min(col("shard_tokens")).as("min_tokens"),
+        max(col("shard_tokens")).as("max_tokens"),
+        sum(col("shard_tokens")).as("total_tokens"))
+
   /** (doc_id, n_tokens, cum_before) — corpus-wide running token total
     * BEFORE each doc in id order, via the two-phase prefix sum shared
     * by [[packShards]] and [[packSequences]]. */

@@ -68,7 +68,11 @@ object CorpusQueries {
     // Deterministic per-epoch shuffle order (inspectable 20-row prefix
     // per epoch; WindowGroupLimit prunes pre-shuffle).
     "tp_epoch_order" -> ((s, d) =>
-      CorpusOps.epochOrder(docs(s, d), epochs = 3, head = 20))
+      CorpusOps.epochOrder(docs(s, d), epochs = 3, head = 20)),
+    // Shard-balance report: did running-sum packing actually come out
+    // even? (one row: doc/token min/max per shard)
+    "tp_shard_skew" -> ((s, d) =>
+      CorpusOps.shardSkew(docs(s, d), budget = 2048L, blockSize = 64L))
   )
 
   private val T = OracleSql.T
@@ -121,6 +125,21 @@ object CorpusQueries {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
         |  FROM documents)
         |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+    "tp_shard_skew" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($T) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM t),
+         |per AS (
+         |  SELECT cum_before // 2048 AS shard_id, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+         |  FROM c GROUP BY 1)
+         |SELECT COUNT(*) AS n_shards,
+         |  MIN(n_docs) AS min_docs, MAX(n_docs) AS max_docs,
+         |  MIN(shard_tokens) AS min_tokens, MAX(shard_tokens) AS max_tokens,
+         |  CAST(SUM(shard_tokens) AS BIGINT) AS total_tokens
+         |FROM per""".stripMargin,
     "tp_pack_shards" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($T) AS BIGINT) AS n_tokens FROM documents),
          |c AS (SELECT doc_id, n_tokens,

@@ -66,6 +66,9 @@ object ExtQueries {
     // Events-per-user power-law buckets (exact integer log2 via the
     // binary-string length): bots vs long tail at one glance.
     "ev_activity_hist" -> ((s, d) => Events.activityHistogram(events(s, d))),
+    // Day-of-week × hour-of-day load matrix (≤ 168 keys, one
+    // map-combined aggregate).
+    "ev_hourly_heatmap" -> ((s, d) => Events.hourlyHeatmap(events(s, d))),
     // Daily volume anomalies: per-type z-scores against the trailing
     // 7-day window (sqrt is IEEE-exact, so z is oracle-safe).
     "ev_daily_anomaly" -> ((s, d) => Events.dailyAnomaly(events(s, d))),
@@ -376,6 +379,13 @@ object ExtQueries {
         |  CAST(SUM(gap_us) AS DOUBLE) / CAST(COUNT(gap_us) AS DOUBLE)
         |    / 1000000.0 AS mean_gap_s
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ev_hourly_heatmap" ->
+      """SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+        |  CAST(hour(ts) AS INT) AS hod,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin,
     "ev_activity_hist" ->
       """WITH per AS (
         |  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id)

@@ -754,6 +754,20 @@ object Events {
       }
   }
 
+  /** Day-of-week × hour-of-day activity heatmap — the operational
+    * load matrix (when do users show up; when can maintenance run).
+    * Spark's `dayofweek` is 1=Sunday..7=Saturday; the oracle maps
+    * DuckDB's 0-based `dayofweek` with a +1, and both extract hour
+    * from the same UTC instant. Counts and the decimal-exact value
+    * sum are the only aggregates — one hash aggregate on ≤ 168 keys,
+    * map-side combined; nothing else moves. */
+  def hourlyHeatmap(events: DataFrame): DataFrame =
+    events.groupBy(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(valueDec).cast("double").as("total_value"))
+      .orderBy("dow", "hod")
+
   /** Events-per-user POWER-LAW histogram: users bucketed by
     * ⌊log₂(n_events)⌋ — the one-glance answer to "is this stream a
     * few bots or a long tail?" (a straight line across buckets =

@@ -103,6 +103,9 @@ class PlanLintSpec extends SparkSpec {
       "cumulative sums are partitioned by block — see CorpusOps.packShards"),
     "tp_pack_offsets" -> ("same two-phase prefix sum core as tp_pack_shards " +
       "(CorpusOps.withCumBefore) — the global window sees only per-block totals"),
+    "tp_shard_skew" -> ("same two-phase prefix sum core as tp_pack_shards " +
+      "(CorpusOps.withCumBefore) — the global window sees only per-block totals; " +
+      "everything after it is two shard-keyed aggregates"),
     "tp_training_manifest" -> ("ends in CorpusOps.packShards — same reviewed " +
       "per-block offsets window as tp_pack_shards"),
     "ev_cumulative_users" -> ("running total over the per-DAY aggregate (one row " +
