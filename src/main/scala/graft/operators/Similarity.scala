@@ -305,8 +305,13 @@ object Similarity {
       .select(col("label"), col("c"), VectorOps.norm(col("c")).as("cn"))
     q.join(broadcast(cent), "label")
       .select(col("vec_id"), col("label"),
-        VectorOps.cosine(col("v"), VectorOps.norm(col("v")), col("c"), col("cn"))
-          .as("cent_cos"))
+        // + 0.0 canonicalizes IEEE signed zero: a cosine that ROUNDS
+        // to zero from below is -0.0 in one engine's round and +0.0
+        // in the other's (caught at sf0.1: one row hashed "0.0" vs
+        // "-0.0"); x + 0.0 is the identity everywhere except -0.0.
+        // The oracle applies the same normalization.
+        (VectorOps.cosine(col("v"), VectorOps.norm(col("v")), col("c"), col("cn"))
+          + lit(0.0d)).as("cent_cos"))
       .withColumn("is_outlier", col("cent_cos") < outlierBelow)
       .orderBy("vec_id")
   }

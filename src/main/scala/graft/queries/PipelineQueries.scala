@@ -979,7 +979,7 @@ object PipelineQueries {
       s"""WITH c AS (SELECT label, $sums FROM embeddings GROUP BY label),
          |scored AS (
          |  SELECT q.vec_id, q.label,
-         |    round(($dotVC) / (${normSql("q.embedding")} * sqrt($dotCC)), 6) AS cent_cos
+         |    round(($dotVC) / (${normSql("q.embedding")} * sqrt($dotCC)), 6) + 0.0 AS cent_cos
          |  FROM embeddings q JOIN c ON q.label = c.label)
          |SELECT vec_id, label, cent_cos, cent_cos < 0.05 AS is_outlier
          |FROM scored ORDER BY vec_id""".stripMargin
