@@ -179,6 +179,20 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.jaccardPairs(d, n = 3, threshold = 0.8).count() == 0L)
   }
 
+  test("containmentPairs honors the shared maxDocFreq cap") {
+    // the "the quick brown..." family shingles have df 3; cap 2 drops
+    // them from the shared index, but the identical d1/d2 pair still
+    // scores containment 1.0 through its surviving shingles — the
+    // same capped-space semantics the jaccard path pins
+    val capped = Dedup.containmentPairs(docs, n = 3, minContainment = 0.8,
+        maxDocFreq = Some(2L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)))
+    val full = Dedup.containmentPairs(docs, n = 3, minContainment = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == Set((1L, 2L)))
+  }
+
   test("jaccardHistogram bands partition the candidate pair set") {
     val h = Dedup.jaccardHistogram(docs, n = 3, lo = 0.2, step = 0.1).collect()
     // every band row is well-formed and counts are positive
