@@ -107,6 +107,33 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    // LAST stdout line: a compact, COMPLETE JSON object sized well
+    // under a 2 KB console tail (the full 147-query line above is
+    // ~4.5 KB, so a tail-capped consumer truncates its head and
+    // parses nothing — the round-2/3/4 artifact failure mode). It
+    // carries the total, error count, and a fixed headline subset of
+    // per-query times; the full per-query map lives in `outFile` and
+    // in the (identical) full line above.
+    val headline = Seq(
+      "q1_pricing", "q3_shipping", "q5_region", "q7_nation_trade",
+      "q18_big_orders", "q_brand_volume", "fi_duplicates", "fi_stats_cli",
+      "fi_search_api", "dd_exact", "dd_ngram_jaccard", "dd_minhash_lsh",
+      "dd_simhash_pairs", "dd_clusters", "dd_embedding", "dd_delta_pairs",
+      "ss_cosine_pairs", "ss_topk_brute", "ss_topk_lsh", "ss_topk_ivf_recall",
+      "ta_token_stats", "ta_lang_id", "ta_tfidf_top", "tp_contamination",
+      "tp_pack_shards", "tp_training_manifest", "ev_sessions", "ev_funnel",
+      "ev_retention", "mm_phash_pairs", "mm_audio_dedup")
+    val byName = results.toMap
+    // locale-independent 3-decimal rounding (the f-interpolator honors
+    // the default locale and can emit ',' decimals — invalid JSON)
+    def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
+    val headQs = headline.flatMap(n => byName.get(n).map(v =>
+        s"\"" + n + "\":" + r3(v)))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""queries":$headQs,"n_queries":${results.size},""" +
+      s""""n_errors":${errors.size},"overhead_floor_sec":${r3(floor)},""" +
+      s""""full":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

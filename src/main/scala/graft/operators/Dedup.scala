@@ -370,9 +370,9 @@ object Dedup {
     * side — and a |sources|²-keyed aggregate that partial-combines
     * map-side. */
   def sourceOverlap(docs: DataFrame, n: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxDocFreq: Option[Long] = None): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
-    jaccardPairsRaw(docs, n, threshold)
+    jaccardPairsRaw(docs, n, threshold, maxDocFreq)
       .join(src.toDF("doc_a", "src_of_a"), "doc_a")
       .join(src.toDF("doc_b", "src_of_b"), "doc_b")
       .groupBy(least(col("src_of_a"), col("src_of_b")).as("src_a"),

@@ -77,8 +77,9 @@ object Ivf {
     centroids
   }
 
-  /** Top-k by cosine for queries {vec_id % queryMod == 0}, probing the
-    * nProbe nearest cells. */
+  /** Top-k by cosine for the fixed query set ([[Similarity.isQuery]]:
+    * vec_id % queryMod == 0 AND vec_id < QueryCap), probing the nProbe
+    * nearest cells. */
   def topkIvf(emb: DataFrame, queryMod: Long = 50L, k: Int = 5,
       nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
     // ONE prepared (vec_id, v, nrm) table shared by training and query
@@ -92,7 +93,7 @@ object Ivf {
     // per query: the nProbe best cells — explode (cell, score) pairs,
     // window-top-nProbe per query
     val cellScores = array(centroids.map(c => score(col("v"), c)): _*)
-    val qCells = e.filter(col("vec_id") % queryMod === 0)
+    val qCells = e.filter(Similarity.isQuery(queryMod))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
         posexplode(cellScores).as(Seq("cell", "cscore")))
       .withColumn("rnk", row_number().over(
@@ -142,7 +143,7 @@ object Ivf {
       Similarity.topkBrute(emb, queryMod, k).select("query_id", "cand_id"))
     val cellScores = array(centroids.map(c => score(col("v"), c)): _*)
     val qAll = OpCaches.track(
-      e.filter(col("vec_id") % queryMod === 0)
+      e.filter(Similarity.isQuery(queryMod))
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
           posexplode(cellScores).as(Seq("cell", "cscore")))
         .withColumn("prk", row_number().over(
@@ -206,7 +207,7 @@ object Ivf {
         .select(col("vec_id"), col("v"), col("cell"), col("qv"), col("qn")))
 
     val cellScores = array(centroids.map(c => score(col("v"), c)): _*)
-    val qCells = e.filter(col("vec_id") % queryMod === 0)
+    val qCells = e.filter(Similarity.isQuery(queryMod))
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("qn").as("qqn"),
         posexplode(cellScores).as(Seq("cell", "cscore")))
       .withColumn("rnk", row_number().over(

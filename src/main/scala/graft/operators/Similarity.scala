@@ -351,12 +351,26 @@ object Similarity {
       .orderBy("query_id")
   }
 
-  /** Brute-force cosine top-k for the query set {vec_id % queryMod = 0}:
+  /** The evaluation QUERY-SET cap: queries are {vec_id % queryMod == 0
+    * AND vec_id < QueryCap}, so |queries| is FIXED (≤ QueryCap/queryMod)
+    * no matter how large the corpus grows. Without the cap, every
+    * brute/recall-contract row is O(n·q) with q ∝ n — quadratic in
+    * corpus size, and the contract rows themselves become the
+    * job-killer at 100 TB. With it they are O(n·const): the corpus
+    * side scales, the query side never does. 2000 = the full sf0.1
+    * id range, so gate outputs at sf ≤ 0.1 are unchanged. */
+  val QueryCap = 2000L
+
+  /** The fixed evaluation query-set predicate (see [[QueryCap]]). */
+  private[graft] def isQuery(queryMod: Long) =
+    col("vec_id") % queryMod === 0 && col("vec_id") < QueryCap
+
+  /** Brute-force cosine top-k for the fixed query set ([[isQuery]]):
     * broadcast the small query side, stream the corpus once, window
     * top-k per query (ties broken by cand_id). */
   def topkBrute(emb: DataFrame, queryMod: Long = 50L, k: Int = 10): DataFrame = {
     val e = prepared(emb).select("vec_id", "v", "nrm")
-    val q = e.filter(col("vec_id") % queryMod === 0)
+    val q = e.filter(isQuery(queryMod))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))
     broadcast(q).join(e, col("query_id") =!= col("vec_id"))
@@ -386,7 +400,7 @@ object Similarity {
       .withColumn("v", VectorOps.toDouble(col("embedding")))
       .withColumn("nrm", VectorOps.norm(col("v")))
       .select(col("vec_id"), col("label"), col("v"), col("nrm"))
-    val q = e.filter(col("vec_id") % queryMod === 0)
+    val q = e.filter(isQuery(queryMod))
       .select(col("vec_id").as("query_id"), col("label"),
         col("v").as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))
@@ -444,7 +458,7 @@ object Similarity {
     val e = quantized(emb)
       .select(col("vec_id"), VectorOps.toDouble(col("q")).as("qv"))
       .withColumn("qn", VectorOps.norm(col("qv")))
-    val q = e.filter(col("vec_id") % queryMod === 0)
+    val q = e.filter(isQuery(queryMod))
       .select(col("vec_id").as("query_id"), col("qv").as("a"), col("qn").as("an"))
     val w = Window.partitionBy("query_id").orderBy(col("qcos").desc, col("cand_id"))
     broadcast(q).join(e, col("query_id") =!= col("vec_id"))
@@ -467,7 +481,7 @@ object Similarity {
     val buckets = OpCaches.track(
       emb.select(col("vec_id"),
         posexplode(keysCol(col("embedding"), planes)).as(Seq("tbl", "bkey"))))
-    val qb = buckets.filter(col("vec_id") % queryMod === 0)
+    val qb = buckets.filter(isQuery(queryMod))
       .toDF("query_id", "tbl", "bkey")
     val cand = broadcast(qb)
       .join(buckets.toDF("cand_id", "tbl", "bkey"), Seq("tbl", "bkey"))

@@ -63,6 +63,14 @@ object ExtQueries {
     // streaming state-store sizing.
     "ev_session_percentiles" -> ((s, d) =>
       Events.sessionPercentiles(events(s, d), gapMinutes = 30)),
+    // APPROX twins for the two exact event-scale percentile rows: the
+    // one-pass mergeable sketch the 100 TB deployment runs, contracted
+    // within 10% of the exact values (fi_size_percentiles_approx
+    // pattern — oracle emits the exacts + literal TRUEs).
+    "ev_gap_percentiles_approx" -> ((s, d) =>
+      Events.gapPercentilesApprox(events(s, d))),
+    "ev_session_percentiles_approx" -> ((s, d) =>
+      Events.sessionPercentilesApprox(events(s, d), gapMinutes = 30)),
     // Events-per-user power-law buckets (exact integer log2 via the
     // binary-string length): bots vs long tail at one glance.
     "ev_activity_hist" -> ((s, d) => Events.activityHistogram(events(s, d))),
@@ -414,6 +422,36 @@ object ExtQueries {
         |  MAX(dur_us) AS dur_max,
         |  quantile_cont(n_events, 0.5) AS events_p50,
         |  quantile_cont(n_events, 0.9) AS events_p90
+        |FROM sess""".stripMargin,
+    "ev_gap_percentiles_approx" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT us - lag(us)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us
+        |  FROM e)
+        |SELECT COUNT(*) AS n_gaps,
+        |  quantile_cont(gap_us, 0.5) AS exact_p50,
+        |  quantile_cont(gap_us, 0.9) AS exact_p90,
+        |  quantile_cont(gap_us, 0.99) AS exact_p99,
+        |  TRUE AS p50_in_bounds, TRUE AS p90_in_bounds, TRUE AS p99_in_bounds
+        |FROM g WHERE gap_us IS NOT NULL""".stripMargin,
+    "ev_session_percentiles_approx" ->
+      """WITH m AS (
+        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |    WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000 THEN 1
+        |    ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM m),
+        |sess AS (
+        |  SELECT user_id, session_seq,
+        |    MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS dur_us
+        |  FROM s GROUP BY user_id, session_seq)
+        |SELECT COUNT(*) AS n_sessions,
+        |  quantile_cont(dur_us, 0.5) AS exact_p50,
+        |  quantile_cont(dur_us, 0.9) AS exact_p90,
+        |  TRUE AS p50_in_bounds, TRUE AS p90_in_bounds
         |FROM sess""".stripMargin,
     "ev_gap_percentiles" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

@@ -192,17 +192,22 @@ object PipelineQueries {
     // construction). Threshold 0.45 is the highest operating point with
     // a non-trivial pair set on the near-isotropic testdata (max pair
     // cosine is 0.51 at sf0.01 / 0.60 at sf0.1 — no ≥0.8 pairs exist);
-    // 32 tables × 4 bits is verified candidate-complete at both gate
-    // SFs (0 missed pairs; analytic miss rate ≈ 2e-3 per pair).
+    // 64 tables × 4 bits is verified candidate-complete at every gate
+    // SF (0 missed pairs). 32 tables already missed nothing at ≤ sf0.1
+    // (analytic miss ≈ 2e-3 per pair), but at sf1 the pair population
+    // is ~10×, putting expected misses near 1 — doubling the tables
+    // SQUARES the per-pair miss rate (≈ 4e-6), keeping the
+    // hash-compare contract safe at 100× for ~2× candidate work.
     "dd_embedding_lsh" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val e = emb(s, d).join(docs(s, d).select(col("doc_id")),
         col("vec_id") === col("doc_id"))
         .select("vec_id", "embedding")
-      Similarity.cosinePairsLsh(e, threshold = 0.45, tables = 32, bits = 4)
+      Similarity.cosinePairsLsh(e, threshold = 0.45, tables = 64, bits = 4)
         .toDF("doc_a", "doc_b", "cosine")
     }),
-    // Brute-force cosine top-10 for queries {vec_id % 50 = 0}.
+    // Brute-force cosine top-10 for the fixed query set
+    // {vec_id % 50 = 0 AND vec_id < 2000} (Similarity.QueryCap).
     "ss_topk_brute" -> ((s, d) => Similarity.topkBrute(emb(s, d), queryMod = 50L, k = 10)),
     // Metadata-FILTERED search: top-5 among corpus vectors sharing the
     // query's label — the label equi-join IS the filter pushdown
@@ -232,7 +237,7 @@ object PipelineQueries {
       val e = emb(s, d)
       graft.operators.AnnIndex.build(e, root,
         tables = LshPlanes.numTables, bits = LshPlanes.bitsPerTable, seed = 42L)
-      val queries = e.filter(col("vec_id") % 50 === 0)
+      val queries = e.filter(graft.operators.Similarity.isQuery(50L))
         .select(col("vec_id").as("query_id"), col("embedding"))
       graft.operators.AnnIndex.topk(s, root, queries, k = 5)
     }),
@@ -300,7 +305,7 @@ object PipelineQueries {
       // idempotent ingest: retrains only when the corpus fingerprint
       // changed — the production train-once/probe-many shape
       graft.operators.IvfIndex.buildIfAbsent(e, root, nCentroids = 16, iters = 2)
-      val queries = e.filter(col("vec_id") % 50 === 0)
+      val queries = e.filter(graft.operators.Similarity.isQuery(50L))
         .select(col("vec_id").as("query_id"), col("embedding"))
       recallContract(e, graft.operators.IvfIndex.topk(s, root, queries, k = 5, nProbe = 4)
         .select(col("query_id"), col("cand_id")))
@@ -462,7 +467,9 @@ object PipelineQueries {
   /** The ANN recall contract shared by the recomputed and persisted
     * IVF paths: mean recall@5 vs the exact scan must clear 0.4 (the
     * near-isotropic-testdata bound — see ss_topk_ivf_recall's comment).
-    * `ann` = (query_id, cand_id) for queries {vec_id % 50 == 0}. */
+    * `ann` = (query_id, cand_id) for the fixed query set
+    * (Similarity.isQuery: vec_id % 50 == 0 AND vec_id < QueryCap, so
+    * the brute side stays O(n·const) at any corpus size). */
   private def recallContract(corpus: DataFrame, ann: DataFrame,
       bound: Double = 0.4): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -570,7 +577,7 @@ object PipelineQueries {
        |  $bucketSelects),
        |cand AS (SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS cand_id
        |  FROM buckets q JOIN buckets b ON q.tbl = b.tbl AND q.bkey = b.bkey
-       |  WHERE q.vec_id % 50 = 0 AND q.vec_id <> b.vec_id),
+       |  WHERE q.vec_id % 50 = 0 AND q.vec_id < 2000 AND q.vec_id <> b.vec_id),
        |scored AS (SELECT query_id, cand_id,
        |    (${dotSql("ea.embedding", "eb.embedding")}) / (ea.nrm * eb.nrm) AS cosine
        |  FROM cand JOIN e ea ON cand.query_id = ea.vec_id
@@ -998,7 +1005,7 @@ object PipelineQueries {
          |  SELECT q.vec_id AS query_id, q.label AS label, c.vec_id AS cand_id,
          |    (${dotSql("q.embedding", "c.embedding")}) / (q.nrm * c.nrm) AS cosine
          |  FROM e q JOIN e c ON q.label = c.label
-         |  WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+         |  WHERE q.vec_id % 50 = 0 AND q.vec_id < 2000 AND q.vec_id <> c.vec_id),
          |r AS (SELECT query_id, label, cand_id, cosine,
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rnk
          |  FROM scored)
@@ -1009,7 +1016,7 @@ object PipelineQueries {
          |scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
          |    (${dotSql("q.embedding", "c.embedding")}) / (q.nrm * c.nrm) AS cosine
-         |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+         |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id < 2000 AND q.vec_id <> c.vec_id),
          |r AS (SELECT query_id, cand_id, cosine,
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rnk
          |  FROM scored)
@@ -1022,7 +1029,7 @@ object PipelineQueries {
          |scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
          |    (${dotSql("q.embedding", "c.embedding")}) / (q.nrm * c.nrm) AS cosine
-         |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+         |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id < 2000 AND q.vec_id <> c.vec_id),
          |r AS (SELECT query_id, cand_id,
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rnk
          |  FROM scored),
@@ -1041,7 +1048,7 @@ object PipelineQueries {
     "ss_topk_ann_index" -> topkLshSql,
     "ss_topk_ivf_recall" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS mean_recall_ok
-        |FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id % 50 = 0)""".stripMargin,
+        |FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000)""".stripMargin,
     // exact-property contract row (see the query comment)
     "ss_recall_curve" ->
       """SELECT CAST(5 AS BIGINT) AS n_probes_tested,
@@ -1049,15 +1056,15 @@ object PipelineQueries {
     // identical contract for the IVF+int8 composition
     "ss_topk_ivfq_recall" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS mean_recall_ok
-        |FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id % 50 = 0)""".stripMargin,
+        |FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000)""".stripMargin,
     // identical contract shape at the int8-quantization bound (0.8)
     "ss_quantize_recall" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS mean_recall_ok
-        |FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id % 50 = 0)""".stripMargin,
+        |FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000)""".stripMargin,
     // identical contract for the persisted-index path
     "ss_topk_ivf_index_recall" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS mean_recall_ok
-        |FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id % 50 = 0)""".stripMargin,
+        |FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000)""".stripMargin,
     "ta_token_stats" ->
       s"""SELECT doc_id,
          |  CAST(len($T) AS BIGINT) AS n_tokens,

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -758,9 +758,12 @@ object Events {
     * load matrix (when do users show up; when can maintenance run).
     * Spark's `dayofweek` is 1=Sunday..7=Saturday; the oracle maps
     * DuckDB's 0-based `dayofweek` with a +1, and both extract hour
-    * from the same UTC instant. Counts and the decimal-exact value
-    * sum are the only aggregates — one hash aggregate on ≤ 168 keys,
-    * map-side combined; nothing else moves. */
+    * from the same UTC instant. The count and decimal-exact value sum
+    * partial-combine map-side onto ≤ 168 keys, but the EXACT
+    * `countDistinct(user_id)` forces a two-phase distinct expansion
+    * keyed on (dow, hod, user_id) — user-granular rows do shuffle
+    * once before collapsing. `approx_count_distinct` is the drop-in
+    * single-aggregate form when that expansion matters at scale. */
   def hourlyHeatmap(events: DataFrame): DataFrame =
     events.groupBy(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"))
       .agg(count(lit(1)).as("n_events"),
@@ -769,11 +772,12 @@ object Events {
       .orderBy("dow", "hod")
 
   /** Events-per-user POWER-LAW histogram: users bucketed by
-    * ⌊log₂(n_events)⌋ — the one-glance answer to "is this stream a
-    * few bots or a long tail?" (a straight line across buckets =
-    * power law; a spike in the top bucket = automation). The bucket
-    * is computed as `length(bin(n))` — an EXACT integer log2 both
-    * engines derive from the binary string, with none of libm's
+    * ⌊log₂(n_events)⌋ + 1 (the binary-string length: n = 1 → bucket
+    * 1, 2-3 → 2, 4-7 → 3, …) — the one-glance answer to "is this
+    * stream a few bots or a long tail?" (a straight line across
+    * buckets = power law; a spike in the top bucket = automation).
+    * The bucket is computed as `length(bin(n))` — an EXACT integer
+    * both engines derive from the binary string, with none of libm's
     * last-bit variability.
     *
     * Scale shape: two hash aggregates (user_id, then ~64 buckets),
@@ -798,19 +802,73 @@ object Events {
     * gap column), with `approx_percentile` as the drop-in 100 TB
     * sketch — the gap COLUMN is |events|-sized, not |events|² —
     * mirroring the fi_size_percentiles / _approx pairing. */
-  def gapPercentiles(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
-    events.select(col("user_id"), col("event_id"),
-        unix_micros(col("ts")).as("us"))
-      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
-      .filter(col("gap_us").isNotNull)
+  def gapPercentiles(events: DataFrame): DataFrame =
+    gapsOf(events)
       .agg(count(lit(1)).as("n_gaps"),
         expr("percentile(gap_us, 0.25D)").as("p25"),
         expr("percentile(gap_us, 0.5D)").as("p50"),
         expr("percentile(gap_us, 0.75D)").as("p75"),
         expr("percentile(gap_us, 0.9D)").as("p90"),
         expr("percentile(gap_us, 0.99D)").as("p99"))
+
+  /** The per-user inter-event gap column (exact integer µs over the
+    * (ts, event_id) total order) — shared by the exact and approx
+    * percentile forms. One shuffle on user_id. */
+  private def gapsOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    events.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
   }
+
+  /** `exact ≈ approx` contract boolean: within `pct` relative value
+    * error, with the 0-exact degenerate case requiring approx = 0
+    * (the fi_size_percentiles_approx guard). */
+  private def withinPct(approx: Column, exact: Column, pct: Double): Column =
+    when(exact === 0, approx === 0)
+      .otherwise(abs(approx.cast("double") / exact.cast("double") - 1.0) <= pct)
+
+  /** [[gapPercentiles]]' APPROX twin — the event-scale form: exact
+    * `percentile` buffers the whole gap column in one aggregate
+    * (a sort's worth of memory at 100 TB), `approx_percentile` is a
+    * one-pass mergeable quantile summary. Contract row (the
+    * fi_size_percentiles_approx pattern): the exact values
+    * hash-compare against DuckDB's quantile_cont, and booleans assert
+    * the sketch landed within 10% relative value error — far above
+    * accuracy 10000's rank error on this data, so the row fails only
+    * if the sketch genuinely breaks. */
+  def gapPercentilesApprox(events: DataFrame): DataFrame =
+    gapsOf(events)
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("percentile(gap_us, 0.5D)").as("exact_p50"),
+        expr("percentile(gap_us, 0.9D)").as("exact_p90"),
+        expr("percentile(gap_us, 0.99D)").as("exact_p99"),
+        expr("approx_percentile(gap_us, 0.5D, 10000)").as("a50"),
+        expr("approx_percentile(gap_us, 0.9D, 10000)").as("a90"),
+        expr("approx_percentile(gap_us, 0.99D, 10000)").as("a99"))
+      .select(col("n_gaps"), col("exact_p50"), col("exact_p90"),
+        col("exact_p99"),
+        withinPct(col("a50"), col("exact_p50"), 0.10).as("p50_in_bounds"),
+        withinPct(col("a90"), col("exact_p90"), 0.10).as("p90_in_bounds"),
+        withinPct(col("a99"), col("exact_p99"), 0.10).as("p99_in_bounds"))
+
+  /** [[sessionPercentiles]]' APPROX twin over the session-duration
+    * column — same contract shape as [[gapPercentilesApprox]]: exact
+    * values hash-compared, sketch pinned within 10%. */
+  def sessionPercentilesApprox(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessionized(events, gapMinutes)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+        .as("dur_us"))
+      .agg(count(lit(1)).as("n_sessions"),
+        expr("percentile(dur_us, 0.5D)").as("exact_p50"),
+        expr("percentile(dur_us, 0.9D)").as("exact_p90"),
+        expr("approx_percentile(dur_us, 0.5D, 10000)").as("a50"),
+        expr("approx_percentile(dur_us, 0.9D, 10000)").as("a90"))
+      .select(col("n_sessions"), col("exact_p50"), col("exact_p90"),
+        withinPct(col("a50"), col("exact_p50"), 0.10).as("p50_in_bounds"),
+        withinPct(col("a90"), col("exact_p90"), 0.10).as("p90_in_bounds"))
 
   /** Streaming twin of [[funnel]]: per-user O(1) state — the LAST
     * event's (type, timestamp) for the view→click adjacency test plus
