@@ -50,6 +50,15 @@ case class PHash(doc_id: Long, ahash_hi: Long, ahash_lo: Long)
   */
 object Multimodal {
 
+  /** Variant-id tag: container/perturbation variants of doc N ship
+    * under `N | VariantIdTag` (bit 40 set). A high-bit tag, not an
+    * arithmetic offset, so a corpus of ANY size below 2^40 documents
+    * (a trillion — far past 100 TB of docs) can never collide a
+    * variant id with a real doc_id; the old `+1000000` convention
+    * broke silently at 1M docs, and because both engines replicated
+    * it, the oracle gate could not catch the duplicate-key rows. */
+  val VariantIdTag: Long = 1L << 40
+
   /** STUB codec: deterministic fake decode, a pure function of the
     * payload so the DuckDB oracle can mirror it exactly. A real
     * implementation would call the native decoder here (and only
@@ -190,16 +199,16 @@ object Multimodal {
 
   /** [[imageTable]] plus near-duplicate VARIANTS: every tenth image
     * (base doc_id % 30 == 0) also ships a perturbed copy under
-    * doc_id + 1000000 — the corpus shape perceptual dedup exists for
-    * (re-encodes/small edits of the same picture). Same sort-first
-    * spread and partition-local encode as the base table. */
+    * doc_id | [[VariantIdTag]] — the corpus shape perceptual dedup
+    * exists for (re-encodes/small edits of the same picture). Same
+    * sort-first spread and partition-local encode as the base table. */
   def imageTableWithVariants(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val base = docs.filter(col("doc_id") % 3 === 0)
       .select(col("doc_id"), length(col("text")).cast("int").as("text_len"),
         lit(false).as("perturb"))
     val variants = docs.filter(col("doc_id") % 30 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
+      .select((col("doc_id") + VariantIdTag).as("doc_id"),
         length(col("text")).cast("int").as("text_len"), lit(true).as("perturb"))
     graft.operators.Dedup.orderedSpread(base.unionByName(variants), "doc_id")
       .as[(Long, Int, Boolean)]
@@ -207,7 +216,7 @@ object Multimodal {
         batch.map { case (docId, textLen, perturb) =>
           val (w, h) = ImageCodec.dimsFor(textLen)
           // variants render the BASE doc's pattern (+ the perturbation)
-          val patternId = if (perturb) docId - 1000000L else docId
+          val patternId = if (perturb) docId - VariantIdTag else docId
           (docId, ImageCodec.encodePng(patternId, w, h, perturb))
         }
       }
@@ -365,9 +374,10 @@ object Multimodal {
     audioTableImpl(spark, docs, withVariants = false)
 
   /** [[audioTable]] plus CONTAINER variants: every `doc_id % 30 == 1`
-    * clip also ships under doc_id + 1000000 with an extra LIST/INFO
-    * chunk — different payload BYTES (payload-hash dedup misses it),
-    * identical decoded PCM (decode-level dedup must catch it). */
+    * clip also ships under doc_id | [[VariantIdTag]] with an extra
+    * LIST/INFO chunk — different payload BYTES (payload-hash dedup
+    * misses it), identical decoded PCM (decode-level dedup must catch
+    * it). */
   def audioTableWithContainerVariants(spark: SparkSession, docs: DataFrame): DataFrame =
     audioTableImpl(spark, docs, withVariants = true)
 
@@ -383,13 +393,13 @@ object Multimodal {
         lit(false).as("info"))
     val rows = if (!withVariants) base else base.unionByName(
       docs.filter(col("doc_id") % 30 === 1)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .select((col("doc_id") + VariantIdTag).as("doc_id"),
           length(col("text")).cast("int").as("text_len"), lit(true).as("info")))
     graft.operators.Dedup.orderedSpread(rows, "doc_id")
       .as[(Long, Int, Boolean)]
       .mapPartitions { batch =>
         batch.map { case (docId, textLen, info) =>
-          val patternId = if (info) docId - 1000000L else docId
+          val patternId = if (info) docId - VariantIdTag else docId
           val (rate, n) = AudioCodec.paramsFor(patternId, textLen)
           (docId, AudioCodec.encodeWav(patternId, rate, n, infoChunk = info))
         }

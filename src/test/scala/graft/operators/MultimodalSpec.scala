@@ -91,7 +91,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("imagePHash + phashPairs: variant pairs with its base, unrelated images don't") {
     // doc_ids 0, 30, 33: all % 3 == 0 → images; 0 and 30 also get
-    // perturbed variants (+1000000)
+    // perturbed variants (| Multimodal.VariantIdTag)
     val d = Seq(
       (0L, "x" * 40, "en", "s", 40L),
       (30L, "y" * 61, "en", "s", 61L),
@@ -102,8 +102,8 @@ class MultimodalSpec extends SparkSpec {
     assert(hashes.count() == 5) // 3 bases + 2 variants
     val pairs = Multimodal.phashPairs(hashes, maxHamming = 8).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs.contains((0L, 1000000L)))
-    assert(pairs.contains((30L, 1000030L)))
+    assert(pairs.contains((0L, Multimodal.VariantIdTag)))
+    assert(pairs.contains((30L, Multimodal.VariantIdTag + 30L)))
   }
 
   test("resizeMeta caps the long side at maxSide, preserving aspect ratio") {
@@ -165,12 +165,12 @@ class MultimodalSpec extends SparkSpec {
     val table = Multimodal.audioTableWithContainerVariants(spark, docs)
     val payloads = table.collect().map(r =>
       r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("payload")).toMap
-    assert(payloads.keySet == Set(1L, 4L, 1000001L))
+    assert(payloads.keySet == Set(1L, 4L, Multimodal.VariantIdTag + 1L))
     // the container variant is genuinely byte-different...
-    assert(!java.util.Arrays.equals(payloads(1L), payloads(1000001L)))
+    assert(!java.util.Arrays.equals(payloads(1L), payloads(Multimodal.VariantIdTag + 1L)))
     // ...and the JDK decoder sees identical PCM through both containers
     val Some((r1, s1)) = Multimodal.AudioCodec.decode(payloads(1L))
-    val Some((r2, s2)) = Multimodal.AudioCodec.decode(payloads(1000001L))
+    val Some((r2, s2)) = Multimodal.AudioCodec.decode(payloads(Multimodal.VariantIdTag + 1L))
     assert(r1 == r2 && s1.toSeq == s2.toSeq)
     val groups = Multimodal.audioDedup(spark, table).collect()
       .map(r => r.getAs[Long]("keep_doc_id") -> r.getAs[Long]("n_copies")).toMap
