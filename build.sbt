@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON. Two sbt behaviors broke that for four rounds running:
+// (1) forked-process output is routed through sbt's logger and
+//     prefixed with "[info] " — StdoutOutput passes it through raw;
+// (2) sbt appends "[success] Total time: ..." AFTER the program's
+//     final line — showSuccess := false suppresses it.
+// With both, Bench's compact summary is the literal last stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -75,8 +75,18 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val results = names.map { n =>
-      val a = run(n); val b = run(n)
+    // TWO FULL PASSES over the query list, min per query — NOT
+    // back-to-back double runs. The round-6 driver run measured five
+    // late-alphabet queries 6–15× their stable cost (tp_contamination
+    // 1.3 s → 19.2 s) and the same-boot re-measure couldn't reproduce
+    // it: a degraded JVM phase (GC/heap churn from ~144 earlier
+    // queries) covers BOTH halves of a back-to-back pair, so min-of-2
+    // was no protection. Separating the two samples by a full pass
+    // (~minutes apart) makes a transient phase poison at most one of
+    // them; same total run count, strictly more robust minimum.
+    val passA = names.map(n => n -> run(n))
+    val passB = names.map(n => n -> run(n))
+    val results = passA.zip(passB).map { case ((n, a), (_, b)) =>
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     // measure the per-query fixed cost (job scheduling, plan analysis,

@@ -189,7 +189,12 @@ object Indexer {
     val deadDirs = dirStatus.filter(!col("dir_alive")).count()
 
     // Phase 2: per-file existence check only for files in live directories.
-    val inLive = index.join(broadcast(dirStatus.filter(col("dir_alive")).select("path")),
+    // No broadcast() hint: the live-directory set is corpus-proportional
+    // (hundreds of millions of dirs at 100 TB) — a forced broadcast OOMs
+    // the driver exactly when the operator matters most. AQE picks
+    // broadcast on its own whenever the set is actually small; the
+    // semi-join is correct under either strategy.
+    val inLive = index.join(dirStatus.filter(col("dir_alive")).select("path"),
       Seq("path"), "left_semi")
     val liveFiles = inLive.select("path", "filename").as[(String, String)]
       .mapPartitions(_.filter { case (p, f) =>
@@ -217,7 +222,10 @@ object Indexer {
         catch { case _: Exception => false }
       }).toDF("path")
     val nDead = dead.cache().count()
-    val kept = index.join(broadcast(dead), Seq("path"), "left_anti")
+    // unhinted for the same reason as cleanupDeletedFiles' semi-join:
+    // the dead-dir set is unbounded in the worst case (a detached mount
+    // kills every directory at once) — AQE broadcasts when it's small
+    val kept = index.join(dead, Seq("path"), "left_anti")
     val nKept = kept.cache().count()
     IndexStore.publish(kept, indexRoot)
     kept.unpersist(); dead.unpersist(); index.unpersist()

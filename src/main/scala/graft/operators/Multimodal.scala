@@ -51,12 +51,19 @@ case class PHash(doc_id: Long, ahash_hi: Long, ahash_lo: Long)
 object Multimodal {
 
   /** Variant-id tag: container/perturbation variants of doc N ship
-    * under `N | VariantIdTag` (bit 40 set). A high-bit tag, not an
-    * arithmetic offset, so a corpus of ANY size below 2^40 documents
-    * (a trillion — far past 100 TB of docs) can never collide a
-    * variant id with a real doc_id; the old `+1000000` convention
-    * broke silently at 1M docs, and because both engines replicated
-    * it, the oracle gate could not catch the duplicate-key rows. */
+    * under `N | VariantIdTag` (bit 40 set) — a TRUE bitwise OR in both
+    * engines (Spark `bitwiseOR`, DuckDB `|`), recovered with
+    * `id & ~VariantIdTag`, never `+`/`-` arithmetic: an addition would
+    * CARRY for any doc_id with bit 40 already set and silently recover
+    * the wrong pattern id on both sides of the oracle at once. With the
+    * OR, ids at or above 2^40 degrade to an idempotent tag (variant id
+    * collides with the base id) rather than corrupting a THIRD doc's
+    * id — and the corpus bound below turns that case into a loud error
+    * instead. A corpus below 2^40 documents (a trillion — far past
+    * 100 TB of docs) never collides at all; the old `+1000000`
+    * convention broke silently at 1M docs, and because both engines
+    * replicated it, the oracle gate could not catch the duplicate-key
+    * rows. */
   val VariantIdTag: Long = 1L << 40
 
   /** STUB codec: deterministic fake decode, a pure function of the
@@ -208,7 +215,7 @@ object Multimodal {
       .select(col("doc_id"), length(col("text")).cast("int").as("text_len"),
         lit(false).as("perturb"))
     val variants = docs.filter(col("doc_id") % 30 === 0)
-      .select((col("doc_id") + VariantIdTag).as("doc_id"),
+      .select(col("doc_id").bitwiseOR(VariantIdTag).as("doc_id"),
         length(col("text")).cast("int").as("text_len"), lit(true).as("perturb"))
     graft.operators.Dedup.orderedSpread(base.unionByName(variants), "doc_id")
       .as[(Long, Int, Boolean)]
@@ -216,7 +223,7 @@ object Multimodal {
         batch.map { case (docId, textLen, perturb) =>
           val (w, h) = ImageCodec.dimsFor(textLen)
           // variants render the BASE doc's pattern (+ the perturbation)
-          val patternId = if (perturb) docId - VariantIdTag else docId
+          val patternId = if (perturb) docId & ~VariantIdTag else docId
           (docId, ImageCodec.encodePng(patternId, w, h, perturb))
         }
       }
@@ -393,13 +400,13 @@ object Multimodal {
         lit(false).as("info"))
     val rows = if (!withVariants) base else base.unionByName(
       docs.filter(col("doc_id") % 30 === 1)
-        .select((col("doc_id") + VariantIdTag).as("doc_id"),
+        .select(col("doc_id").bitwiseOR(VariantIdTag).as("doc_id"),
           length(col("text")).cast("int").as("text_len"), lit(true).as("info")))
     graft.operators.Dedup.orderedSpread(rows, "doc_id")
       .as[(Long, Int, Boolean)]
       .mapPartitions { batch =>
         batch.map { case (docId, textLen, info) =>
-          val patternId = if (info) docId - VariantIdTag else docId
+          val patternId = if (info) docId & ~VariantIdTag else docId
           val (rate, n) = AudioCodec.paramsFor(patternId, textLen)
           (docId, AudioCodec.encodeWav(patternId, rate, n, infoChunk = info))
         }

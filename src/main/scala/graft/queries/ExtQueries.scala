@@ -224,7 +224,7 @@ object ExtQueries {
       |  SELECT doc_id AS out_id, doc_id AS base_id, 0 AS pert, length(text) AS n
       |  FROM documents WHERE doc_id % 3 = 0
       |  UNION ALL
-      |  SELECT doc_id + 1099511627776, doc_id, 1, length(text)
+      |  SELECT (doc_id | 1099511627776), doc_id, 1, length(text)
       |  FROM documents WHERE doc_id % 30 = 0),
       |dims AS (SELECT out_id, base_id, pert,
       |    8 + n % 57 AS w, 8 + (n * 7) % 41 AS h FROM imgs),
@@ -604,7 +604,7 @@ object ExtQueries {
         |ids AS (
         |  SELECT doc_id, doc_id AS pattern_id, tl FROM a
         |  UNION ALL
-        |  SELECT doc_id + 1099511627776, doc_id, tl FROM a WHERE doc_id % 30 = 1),
+        |  SELECT (doc_id | 1099511627776), doc_id, tl FROM a WHERE doc_id % 30 = 1),
         |p AS (SELECT doc_id, pattern_id, 256 + tl % 200 AS n FROM ids),
         |s AS (SELECT doc_id, n,
         |        list_transform(generate_series(0, n - 1),
