@@ -1,19 +1,25 @@
 package graft.operators
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One media row: an opaque binary payload + typed metadata. */
 case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
 
-/** Decoded (stub) media metadata. */
-case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Long,
-    magic: String, width: Int, height: Int, n_frames: Int)
+/** REAL decoded media metadata, one schema across all three container
+  * codecs: `container` is sniffed from the BYTES (png/wav/avi), dims
+  * come from IHDR / avih, frame count from the stream length, and
+  * sample_rate carries Hz for audio and fps for video. Zero-valued
+  * fields are the ones the modality doesn't have (audio has no dims;
+  * stills have one frame). */
+case class MediaMeta(doc_id: Long, media_type: String, container: String,
+    width: Int, height: Int, n_frames: Long, sample_rate: Long, valid: Boolean)
 
-/** One sampled frame. */
-case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Int, frame_md5: String)
+/** One sampled video frame with exact integer features over the frame's
+  * DECODED bytes (the movi chunk payload): Σb and Σ(i+1)·b — the same
+  * oracle-re-derivable shape as the audio signature. */
+case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Int,
+    sum_b: Long, weighted_b: Long)
 
 /** One REALLY-decoded image: dims read back by javax.imageio from
   * actual PNG bytes (not derived from the payload length). */
@@ -37,16 +43,17 @@ case class PHash(doc_id: Long, ahash_hi: Long, ahash_lo: Long)
   * frame-explosion shape (one input row → many output rows without
   * materializing all frames in memory).
   *
-  * REAL codec (image leg): [[ImageCodec]] / [[decodeImages]] run the
-  * JDK's own PNG encoder/decoder (`javax.imageio`) — actual binary
-  * round-trip, true IHDR dimensions read back from the bytes.
-  *
-  * STUBBED here (marked `STUB`): the audio/video codec only. This
-  * container has no ffmpeg/audio libraries, so [[StubCodec]] replaces
-  * them with a deterministic pure function of the bytes. Swapping in a
-  * real decoder changes ONLY StubCodec — every plan shape stays
-  * identical (the image leg proves it: it swapped in `ImageIO` without
-  * touching any plan).
+  * ALL THREE codecs are real binary round-trips, JDK-only:
+  *  - image: [[ImageCodec]] — `javax.imageio` PNG encode/decode, true
+  *    IHDR dimensions read back from the bytes;
+  *  - audio: [[AudioCodec]] — RIFF/WAVE writer + `javax.sound.sampled`
+  *    decode, true sample rate/width/count from the fmt chunk;
+  *  - video: [[VideoCodec]] — a RIFF/AVI container writer and a
+  *    hand-rolled chunk-walking parser (the JDK has no AVI reader):
+  *    dims and frame count come from the `avih` main header, frames
+  *    from walking the `movi` LIST's `00db` chunks.
+  * A corrupt or truncated payload fails each codec's structural checks
+  * and degrades to a valid=false row / no frames, never a task failure.
   */
 object Multimodal {
 
@@ -66,34 +73,186 @@ object Multimodal {
     * rows. */
   val VariantIdTag: Long = 1L << 40
 
-  /** STUB codec: deterministic fake decode, a pure function of the
-    * payload so the DuckDB oracle can mirror it exactly. A real
-    * implementation would call the native decoder here (and only
-    * here). */
-  object StubCodec {
-    val FrameBytes = 16 // fake fixed-size "frame" for frame sampling
-
-    def newDigest(): MessageDigest = MessageDigest.getInstance("MD5")
-
-    /** Digest with a caller-owned (partition-scoped, reused) instance. */
-    def md5hex(md: MessageDigest, bytes: Array[Byte]): String = {
-      md.reset()
-      md.digest(bytes).map("%02x".format(_)).mkString
+  /** REAL video codec — the last stub is gone: AVI is a pure RIFF
+    * container (the WAV pattern one LIST deeper), so the encoder
+    * writes a genuine `RIFF('AVI ')` tree — `LIST('hdrl')` holding the
+    * 56-byte `avih` main header and a `LIST('strl')` with a `strh`
+    * stream header + `strf` BITMAPINFOHEADER, a `LIST('movi')` of
+    * uncompressed `00db` frame chunks (word-aligned, as RIFF requires),
+    * and a trailing `idx1` index — and the decoder is a strict
+    * chunk-walking parser that recovers width/height/frame count/
+    * frame timing from the avih fields and the true frame bytes from
+    * the movi walk. Reference AVI structure: the public RIFF/AVI spec
+    * (msdn AVIMAINHEADER/AVISTREAMHEADER layouts); the in-repo
+    * template is [[AudioCodec]]'s RIFF/WAVE writer.
+    *
+    * Frame pixels are a deterministic integer function of
+    * (docId, frame, byte index), so the oracle re-derives every frame
+    * feature from the formula — a row can only match if the encode →
+    * chunk-walk → feature path is bit-exact end to end. */
+  object VideoCodec {
+    /** Deterministic (width, height, nFrames, usPerFrame) per doc —
+      * mirrored by the oracle; the AVI round-trip must reproduce them
+      * from the container bytes alone. usPerFrame values are exact
+      * divisors of 1e6 so fps = 1e6/usPerFrame is an exact integer in
+      * both engines. */
+    def paramsFor(docId: Long, textLen: Int): (Int, Int, Int, Int) = {
+      val w = 8 + textLen % 25
+      val h = 6 + (textLen.toLong * 7 % 19).toInt
+      val nFrames = 4 + textLen % 13
+      val usPerFrame = (docId % 5).toInt match {
+        case 0 => 40000  // 25 fps
+        case 1 => 50000  // 20 fps
+        case 2 => 100000 // 10 fps
+        case 3 => 20000  // 50 fps
+        case _ => 25000  // 40 fps
+      }
+      (w, h, nFrames, usPerFrame)
     }
 
-    def md5hex(bytes: Array[Byte]): String = md5hex(newDigest(), bytes)
+    /** The deterministic frame byte: b(doc, frame, i) ∈ [0, 256). */
+    def frameByte(docId: Long, frame: Int, i: Int): Int =
+      ((docId * 31 + frame.toLong * 17 + i.toLong * 7) % 256).toInt
 
-    /** Fake dimensions derived from the byte length (integer-only —
-      * identical arithmetic in any engine; the *7 runs in Long so a
-      * multi-hundred-MB payload can't overflow Int and go negative). */
-    def decode(md: MessageDigest, payload: Array[Byte]): (String, Int, Int, Int) = {
-      val n = payload.length
-      val magic = md5hex(md, payload).substring(0, 8)       // "format sniff"
-      val width = 64 + n % 193
-      val height = 64 + (n.toLong * 7 % 129).toInt
-      val nFrames = math.max(n / FrameBytes, 1)
-      (magic, width, height, nFrames)
+    private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+    /** A real AVI file: RIFF/AVI header tree + raw 24bpp frame chunks.
+      * Odd-sized chunks get the RIFF pad byte (not counted in the
+      * chunk's size field) — real parsers require the alignment, and
+      * w·h·3 is odd whenever w and h both are. */
+    def encodeAvi(docId: Long, w: Int, h: Int, nFrames: Int,
+        usPerFrame: Int): Array[Byte] = {
+      val frameSize = w * h * 3
+      val framePad = frameSize & 1
+      val moviBody = 4 + nFrames * (8 + frameSize + framePad)
+      val hdrlBody = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+      val idx1Body = 16 * nFrames
+      val riffBody = 4 + (8 + hdrlBody) + (8 + moviBody) + (8 + idx1Body)
+      val bb = java.nio.ByteBuffer.allocate(8 + riffBody)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(fourcc("RIFF")).putInt(riffBody).put(fourcc("AVI "))
+      // LIST hdrl { avih, LIST strl { strh, strf } }
+      bb.put(fourcc("LIST")).putInt(hdrlBody).put(fourcc("hdrl"))
+      bb.put(fourcc("avih")).putInt(56)
+        .putInt(usPerFrame)               // dwMicroSecPerFrame
+        .putInt(frameSize * 1000000 / usPerFrame) // dwMaxBytesPerSec
+        .putInt(0)                        // dwPaddingGranularity
+        .putInt(0x10)                     // dwFlags = AVIF_HASINDEX
+        .putInt(nFrames)                  // dwTotalFrames
+        .putInt(0)                        // dwInitialFrames
+        .putInt(1)                        // dwStreams
+        .putInt(frameSize)                // dwSuggestedBufferSize
+        .putInt(w).putInt(h)              // dwWidth, dwHeight
+        .putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+      bb.put(fourcc("LIST")).putInt(4 + (8 + 56) + (8 + 40)).put(fourcc("strl"))
+      bb.put(fourcc("strh")).putInt(56)
+        .put(fourcc("vids")).put(fourcc("DIB "))
+        .putInt(0)                        // dwFlags
+        .putShort(0).putShort(0)          // wPriority, wLanguage
+        .putInt(0)                        // dwInitialFrames
+        .putInt(usPerFrame).putInt(1000000) // dwScale/dwRate = s per frame
+        .putInt(0)                        // dwStart
+        .putInt(nFrames)                  // dwLength (frames)
+        .putInt(frameSize)                // dwSuggestedBufferSize
+        .putInt(-1)                       // dwQuality (default)
+        .putInt(0)                        // dwSampleSize
+        .putShort(0).putShort(0)          // rcFrame left, top
+        .putShort(w.toShort).putShort(h.toShort)
+      bb.put(fourcc("strf")).putInt(40)
+        .putInt(40)                       // biSize
+        .putInt(w).putInt(h)              // biWidth, biHeight
+        .putShort(1).putShort(24)         // biPlanes, biBitCount
+        .putInt(0)                        // biCompression = BI_RGB
+        .putInt(frameSize)                // biSizeImage
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      // LIST movi { 00db × nFrames }
+      bb.put(fourcc("LIST")).putInt(moviBody).put(fourcc("movi"))
+      var f = 0
+      while (f < nFrames) {
+        bb.put(fourcc("00db")).putInt(frameSize)
+        var i = 0
+        while (i < frameSize) {
+          bb.put(frameByte(docId, f, i).toByte)
+          i += 1
+        }
+        if (framePad == 1) bb.put(0.toByte)
+        f += 1
+      }
+      // idx1: one entry per frame, offsets relative to the movi list
+      bb.put(fourcc("idx1")).putInt(idx1Body)
+      f = 0
+      while (f < nFrames) {
+        bb.put(fourcc("00db")).putInt(0x10) // AVIIF_KEYFRAME
+          .putInt(4 + f * (8 + frameSize + framePad)) // chunk offset in movi
+          .putInt(frameSize)
+        f += 1
+      }
+      bb.array()
     }
+
+    /** Parsed AVI: the avih fields plus the (offset, length) of every
+      * frame chunk found by walking the movi list — frame BYTES are
+      * sliced lazily by the caller so sampling never materializes the
+      * unsampled frames. */
+    final case class AviInfo(width: Int, height: Int, nFrames: Int,
+        usPerFrame: Int, frameChunks: IndexedSeq[(Int, Int)])
+
+    /** Strict chunk-walking decode: RIFF signature, AVI form type,
+      * avih inside LIST(hdrl), frame chunks inside LIST(movi). Any
+      * structural violation (truncation, bad fourcc, chunk overrun)
+      * → None — the corrupt-payload contract. */
+    def decode(payload: Array[Byte]): Option[AviInfo] =
+      try {
+        if (payload.length < 12) return None
+        val bb = java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def fcc(off: Int): String =
+          new String(payload, off, 4, "US-ASCII")
+        if (fcc(0) != "RIFF" || fcc(8) != "AVI ") return None
+        val riffEnd = math.min(8L + bb.getInt(4), payload.length.toLong).toInt
+        var avih: Option[(Int, Int, Int, Int)] = None
+        val frames = IndexedSeq.newBuilder[(Int, Int)]
+        var pos = 12
+        while (pos + 8 <= riffEnd) {
+          val id = fcc(pos)
+          val size = bb.getInt(pos + 4)
+          if (size < 0 || pos + 8 + size > riffEnd) return None
+          if (id == "LIST" && size >= 4) {
+            val listType = fcc(pos + 8)
+            if (listType == "hdrl") {
+              // walk the hdrl sub-chunks for avih
+              var p = pos + 12
+              val end = pos + 8 + size
+              while (p + 8 <= end) {
+                if (fcc(p) == "avih" && bb.getInt(p + 4) >= 40) {
+                  avih = Some((bb.getInt(p + 40), bb.getInt(p + 44),
+                    bb.getInt(p + 24), bb.getInt(p + 8)))
+                }
+                val s = bb.getInt(p + 4)
+                if (s < 0) return None
+                p += 8 + s + (s & 1)
+              }
+            } else if (listType == "movi") {
+              var p = pos + 12
+              val end = pos + 8 + size
+              while (p + 8 <= end) {
+                val cid = fcc(p)
+                val s = bb.getInt(p + 4)
+                if (s < 0 || p + 8 + s > end) return None
+                // ##db/##dc = uncompressed/compressed video frame
+                if (cid.endsWith("db") || cid.endsWith("dc"))
+                  frames += ((p + 8, s))
+                p += 8 + s + (s & 1)
+              }
+            }
+          }
+          pos += 8 + size + (size & 1)
+        }
+        avih.collect { case (w, hgt, n, us)
+            if w > 0 && hgt > 0 && n > 0 && us > 0 =>
+          AviInfo(w, hgt, n, us, frames.result())
+        }
+      } catch { case _: Exception => None }
   }
 
   /** REAL image codec — no stub: the JDK ships a PNG encoder/decoder
@@ -309,8 +468,8 @@ object Multimodal {
     * frames from the bytes — a corrupt payload or fake codec would
     * not reproduce the generator's parameters. All features are
     * integers (peak, floor-div mean |amplitude|), so the oracle can
-    * re-derive them from the wave formula exactly. Video remains the
-    * documented [[StubCodec]] (no container codec in the JDK). */
+    * re-derive them from the wave formula exactly. The video leg's
+    * [[VideoCodec]] extends the same RIFF machinery to AVI. */
   object AudioCodec {
     /** Deterministic (sampleRate, nSamples) per doc — mirrored by the
       * oracle; the WAV round-trip must reproduce them from bytes. */
@@ -481,10 +640,43 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** Synthesize the media table from `documents`: payload = UTF-8 bytes
-    * of the text (a stand-in for real image/audio bytes), media_type
-    * cycles image/audio/video. Mirrored 1:1 by the oracle's
-    * `encode(text)`. */
+  /** Video-only media table: REAL AVI payloads (every `doc_id % 3 == 2`
+    * document, completing [[codecTable]]'s three-way modality split).
+    * Same sort-first spread and partition-local encode as
+    * [[imageTable]]/[[audioTable]] — payload bytes never shuffle. */
+  def videoTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    graft.operators.Dedup.orderedSpread(
+        docs.filter(col("doc_id") % 3 === 2)
+          .select(col("doc_id"), length(col("text")).cast("int").as("text_len")),
+        "doc_id")
+      .as[(Long, Int)]
+      .mapPartitions { batch =>
+        batch.map { case (docId, textLen) =>
+          val (w, h, n, us) = VideoCodec.paramsFor(docId, textLen)
+          (docId, VideoCodec.encodeAvi(docId, w, h, n, us))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** The REAL multimodal corpus: every document carries an actual
+    * binary container — PNG, WAV or AVI by `doc_id % 3` — built by the
+    * three partition-local encode tables. The union is the input shape
+    * a mixed-media ingest has: one opaque payload column, modality
+    * only discoverable by sniffing the bytes ([[decodeMetadata]]). */
+  def codecTable(spark: SparkSession, docs: DataFrame): DataFrame =
+    imageTable(spark, docs)
+      .unionByName(audioTable(spark, docs))
+      .unionByName(videoTable(spark, docs))
+
+  /** Synthesize the opaque media table from `documents`: payload =
+    * UTF-8 bytes of the text, media_type cycles image/audio/video.
+    * This is the PAYLOAD-level table: [[dedupPayloads]]' semantics
+    * (hash the bytes you were handed, before any decode) are
+    * modality-agnostic, so its gate keeps the oracle-friendly payload
+    * whose md5 DuckDB can recompute (`md5(text)`); the decode-level
+    * operators run on [[codecTable]]'s real containers instead. */
   def mediaTable(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
@@ -504,47 +696,85 @@ object Multimodal {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy("fp", "media_type")
 
-  /** Decode / feature-extract stage: batch-shaped mapPartitions over
-    * the binary column; only metadata (not payload) survives into the
-    * output, so downstream stages shuffle kilobytes, not media bytes. */
+  /** REAL decode / feature-extract stage: sniff each payload's
+    * container from its BYTES (PNG signature / RIFF+WAVE / RIFF+AVI)
+    * and decode with the matching codec — ImageIO for stills,
+    * AudioSystem for WAV, the [[VideoCodec]] chunk walker for AVI.
+    * The input is modality-blind (one opaque binary column, the mixed
+    * ingest shape); modality comes OUT of the decode, not in with the
+    * row. Only small typed metadata survives into the output, so
+    * downstream stages shuffle kilobytes, not media bytes. Payloads
+    * no codec accepts degrade to a valid=false row, never a task
+    * failure. */
   def decodeMetadata(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
-    media.select("doc_id", "media_type", "payload").as[MediaRow]
+    media.select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { batch =>
-        // one decoder instance per partition, reused across the batch —
-        // the plumbing a real (expensive-to-init) codec needs
-        val md = StubCodec.newDigest()
-        batch.map { row =>
-          val (magic, w, h, f) = StubCodec.decode(md, row.payload)
-          MediaMeta(row.doc_id, row.media_type, row.payload.length.toLong, magic, w, h, f)
+        batch.map { case (docId, p) =>
+          def fcc(off: Int): String =
+            if (p.length >= off + 4) new String(p, off, 4, "US-ASCII") else ""
+          val isPng = p.length >= 8 && (p(0) & 0xFF) == 0x89 && p(1) == 'P' &&
+            p(2) == 'N' && p(3) == 'G'
+          if (isPng) {
+            ImageCodec.decodeDims(p) match {
+              case Some((w, h)) =>
+                MediaMeta(docId, "image", "png", w, h, 1L, 0L, valid = true)
+              case None =>
+                MediaMeta(docId, "image", "png", 0, 0, 0L, 0L, valid = false)
+            }
+          } else if (fcc(0) == "RIFF" && fcc(8) == "WAVE") {
+            AudioCodec.decode(p) match {
+              case Some((rate, ss)) =>
+                MediaMeta(docId, "audio", "wav", 0, 0, ss.length.toLong,
+                  rate.toLong, valid = true)
+              case None =>
+                MediaMeta(docId, "audio", "wav", 0, 0, 0L, 0L, valid = false)
+            }
+          } else if (fcc(0) == "RIFF" && fcc(8) == "AVI ") {
+            VideoCodec.decode(p) match {
+              case Some(v) =>
+                // sample_rate carries fps for video (µs/frame divides 1e6)
+                MediaMeta(docId, "video", "avi", v.width, v.height,
+                  v.nFrames.toLong, 1000000L / v.usPerFrame, valid = true)
+              case None =>
+                MediaMeta(docId, "video", "avi", 0, 0, 0L, 0L, valid = false)
+            }
+          } else MediaMeta(docId, "unknown", "unknown", 0, 0, 0L, 0L, valid = false)
         }
       }
   }
 
-  /** Frame sampling: every `step`-th fixed-size frame of each payload,
-    * emitted lazily (iterator flatMap — a 2-hour video never
-    * materializes all frames at once). */
+  /** REAL frame sampling: walk each AVI's movi chunk list and emit
+    * every `step`-th frame's exact integer features, lazily (iterator
+    * flatMap over the chunk OFFSETS — a 2-hour video's unsampled
+    * frames are never even sliced). Non-AVI / corrupt payloads emit
+    * no frames. */
   def sampleFrames(spark: SparkSession, media: DataFrame, step: Int = 4): Dataset[Frame] = {
     import spark.implicits._
-    val fb = StubCodec.FrameBytes
-    media.select("doc_id", "media_type", "payload").as[MediaRow]
+    media.select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { batch =>
-        val md = StubCodec.newDigest()
-        batch.flatMap { row =>
-          val nFrames = math.max(row.payload.length / fb, 1)
-          Iterator.range(0, nFrames, step).map { i =>
-            val from = i * fb
-            val until = math.min(from + fb, row.payload.length)
-            val slice = java.util.Arrays.copyOfRange(row.payload, from, math.max(until, from))
-            Frame(row.doc_id, i, slice.length, StubCodec.md5hex(md, slice))
+        batch.flatMap { case (docId, p) =>
+          VideoCodec.decode(p).iterator.flatMap { v =>
+            Iterator.range(0, v.frameChunks.length, step).map { f =>
+              val (off, len) = v.frameChunks(f)
+              var sum = 0L; var weighted = 0L
+              var i = 0
+              while (i < len) {
+                val b = p(off + i) & 0xFF
+                sum += b; weighted += (i + 1).toLong * b
+                i += 1
+              }
+              Frame(docId, f, len, sum, weighted)
+            }
           }
         }
       }
   }
 
-  /** Resize stub: pure metadata transform of the decoded dims (the
-    * real op would re-encode payload; the *plan* — narrow map after
-    * decode, no shuffle — is what matters). */
+  /** Resize planning: pure metadata transform of the REAL decoded dims
+    * (the full op would also re-encode payload; the *plan* — narrow map
+    * after decode, no shuffle — is identical). Callers feed the visual
+    * rows of [[decodeMetadata]] (width > 0). */
   def resizeMeta(meta: Dataset[MediaMeta], maxSide: Int = 128): DataFrame =
     meta.toDF().withColumn("scale_num",
         when(greatest(col("width"), col("height")) > maxSide, lit(maxSide))

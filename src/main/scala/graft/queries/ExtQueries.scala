@@ -13,11 +13,14 @@ import graft.tables.{FilesCte, Tables}
   * ev_*: exact cross-engine arithmetic via decimal sums (double sums
   * are partial-order-dependent) and microsecond-integer time math.
   *
-  * mm_*: the Spark side runs the REAL plumbing — binary payload
-  * column, typed mapPartitions decode (Multimodal.StubCodec), lazy
-  * frame explosion. The oracle mirrors the stub codec as pure SQL over
-  * the same bytes (documents.text is ASCII, so byte arithmetic ==
-  * char arithmetic and DuckDB's VARCHAR md5 matches byte-slice md5).
+  * mm_*: the Spark side runs REAL codecs end to end — PNG via
+  * ImageIO, WAV via AudioSystem, AVI via the hand-rolled RIFF chunk
+  * walker (Multimodal.VideoCodec) — over genuine binary containers.
+  * The oracle re-derives every decoded field from the deterministic
+  * generator formulas, so a row matches only if encode → decode is
+  * bit-exact. mm_dedup alone stays on the opaque text-bytes payload
+  * table (payload-hash dedup is modality-agnostic, and ASCII text
+  * keeps DuckDB's VARCHAR md5 equal to the binary md5).
   */
 object ExtQueries {
   private def events(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
@@ -107,19 +110,30 @@ object ExtQueries {
     // Exact media dedup by payload hash, per modality — dedup BEFORE
     // decode, the standard multimodal pipeline ordering.
     "mm_dedup" -> ((s, d) => Multimodal.dedupPayloads(media(s, d))),
-    // decode-then-sort, NOT a pre-codec sort: the stub decode is a
-    // cheap digest, while a pre-codec range exchange would carry the
-    // full payload bytes — the module's scale contract is that only
-    // small typed metadata ever crosses a shuffle (the opposite
-    // trade-off from mm_image_decode, whose codec is the real cost
-    // and whose pre-sort input is the narrow (doc_id, text_len))
+    // REAL mixed-media decode: one opaque binary column over genuine
+    // PNG/WAV/AVI containers, modality discovered by sniffing the
+    // BYTES, dims/frames/rates read from IHDR / fmt / avih. The sort
+    // runs on the decoded METADATA (post-codec, kilobytes) — the
+    // payload bytes themselves never cross an exchange.
     "mm_metadata" -> ((s, d) =>
-      Multimodal.decodeMetadata(s, media(s, d)).toDF().orderBy("doc_id")),
+      Multimodal.decodeMetadata(s,
+          Multimodal.codecTable(s, Tables.documents(s, d)))
+        .toDF().orderBy("doc_id")),
+    // REAL video frame sampling: walk each AVI's movi chunk list,
+    // slice every 4th 00db frame, emit exact integer byte features —
+    // the oracle re-derives them from the frame-byte formula.
     "mm_frames" -> ((s, d) =>
-      Multimodal.sampleFrames(s, media(s, d), step = 4).toDF()
-        .orderBy("doc_id", "frame_idx")),
+      Multimodal.sampleFrames(s,
+          Multimodal.videoTable(s, Tables.documents(s, d)), step = 4)
+        .toDF().orderBy("doc_id", "frame_idx")),
+    // resize planning over the REAL decoded dims (visual rows only;
+    // maxSide = 24 so both branches — downscale and passthrough —
+    // actually occur on the 8..64-pixel corpus)
     "mm_resize" -> ((s, d) =>
-      Multimodal.resizeMeta(Multimodal.decodeMetadata(s, media(s, d)), maxSide = 128)
+      Multimodal.resizeMeta(
+          Multimodal.decodeMetadata(s,
+            Multimodal.codecTable(s, Tables.documents(s, d)))
+            .filter(col("width") > 0), maxSide = 24)
         .orderBy("doc_id")),
     // REAL in-JDK codec round-trip: payloads are actual PNGs, dims come
     // from javax.imageio reading the bytes — the oracle can only match
@@ -555,14 +569,30 @@ object ExtQueries {
       s"""SELECT md5(text) AS fp, $mediaTypeSql AS media_type,
          |  MIN(doc_id) AS keep_doc_id, CAST(count(*) AS BIGINT) AS n_copies
          |FROM documents GROUP BY 1, 2 ORDER BY fp, media_type""".stripMargin,
+    // three formula legs, one per container — each field re-derived
+    // independently of the Scala codecs, so a match proves the
+    // encode → sniff → decode path recovered the true container fields
     "mm_metadata" ->
-      s"""SELECT doc_id, $mediaTypeSql AS media_type,
-         |  CAST(length(text) AS BIGINT) AS n_bytes,
-         |  substr(md5(text), 1, 8) AS magic,
-         |  CAST(64 + length(text) % 193 AS INT) AS width,
-         |  CAST(64 + (length(text) * 7) % 129 AS INT) AS height,
-         |  CAST(greatest(length(text) // 16, 1) AS INT) AS n_frames
-         |FROM documents ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, 'image' AS media_type, 'png' AS container,
+        |  CAST(8 + length(text) % 57 AS INT) AS width,
+        |  CAST(8 + (length(text) * 7) % 41 AS INT) AS height,
+        |  CAST(1 AS BIGINT) AS n_frames,
+        |  CAST(0 AS BIGINT) AS sample_rate, TRUE AS valid
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT doc_id, 'audio', 'wav', 0, 0,
+        |  CAST(256 + length(text) % 200 AS BIGINT),
+        |  CAST(8000 + (doc_id % 5) * 2000 AS BIGINT), TRUE
+        |FROM documents WHERE doc_id % 3 = 1
+        |UNION ALL
+        |SELECT doc_id, 'video', 'avi',
+        |  CAST(8 + length(text) % 25 AS INT),
+        |  CAST(6 + (length(text) * 7) % 19 AS INT),
+        |  CAST(4 + length(text) % 13 AS BIGINT),
+        |  CAST(CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 25 WHEN 1 THEN 20
+        |    WHEN 2 THEN 10 WHEN 3 THEN 50 ELSE 40 END AS BIGINT), TRUE
+        |FROM documents WHERE doc_id % 3 = 2
+        |ORDER BY doc_id""".stripMargin,
     "mm_image_decode" ->
       """SELECT doc_id, 'png' AS format,
         |  CAST(8 + length(text) % 57 AS INT) AS width,
@@ -620,29 +650,44 @@ object ExtQueries {
         |  MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
         |FROM sig GROUP BY 1, 2, 3, 4
         |ORDER BY keep_doc_id""".stripMargin,
+    // frame features re-derived from the frame-byte formula
+    // b(doc, f, i) = (doc·31 + f·17 + i·7) mod 256; bytes[j] is
+    // 1-indexed, so Σ(i+1)·b_i over 0-indexed i is Σ j·bytes[j]
     "mm_frames" ->
-      """WITH f AS (
-        |  SELECT doc_id, CAST(unnest(generate_series(0,
-        |      greatest(length(text) // 16, 1) - 1, 4)) AS INT) AS frame_idx,
-        |    text
-        |  FROM documents)
-        |SELECT doc_id, frame_idx,
-        |  CAST(length(substr(text, frame_idx * 16 + 1, 16)) AS INT) AS frame_bytes,
-        |  md5(substr(text, frame_idx * 16 + 1, 16)) AS frame_md5
-        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+      """WITH v AS (SELECT doc_id, length(text) AS tl FROM documents
+        |  WHERE doc_id % 3 = 2),
+        |p AS (SELECT doc_id, (8 + tl % 25) * (6 + (tl * 7) % 19) * 3 AS fs,
+        |    4 + tl % 13 AS nf FROM v),
+        |f AS (SELECT doc_id, fs,
+        |    CAST(unnest(generate_series(0, nf - 1, 4)) AS INT) AS frame_idx
+        |  FROM p),
+        |b AS (SELECT doc_id, frame_idx, fs,
+        |    list_transform(generate_series(0, fs - 1),
+        |      i -> (doc_id * 31 + frame_idx * 17 + i * 7) % 256) AS bytes
+        |  FROM f)
+        |SELECT doc_id, frame_idx, CAST(fs AS INT) AS frame_bytes,
+        |  CAST(list_sum(bytes) AS BIGINT) AS sum_b,
+        |  CAST(list_sum(list_transform(generate_series(1, fs),
+        |    i -> i * bytes[i])) AS BIGINT) AS weighted_b
+        |FROM b ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_resize" ->
-      s"""WITH m AS (
-         |  SELECT doc_id, $mediaTypeSql AS media_type,
-         |    CAST(64 + length(text) % 193 AS INT) AS width,
-         |    CAST(64 + (length(text) * 7) % 129 AS INT) AS height
-         |  FROM documents),
-         |s AS (
-         |  SELECT *, CASE WHEN greatest(width, height) > 128 THEN 128
-         |    ELSE greatest(width, height) END AS scale_num FROM m)
-         |SELECT doc_id, media_type, width, height,
-         |  CAST(floor(CAST(width * scale_num AS DOUBLE) / greatest(width, height)) AS BIGINT) AS out_width,
-         |  CAST(floor(CAST(height * scale_num AS DOUBLE) / greatest(width, height)) AS BIGINT) AS out_height
-         |FROM s ORDER BY doc_id""".stripMargin,
+      """WITH m AS (
+        |  SELECT doc_id, 'image' AS media_type,
+        |    CAST(8 + length(text) % 57 AS INT) AS width,
+        |    CAST(8 + (length(text) * 7) % 41 AS INT) AS height
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'video',
+        |    CAST(8 + length(text) % 25 AS INT),
+        |    CAST(6 + (length(text) * 7) % 19 AS INT)
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |s AS (
+        |  SELECT *, CASE WHEN greatest(width, height) > 24 THEN 24
+        |    ELSE greatest(width, height) END AS scale_num FROM m)
+        |SELECT doc_id, media_type, width, height,
+        |  CAST(floor(CAST(width * scale_num AS DOUBLE) / greatest(width, height)) AS BIGINT) AS out_width,
+        |  CAST(floor(CAST(height * scale_num AS DOUBLE) / greatest(width, height)) AS BIGINT) AS out_height
+        |FROM s ORDER BY doc_id""".stripMargin,
     "fi_sql" -> FilesCte.wrap(
       """SELECT path, COUNT(*) AS n, CAST(SUM(file_size) AS BIGINT) AS bytes
         |FROM files WHERE checksum IS NOT NULL

@@ -23,27 +23,82 @@ class MultimodalSpec extends SparkSpec {
       ("a" * 40).getBytes(StandardCharsets.UTF_8)))
   }
 
-  test("decodeMetadata: stub codec dims are a pure function of byte length") {
-    val m = Multimodal.decodeMetadata(spark, Multimodal.mediaTable(docs))
-      .collect().map(r => r.doc_id -> r).toMap
-    assert(m(0L).n_bytes == 40 && m(0L).width == 64 + 40 % 193)
-    assert(m(0L).n_frames == 2) // 40 / 16
-    assert(m(1L).n_frames == 1) // max(5/16, 1)
-    assert(m(0L).magic.matches("[0-9a-f]{8}"))
+  test("VideoCodec: real AVI round-trip recovers avih params and frame bytes") {
+    val (w, h, nf, us) = Multimodal.VideoCodec.paramsFor(2L, 33)
+    assert((w, h, nf, us) == (16, 9, 11, 100000)) // 2 % 5 == 2 → 10 fps
+    val avi = Multimodal.VideoCodec.encodeAvi(2L, w, h, nf, us)
+    // a genuine RIFF/AVI container
+    assert(new String(avi.take(4), "US-ASCII") == "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+    val Some(v) = Multimodal.VideoCodec.decode(avi)
+    assert(v.width == w && v.height == h)
+    assert(v.nFrames == nf && v.usPerFrame == us)
+    assert(v.frameChunks.length == nf)
+    // every sampled frame byte equals the generator formula — the
+    // movi walk found the true chunk payloads, not header noise
+    v.frameChunks.zipWithIndex.foreach { case ((off, len), f) =>
+      assert(len == w * h * 3)
+      (0 until len by 97).foreach { i =>
+        assert((avi(off + i) & 0xFF) == Multimodal.VideoCodec.frameByte(2L, f, i))
+      }
+    }
   }
 
-  test("sampleFrames: every 4th 16-byte frame, lazy explosion, md5 per slice") {
-    val f = Multimodal.sampleFrames(spark, Multimodal.mediaTable(docs), step = 4)
+  test("VideoCodec: odd frame size takes the RIFF pad-byte path") {
+    // w=21, h=21 → frameSize 1323 (odd): every chunk needs alignment
+    val avi = Multimodal.VideoCodec.encodeAvi(5L, 21, 21, 3, 40000)
+    val Some(v) = Multimodal.VideoCodec.decode(avi)
+    assert(v.frameChunks.length == 3 && v.frameChunks.forall(_._2 == 1323))
+    val (off, _) = v.frameChunks(2)
+    assert((avi(off) & 0xFF) == Multimodal.VideoCodec.frameByte(5L, 2, 0))
+  }
+
+  test("VideoCodec: corrupt/truncated payloads decode as None, not an exception") {
+    val avi = Multimodal.VideoCodec.encodeAvi(7L, 10, 8, 4, 50000)
+    assert(Multimodal.VideoCodec.decode(avi.take(30)).isEmpty) // truncated mid-header
+    assert(Multimodal.VideoCodec.decode(avi.take(avi.length / 2)).isEmpty) // mid-movi
+    assert(Multimodal.VideoCodec.decode("not an avi at all".getBytes).isEmpty)
+    assert(Multimodal.VideoCodec.decode(Array.emptyByteArray).isEmpty)
+  }
+
+  test("decodeMetadata: sniffs all three REAL containers from bytes alone") {
+    val m = Multimodal.decodeMetadata(spark, Multimodal.codecTable(spark, docs))
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(m.keySet == Set(0L, 1L, 2L))
+    val (iw, ih) = Multimodal.ImageCodec.dimsFor(40)
+    assert(m(0L) == MediaMeta(0L, "image", "png", iw, ih, 1L, 0L, valid = true))
+    val (rate, n) = Multimodal.AudioCodec.paramsFor(1L, 5)
+    assert(m(1L) == MediaMeta(1L, "audio", "wav", 0, 0, n.toLong, rate.toLong, valid = true))
+    // video doc 2: avih fields, fps = 1e6 / usPerFrame
+    assert(m(2L) == MediaMeta(2L, "video", "avi", 16, 9, 11L, 10L, valid = true))
+  }
+
+  test("decodeMetadata: undecodable payloads degrade to valid=false rows") {
+    val junk = Seq(
+      (9L, "garbage payload".getBytes),
+      (12L, Multimodal.VideoCodec.encodeAvi(12L, 10, 8, 4, 50000).take(40))
+    ).toDF("doc_id", "payload")
+    val m = Multimodal.decodeMetadata(spark, junk)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(!m(9L).valid && m(9L).container == "unknown")
+    assert(!m(12L).valid && m(12L).container == "avi") // sniffed, then failed decode
+  }
+
+  test("sampleFrames: every 4th movi chunk, features match the byte formula") {
+    val f = Multimodal.sampleFrames(
+        spark, Multimodal.videoTable(spark, docs), step = 4)
       .collect().groupBy(_.doc_id)
-    // doc 0: 2 frames → sampled idx 0 only (step 4)
-    assert(f(0L).map(_.frame_idx).toSeq == Seq(0))
-    assert(f(0L).head.frame_bytes == 16)
-    val expected = Multimodal.StubCodec.md5hex(("a" * 16).getBytes)
-    assert(f(0L).head.frame_md5 == expected)
-    // doc 1 (5 bytes): one short frame
-    assert(f(1L).head.frame_bytes == 5)
-    // doc 2 (33 bytes): 2 full frames → idx 0
-    assert(f(2L).map(_.frame_idx).toSeq == Seq(0))
+    assert(f.keySet == Set(2L)) // only doc_id % 3 == 2
+    // doc 2: 11 frames → sampled idx 0, 4, 8
+    assert(f(2L).map(_.frame_idx).sorted.toSeq == Seq(0, 4, 8))
+    val fs = 16 * 9 * 3
+    f(2L).foreach { fr =>
+      assert(fr.frame_bytes == fs)
+      val bytes = (0 until fs).map(i =>
+        Multimodal.VideoCodec.frameByte(2L, fr.frame_idx, i).toLong)
+      assert(fr.sum_b == bytes.sum)
+      assert(fr.weighted_b == bytes.zipWithIndex.map { case (b, i) => (i + 1) * b }.sum)
+    }
   }
 
   test("ImageCodec: PNG round-trip reproduces exact dims for random sizes") {
@@ -108,13 +163,17 @@ class MultimodalSpec extends SparkSpec {
 
   test("resizeMeta caps the long side at maxSide, preserving aspect ratio") {
     val r = Multimodal.resizeMeta(
-      Multimodal.decodeMetadata(spark, Multimodal.mediaTable(docs)), maxSide = 128)
+      Multimodal.decodeMetadata(spark, Multimodal.codecTable(spark, docs))
+        .filter(col("width") > 0), maxSide = 24)
       .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r.keySet == Set(0L, 2L)) // visual rows only (audio has no dims)
     r.values.foreach { row =>
-      assert(row.getAs[Long]("out_width") <= 128 && row.getAs[Long]("out_height") <= 128)
+      assert(row.getAs[Long]("out_width") <= 24 && row.getAs[Long]("out_height") <= 24)
     }
-    // doc 0: w=104, h=64+280%129=64+22=86 → max 104 ≤ 128 → unscaled
-    assert(r(0L).getAs[Long]("out_width") == 104)
+    // image doc 0: real decoded 48×42 → downscaled to 24×21
+    assert(r(0L).getAs[Long]("out_width") == 24 && r(0L).getAs[Long]("out_height") == 21)
+    // video doc 2: real decoded 16×9 ≤ 24 → passthrough
+    assert(r(2L).getAs[Long]("out_width") == 16 && r(2L).getAs[Long]("out_height") == 9)
   }
 
   test("AudioCodec: real WAV round-trip recovers rate and exact samples") {
