@@ -3,10 +3,13 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Measured rewrite-vs-naive evidence for the three round-3 event
-  * rewrites (VERDICT r3 asked for exactly this): each rewrite is
+/** Measured rewrite-vs-naive evidence: each headline rewrite is
   * timed against the textbook formulation it replaced, on the same
-  * session and data, min-of-2 per variant.
+  * session and data, min-of-2 per variant. Started with the three
+  * round-3 event rewrites; round 7 adds the decontamination
+  * broadcast-index, the tfidf hash-aggregate df, the size-adaptive
+  * connected components, and a zipf-skewed shuffle-join probe
+  * (plain vs AQE skew-join vs SkewTools salting).
   *
   *  - as-of join: one windowed pass (Events.asofPrior) vs the naive
   *    range join (purchases ⋈ views on user & vts ≤ ts, max per
@@ -54,7 +57,15 @@ object NaiveCompare {
       (math.min(a._1, b._1), b._2)
     }
 
+    // optional comma-separated case allowlist, so one case can be
+    // re-measured without paying for the expensive probes (the zipf
+    // join alone is ~9 min of deliberate skew)
+    val only = sys.env.get("SPARK_GRAFT_NAIVE_FILTER")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def enabled(name: String): Boolean = only.forall(_.contains(name))
+
     def report(name: String, variant: String, df: => DataFrame): Long = {
+      if (!enabled(name)) return -1L
       val (sec, rows) = time(df)
       println(f"""{"case":"$name","variant":"$variant","sec":$sec%.3f,"rows":$rows}""")
       rows
@@ -100,19 +111,21 @@ object NaiveCompare {
 
     // ---- salted totals on a skewed stream ----------------------------
     // replicate the 'view' type 20× so it owns ~95% of rows
-    val skewed = ev.unionByName(
-      (1 to 19).map(_ => ev.filter(col("event_type") === "view"))
-        .reduce(_ unionByName _)).cache()
-    skewed.count()
-    report("salted_agg_skewed", "rewrite",
-      graft.streaming.Events.typeTotalsSalted(skewed))
-    report("salted_agg_skewed", "naive",
-      skewed.groupBy("event_type")
-        .agg(count(lit(1)).as("n_events"),
-          sum(expr("CAST(value AS DECIMAL(18,6))")).cast("double")
-            .as("total_value"))
-        .orderBy("event_type"))
-    skewed.unpersist()
+    if (enabled("salted_agg_skewed")) {
+      val skewed = ev.unionByName(
+        (1 to 19).map(_ => ev.filter(col("event_type") === "view"))
+          .reduce(_ unionByName _)).cache()
+      skewed.count()
+      report("salted_agg_skewed", "rewrite",
+        graft.streaming.Events.typeTotalsSalted(skewed))
+      report("salted_agg_skewed", "naive",
+        skewed.groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(expr("CAST(value AS DECIMAL(18,6))")).cast("double")
+              .as("total_value"))
+          .orderBy("event_type"))
+      skewed.unpersist()
+    }
 
     // ---- per-source dedup scorecard: window vs aggregate-rejoin ------
     // The rejoin formulation reads cleaner but Catalyst plans it as TWO
@@ -142,6 +155,141 @@ object NaiveCompare {
       graft.operators.Dedup.dedupStatsBySource(big))
     val n4 = report("dedup_by_source_20x", "naive", naiveBySource)
     require(r4 == n4, s"dedup_by_source row counts diverge: $r4 vs $n4")
+
+    // ---- decontamination: broadcast test index vs shuffled corpus ----
+    // The shipped form broadcasts the (tiny by definition) test-side
+    // inverted index, so the train corpus NEVER shuffles for the
+    // probe. The naive form is the same join with a merge hint — the
+    // textbook "join the two sides on shingle" plan, whose cost is a
+    // full shuffle of every (train_id, shingle) row. 20× replicated
+    // docs (disjoint ids, shared content) so the shuffled volume
+    // dominates fixed overhead the way it does at scale.
+    val isTest = col("doc_id") % 17 === 0
+    def contamInv: DataFrame = graft.operators.Dedup.withHashedShingles(big, 5)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    def naiveContam: DataFrame = {
+      val inv = contamInv
+      val test = inv.filter(isTest).select(
+        col("doc_id").as("test_id"), col("shingle"))
+      inv.filter(!isTest).select(col("doc_id").as("train_id"), col("shingle"))
+        .join(test.hint("merge"), Seq("shingle")) // force the shuffle join
+        .groupBy("train_id", "test_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .filter(col("n_overlap") >= 3L)
+    }
+    val r5 = report("contamination_20x", "rewrite",
+      graft.operators.CorpusOps.contaminationPairsRaw(big, isTest, n = 5, minOverlap = 3L))
+    val n5 = report("contamination_20x", "naive", naiveContam)
+    require(r5 == n5, s"contamination row counts diverge: $r5 vs $n5")
+
+    // ---- tfidf document frequency: hash aggregate vs window count ----
+    // The shipped form computes df as a second aggregate over the
+    // postings (partial aggregation absorbs hot terms map-side) and
+    // joins it back. The naive form is the textbook window count
+    // `count(*) OVER (PARTITION BY term)` — same result, but every
+    // stop-word's postings pile into one window partition: the
+    // classic key-skew trap the rewrite exists to avoid.
+    def naiveTfidf: DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val toks = split(col("text"), " ") // same tokenization as tfidfTopK
+      val postings = big.select(col("doc_id"), explode(toks).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val nDocs = big.agg(count(lit(1)).as("n_docs"))
+      val scored = postings
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score", col("tf").cast("double") *
+          ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select("doc_id", "term", "tf", "df", "score")
+    }
+    // MEASURED FINDING, kept deliberately: on THIS testdata the naive
+    // window beats the shipped aggregate+join by ~20% (1.76 s vs
+    // 2.13 s at 20×). The corpus vocabulary is 31 terms, every one in
+    // ~80% of documents — UNIFORMLY hot, so the 31 window partitions
+    // parallelize evenly over 32 cores and the window saves the df
+    // join-back. The rewrite exists for the vocabulary real corpora
+    // have (zipf: millions of terms, df spanning orders of magnitude),
+    // where one stop-word's postings land in ONE window partition —
+    // the df_zipf_vocab case below measures exactly that flip.
+    val r6 = report("tfidf_top_20x", "rewrite",
+      graft.operators.TextAnalysis.tfidfTopK(big, k = 5))
+    val n6 = report("tfidf_top_20x", "naive", naiveTfidf)
+    require(r6 == n6, s"tfidf row counts diverge: $r6 vs $n6")
+
+    // ---- document frequency under a ZIPF vocabulary ----------------
+    // The testdata's uniform 31-term vocabulary cannot exhibit term
+    // skew, so synthesize the shape real corpora have: postings where
+    // the top term owns ~3/4 of the rows. The df step alone, both
+    // ways — the window must sort and then stream the hot term's
+    // postings through one task; the aggregate partial-combines it
+    // map-side to one row per task.
+    if (enabled("df_zipf_vocab")) {
+      val posts = spark.range(4000000L).select(
+        col("id").as("doc_id"),
+        least(expr("cast(log2(id + 1) as long)"), lit(20L)).as("term")).cache()
+      posts.count()
+      def windowDf: DataFrame = {
+        import org.apache.spark.sql.expressions.Window
+        posts.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+          .groupBy("term").agg(max(col("df")).as("df"))
+      }
+      def aggDf: DataFrame = posts.groupBy("term").agg(count(lit(1)).as("df"))
+      report("df_zipf_vocab", "rewrite", aggDf)
+      report("df_zipf_vocab", "naive", windowDf)
+      posts.unpersist()
+    }
+
+    // ---- connected components: size-adaptive vs always-distributed --
+    // Dedup.clusters runs a driver union-find when the edge list fits
+    // a bounded budget (near-dup graphs are sparse); the naive variant
+    // forces the distributed min-label loop (maxDriverEdges = 0) on
+    // the same edges — multi-round shuffle fleets to label a few
+    // thousand edges is the scheduler-overhead shape the budget avoids.
+    def ddPairs: DataFrame =
+      graft.operators.Dedup.jaccardPairsRaw(docs0, n = 3, threshold = 0.5)
+    val r7 = report("clusters_small_graph", "rewrite",
+      graft.operators.Dedup.clusters(ddPairs))
+    val n7 = report("clusters_small_graph", "naive",
+      graft.operators.Dedup.clusters(ddPairs, maxDriverEdges = 0L))
+    require(r7 == n7, s"clusters row counts diverge: $r7 vs $n7")
+
+    // ---- zipf-skewed shuffle join: plain vs AQE skew-join vs salted --
+    // fact keys follow a geometric (zipf-like) law — key k =
+    // floor(log2(id+1)) owns 2^k rows, and the cap at 20 folds every
+    // higher key in, so the TOP key owns ~3/4 of the fact table. The dim
+    // is replicated wide enough that broadcast is off the table (also
+    // forced off via the threshold), isolating the SHUFFLE-join skew
+    // behavior: plain sort-merge with AQE skew-join disabled piles key
+    // 0 into one task; AQE's skew split (default-on) carves it up;
+    // explicit salting pre-spreads it. The measured ranking backs the
+    // SkewTools scaladoc: AQE first, salting only where AQE can't see.
+    if (enabled("zipf_join")) {
+      val nFact = 4000000L
+      val fact = spark.range(nFact).select(
+        expr("cast(log2(id + 1) as long)").as("k0"))
+        .select((least(col("k0"), lit(20L))).as("key"))
+      // ~21 distinct keys × 3000 payload rows ⇒ too big to broadcast at
+      // the forced -1 threshold; join fan-out 3000× is the same for
+      // every key, so only DISTRIBUTION differs between variants
+      val dim = spark.range(21L).select(col("id").as("key"))
+        .crossJoin(spark.range(3000L).select(col("id").as("payload")))
+      fact.cache().count(); dim.cache().count()
+      def plainJoin: DataFrame =
+        fact.join(dim.hint("merge"), Seq("key")).groupBy("key").agg(count(lit(1)).as("n"))
+      val bcThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      report("zipf_join", "plain_noaqe", plainJoin)
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      report("zipf_join", "plain_aqe_skewjoin", plainJoin)
+      report("zipf_join", "salted",
+        graft.operators.SkewTools.saltedJoinCount(fact, dim, "key", saltBuckets = 32))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcThresh)
+      fact.unpersist(); dim.unpersist()
+    }
     spark.stop()
   }
 }

@@ -33,17 +33,22 @@ object SkewTools {
       .agg(sum(col("_n")).as("n"), sum(col("_s")).as("total"))
   }
 
-  /** Salted join for a skewed fact side: explode the (small) build
-    * side `saltBuckets`× with a salt column, salt the probe side
-    * randomly-but-deterministically, join on (key, salt). Count rows
-    * per key as the demonstration aggregate. */
+  /** Salted join for a skewed fact side: explode the build side
+    * `saltBuckets`× with a salt column, salt the probe side
+    * randomly-but-deterministically, join on (key, salt) — a hot key's
+    * rows land in `saltBuckets` shuffle partitions instead of one.
+    * No broadcast hint: if the exploded dim were broadcastable the
+    * join would already be skew-immune and salting pointless — the
+    * helper exists for the SHUFFLED case, and AQE still picks
+    * broadcast on its own when the exploded side measures small.
+    * Count rows per key as the demonstration aggregate. */
   def saltedJoinCount(fact: DataFrame, dim: DataFrame, key: String,
       saltBuckets: Int = 8): DataFrame = {
     val saltedDim = dim.withColumn("_salt",
       explode(array((0 until saltBuckets).map(lit): _*)))
     val saltedFact = fact.withColumn("_salt",
       pmod(xxhash64(col(key), monotonically_increasing_id()), lit(saltBuckets)))
-    saltedFact.join(broadcast(saltedDim), Seq(key, "_salt"))
+    saltedFact.join(saltedDim, Seq(key, "_salt"))
       .groupBy(key).agg(count(lit(1)).as("n"))
   }
 }

@@ -9,6 +9,7 @@ data, same machine. Each query is fully materialized (fetchall) so
 lazy execution can't flatter the numbers.
 """
 import json
+import os
 import sys
 import time
 
@@ -23,8 +24,11 @@ def main():
     repeat = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # testdata ships single parquet FILES; Spark-generated scale-up
+        # dirs (graft.ScaleUp) are DIRECTORIES of part files - glob those
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     with open(sql_path) as f:
         sqls = json.load(f)
     times = {}

@@ -10,6 +10,7 @@ exactly (row count, schema-ish, cell values).
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -55,8 +56,11 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # testdata ships single parquet FILES; Spark-generated scale-up
+        # dirs (graft.ScaleUp) are DIRECTORIES of part files - glob those
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     n_pass = n_fail = 0
