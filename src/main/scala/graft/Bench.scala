@@ -44,6 +44,13 @@ object Bench {
       // against another query's warm cache
       graft.operators.OpCaches.releaseAll()
       spark.catalog.clearCache()
+      // UNTIMED explicit GC: lets ContextCleaner reap the previous
+      // queries' shuffle files (they otherwise accumulate on disk for
+      // the whole run — ~70 GB by query 123 at sf1) and starts every
+      // measurement from a settled heap, so no query is timed inside
+      // another query's garbage (the round-6 driver artifact measured
+      // five late-alphabet queries 6–15× their stable cost).
+      System.gc()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
       catch { case e: Throwable =>

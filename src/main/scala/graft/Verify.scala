@@ -35,6 +35,13 @@ object Verify {
           .parquet(s"$outDir/$name")
         // operator-internal caches don't accumulate across queries
         graft.operators.OpCaches.releaseAll()
+        // shuffle files are reaped only when ContextCleaner collects
+        // their RDDs — under a large heap, GC may not fire across the
+        // whole 149-query run and DEAD shuffle files accumulate on
+        // disk (measured at sf1: ~70 GB by query 123, stalling the
+        // box at 90% disk / 83% iowait). One explicit GC per query
+        // bounds the dead-file footprint to one query's worth.
+        System.gc()
       } catch { case e: Throwable =>
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
         failures += name -> msg

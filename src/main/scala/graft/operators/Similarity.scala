@@ -216,6 +216,22 @@ object Similarity {
     * `tables` to the corpus's pair count and loss tolerance. */
   def cosinePairsLsh(emb: DataFrame, threshold: Double,
       tables: Int = 16, bits: Int = 5): DataFrame = {
+    // COST GUARD — the sf1 gate's catch (r7): a RANDOM pair collides
+    // in an expected tables/2^bits tables (uncorrelated vectors hit
+    // each hyperplane bit with p = 1/2; correlated data only collides
+    // MORE), so when that ratio reaches 1 the LSH candidate multiset
+    // is at least one row per unordered pair — brute force wearing a
+    // 64-table costume, except each candidate also drags two vector
+    // payloads through a shuffle. At sf1 (20k vectors, 64 tables ×
+    // 4 bits ⇒ ratio 4) the candidate join spilled past 79 GB of disk
+    // and died; the blocked-exact equi-join finishes the identical
+    // pair set in seconds. The ratio is size-independent, so the
+    // dispatch is static: completeness-preserving LSH below 1 (its
+    // actual domain — high thresholds, many bits), balanced exact
+    // work distribution at or above it. Output contract unchanged:
+    // both paths emit exactly the ≥ threshold pair set.
+    if (tables.toDouble / (1L << bits) >= 1.0)
+      return cosinePairsBlockedRaw(emb, threshold).orderBy("vec_a", "vec_b")
     val planes = LshPlanes.planesFor(tables, bits, seed = 977L)
     // one native expression for all table keys (posexplode → (tbl, bkey));
     // identical keys to the per-table HOF columns, none of their

@@ -185,19 +185,20 @@ object PipelineQueries {
       val corpus = all.filter(col("doc_id") % 10 =!= 0)
       Dedup.deltaPairs(delta, Dedup.shingleIndex(corpus, n = 3), n = 3, threshold = 0.5)
     }),
-    // The sub-quadratic semantic-dedup path, oracle-checked against the
-    // brute-force ground truth: hyperplane-LSH candidates + exact cosine
-    // re-rank must reproduce EVERY brute pair (hash compare = recall
-    // completeness; the exact re-rank makes precision exact by
-    // construction). Threshold 0.45 is the highest operating point with
-    // a non-trivial pair set on the near-isotropic testdata (max pair
-    // cosine is 0.51 at sf0.01 / 0.60 at sf0.1 — no ≥0.8 pairs exist);
-    // 64 tables × 4 bits is verified candidate-complete at every gate
-    // SF (0 missed pairs). 32 tables already missed nothing at ≤ sf0.1
-    // (analytic miss ≈ 2e-3 per pair), but at sf1 the pair population
-    // is ~10×, putting expected misses near 1 — doubling the tables
-    // SQUARES the per-pair miss rate (≈ 4e-6), keeping the
-    // hash-compare contract safe at 100× for ~2× candidate work.
+    // Semantic dedup oracle-checked against the brute-force ground
+    // truth: the emitted set must BE the exact ≥ 0.45 pair set.
+    // Threshold 0.45 is the highest operating point with a non-trivial
+    // pair set on the near-isotropic testdata (max pair cosine is 0.51
+    // at sf0.01 / 0.60 at sf0.1 — no ≥0.8 pairs exist). That threshold
+    // is OUTSIDE hyperplane-LSH's domain: completeness at 0.45 needs
+    // tables ≥ 2^bits (the r6 answer was 64 tables × 4 bits), at which
+    // point a random pair collides in an expected 4 tables — LSH
+    // degenerates to brute force with a 64× scoring multiplier, and
+    // the sf1 gate measured exactly that (the candidate join spilled
+    // past 79 GB and died). cosinePairsLsh now cost-dispatches: at
+    // tables/2^bits ≥ 1 it runs the blocked-exact equi-join (identical
+    // pair set, balanced O(n²) work, no candidate blowup); real LSH
+    // still runs where the ratio is < 1 (ss_topk_lsh, the ANN index).
     "dd_embedding_lsh" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val e = emb(s, d).join(docs(s, d).select(col("doc_id")),

@@ -138,6 +138,24 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("cosinePairsLsh cost guard: tables >= 2^bits dispatches to the exact blocked join") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // 8 tables x 3 bits -> a random pair collides in an expected
+    // 8/8 = 1 table: the candidate multiset is at least brute-sized,
+    // so the guard must route to the blocked-exact plan
+    val guarded = Similarity.cosinePairsLsh(real, threshold = 0.3, tables = 8, bits = 3)
+    val plan = guarded.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("posexplode"), plan) // no LSH bucket build
+    val brute = Similarity.cosinePairs(real, threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val got = guarded.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == brute.toSeq) // identical exact pair set
+    // and the sub-1 regime still runs the LSH bucket path
+    val lshPlan = Similarity.cosinePairsLsh(real, 0.9, tables = 8, bits = 5)
+      .queryExecution.executedPlan.toString
+    assert(lshPlan.toLowerCase.contains("posexplode"), lshPlan)
+  }
+
   test("knnLabel: majority vote with deterministic tie-break and correctness flag") {
     // query 0 (label 0): neighbors by cosine are 1 (lbl 0), 4 (lbl 1),
     // 2 (lbl 0), 3 (lbl 2) -> k=3 votes {0:2, 1:1} -> predicts 0, correct
