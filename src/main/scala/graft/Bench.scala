@@ -38,19 +38,28 @@ object Bench {
     // bench is self-contained evidence (a stderr tail truncates away
     // the root cause; round 3's artifact carried only stack frames)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var sinceGc = 0
     def run(name: String): Double = {
       // operators cache their reusable artifacts (signature/bucket
       // tables); drop them between queries so no query is timed
       // against another query's warm cache
       graft.operators.OpCaches.releaseAll()
       spark.catalog.clearCache()
-      // UNTIMED explicit GC: lets ContextCleaner reap the previous
-      // queries' shuffle files (they otherwise accumulate on disk for
-      // the whole run — ~70 GB by query 123 at sf1) and starts every
-      // measurement from a settled heap, so no query is timed inside
-      // another query's garbage (the round-6 driver artifact measured
-      // five late-alphabet queries 6–15× their stable cost).
-      System.gc()
+      // UNTIMED periodic GC: lets ContextCleaner reap earlier queries'
+      // shuffle files (they otherwise accumulate on disk for the whole
+      // run — ~70 GB by query 123 at sf1, the round-6 regression's
+      // root cause). Every 10th query, not every query: System.gc()
+      // returns while G1's concurrent phases still run, and per-query
+      // GC measured ~+0.25 s of stolen CPU inside the NEXT timed
+      // region (+36 s on the 149-query total); the 300 ms settle lets
+      // the concurrent phases drain outside the timed window. Ten
+      // queries of dead shuffle files are a bounded few GB.
+      sinceGc += 1
+      if (sinceGc >= 10) {
+        sinceGc = 0
+        System.gc()
+        Thread.sleep(300)
+      }
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
       catch { case e: Throwable =>
