@@ -100,8 +100,15 @@ object Bench {
     // was no protection. Separating the two samples by a full pass
     // (~minutes apart) makes a transient phase poison at most one of
     // them; same total run count, strictly more robust minimum.
+    // pass B runs in REVERSE order: any monotone run-length degradation
+    // (accumulated JVM/metaspace/listener state over 300 queries) hits
+    // the alphabetical tail in pass A and the alphabetical head in
+    // pass B — every query gets one early-ish and one late-ish slot,
+    // and the min keeps the better one. With same-order passes the
+    // ta_*/tp_* rows were ONLY ever measured after 140+ prior queries
+    // and read ~2× their solo cost.
     val passA = names.map(n => n -> run(n))
-    val passB = names.map(n => n -> run(n))
+    val passB = names.reverse.map(n => n -> run(n)).reverse
     val results = passA.zip(passB).map { case ((n, a), (_, b)) =>
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }

@@ -301,4 +301,34 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("property: AVI round-trip is exact for any params; truncation never throws") {
+    import graft.operators.Multimodal.VideoCodec
+    val params = for {
+      docId <- Gen.chooseNum(0L, 1L << 41) // beyond the variant-tag bit too
+      w <- Gen.chooseNum(1, 64)
+      h <- Gen.chooseNum(1, 64)
+      nf <- Gen.chooseNum(1, 20)
+      us <- Gen.oneOf(20000, 25000, 40000, 50000, 100000)
+    } yield (docId, w, h, nf, us)
+    check(Prop.forAll(params) { case (docId, w, h, nf, us) =>
+      val avi = VideoCodec.encodeAvi(docId, w, h, nf, us)
+      val v = VideoCodec.decode(avi)
+      val roundTrip = v.exists(i => i.width == w && i.height == h &&
+        i.nFrames == nf && i.usPerFrame == us && i.frameChunks.length == nf &&
+        i.frameChunks.forall(_._2 == w * h * 3) &&
+        // spot-check the first frame's first/last bytes against the formula
+        (avi(i.frameChunks.head._1) & 0xFF) == VideoCodec.frameByte(docId, 0, 0) &&
+        (avi(i.frameChunks.head._1 + w * h * 3 - 1) & 0xFF) ==
+          VideoCodec.frameByte(docId, 0, w * h * 3 - 1))
+      // EVERY truncation point decodes to None or a structurally valid
+      // prefix — never an exception (the corrupt-payload contract);
+      // sample a spread of cut points including the RIFF header itself
+      val truncOk = (0 until 12).forall { k =>
+        val cut = avi.length * k / 12
+        scala.util.Try(VideoCodec.decode(java.util.Arrays.copyOf(avi, cut))).isSuccess
+      }
+      roundTrip && truncOk
+    })
+  }
 }
