@@ -127,9 +127,9 @@ object Ivf {
     * recall, produced with ONE training pass and one brute baseline
     * shared across all probe points.
     *
-    * Output is a single verdict row; the per-probe recalls are
-    * collected driver-side (|probes| tiny aggregates — same bounded
-    * pattern as centroid training). */
+    * Output is a single verdict row; the per-probe hit counts arrive
+    * in ONE collected |probes|-row aggregate (plus the baseline
+    * count) — same bounded driver pattern as centroid training. */
   def recallCurve(emb: DataFrame, queryMod: Long = 50L, k: Int = 5,
       nCentroids: Int = 16, probes: Seq[Int] = Seq(1, 2, 4, 8, 16),
       iters: Int = 2): DataFrame = {
@@ -151,24 +151,32 @@ object Ivf {
     // the full-probe point is always tested — without it the
     // full_probe_exact contract below would be vacuously true
     val probePts = (probes.filter(_ < nCentroids) :+ nCentroids).distinct.sorted
-    val recalls = probePts.map { p =>
-      val qCells = qAll.filter(col("prk") <= p).select("query_id", "qv", "qn", "cell")
-      val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))
-      val ann = broadcast(qCells)
-        .join(e.select(col("vec_id").as("cand_id"), col("v").as("cv"),
-          col("nrm").as("cn"), col("cell")), "cell")
-        .filter(col("query_id") =!= col("cand_id"))
-        .select(col("query_id"), col("cand_id"),
-          (graft.functions.VectorOps.dot(col("qv"), col("cv")) /
-            (col("qn") * col("cn"))).as("cosine"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= k)
-        .select("query_id", "cand_id")
-      val row = brute.join(ann, Seq("query_id", "cand_id"), "left_semi")
-        .agg(count(lit(1))).collect().head.getLong(0)
-      val total = brute.count()
-      p -> (if (total == 0) 1.0 else row.toDouble / total)
-    }
+    // ONE candidate join at full probe, shared by every probe point: a
+    // candidate survives probe p iff its cell's rank for that query
+    // (prk) is ≤ p, so the probe dimension is an exploded column and
+    // the per-(query, probe) top-k is a single window pass. The r6
+    // form looped the join+window+two-collects per probe point
+    // (~13 jobs for 6 points); this is 2 actions total.
+    val w = Window.partitionBy("query_id", "p")
+      .orderBy(col("cosine").desc, col("cand_id"))
+    val annAll = broadcast(qAll.select("query_id", "qv", "qn", "cell", "prk"))
+      .join(e.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+        col("nrm").as("cn"), col("cell")), "cell")
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("prk"),
+        (graft.functions.VectorOps.dot(col("qv"), col("cv")) /
+          (col("qn") * col("cn"))).as("cosine"))
+      .withColumn("p", explode(array(probePts.map(lit): _*)))
+      .filter(col("prk") <= col("p"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "cand_id", "p")
+    val hitByProbe = annAll.join(brute, Seq("query_id", "cand_id"), "left_semi")
+      .groupBy("p").agg(count(lit(1)).as("hits")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = brute.count()
+    val recalls = probePts.map(p =>
+      p -> (if (total == 0) 1.0 else hitByProbe.getOrElse(p, 0L).toDouble / total))
     val monotone = recalls.map(_._2).sliding(2).forall {
       case Seq(a, b) => b >= a - 1e-12
       case _ => true
