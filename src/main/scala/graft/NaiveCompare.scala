@@ -262,10 +262,11 @@ object NaiveCompare {
     // higher key in, so the TOP key owns ~3/4 of the fact table. The dim
     // is replicated wide enough that broadcast is off the table (also
     // forced off via the threshold), isolating the SHUFFLE-join skew
-    // behavior: plain sort-merge with AQE skew-join disabled piles key
-    // 0 into one task; AQE's skew split (default-on) carves it up;
-    // explicit salting pre-spreads it. The measured ranking backs the
-    // SkewTools scaladoc: AQE first, salting only where AQE can't see.
+    // behavior: plain sort-merge with AQE skew-join disabled piles the
+    // capped key 20 into one task; AQE's skew split (default-on) is
+    // supposed to carve it up; explicit salting pre-spreads it. The
+    // measured ranking backs the SkewTools scaladoc: AQE first,
+    // salting only where AQE can't see the skew.
     if (enabled("zipf_join")) {
       val nFact = 4000000L
       val fact = spark.range(nFact).select(
@@ -282,11 +283,14 @@ object NaiveCompare {
       val bcThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-      report("zipf_join", "plain_noaqe", plainJoin)
+      val z1 = report("zipf_join", "plain_noaqe", plainJoin)
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-      report("zipf_join", "plain_aqe_skewjoin", plainJoin)
-      report("zipf_join", "salted",
+      val z2 = report("zipf_join", "plain_aqe_skewjoin", plainJoin)
+      val z3 = report("zipf_join", "salted",
         graft.operators.SkewTools.saltedJoinCount(fact, dim, "key", saltBuckets = 32))
+      // same cross-check every other case carries: timing evidence is
+      // only evidence if all variants computed the same answer
+      require(z1 == z2 && z2 == z3, s"zipf_join row counts diverge: $z1/$z2/$z3")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcThresh)
       fact.unpersist(); dim.unpersist()
     }

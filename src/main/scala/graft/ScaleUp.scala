@@ -37,6 +37,11 @@ object ScaleUp {
     val inDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "target/sf1"
     val k = if (args.length > 2) args(2).toInt else 10
+    // the embedding sign patterns (2i+1 mod 101) are distinct odd
+    // residues only for i ≤ 49; at i = 50 the multiplier is 0 and the
+    // replica becomes the exact NEGATION of replica 0 — a mirror
+    // duplicate, the generator degeneracy this tool exists to avoid
+    require(k >= 1 && k <= 50, s"k must be in [1, 50], got $k")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()

@@ -116,6 +116,15 @@ object Multimodal {
 
     private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
 
+    /** Bounds-checked fourcc read — "" when the payload is too short.
+      * The ONE sniffing primitive shared by [[decode]] and
+      * [[decodeMetadata]]'s container dispatch, so every RIFF-family
+      * codec sniffs identically. */
+    def fourccAt(bytes: Array[Byte], off: Int): String =
+      if (off >= 0 && bytes.length >= off + 4)
+        new String(bytes, off, 4, "US-ASCII")
+      else ""
+
     /** A real AVI file: RIFF/AVI header tree + raw 24bpp frame chunks.
       * Odd-sized chunks get the RIFF pad byte (not counted in the
       * chunk's size field) — real parsers require the alignment, and
@@ -135,7 +144,11 @@ object Multimodal {
       bb.put(fourcc("LIST")).putInt(hdrlBody).put(fourcc("hdrl"))
       bb.put(fourcc("avih")).putInt(56)
         .putInt(usPerFrame)               // dwMicroSecPerFrame
-        .putInt(frameSize * 1000000 / usPerFrame) // dwMaxBytesPerSec
+        // Long arithmetic: frameSize × 1e6 overflows Int past 2147
+        // bytes/frame, and an external spec-conformant reader would
+        // see a negative byte rate (our own walker ignores the field,
+        // so the oracle gate could never catch it)
+        .putInt((frameSize.toLong * 1000000L / usPerFrame).toInt) // dwMaxBytesPerSec
         .putInt(0)                        // dwPaddingGranularity
         .putInt(0x10)                     // dwFlags = AVIF_HASINDEX
         .putInt(nFrames)                  // dwTotalFrames
@@ -206,8 +219,7 @@ object Multimodal {
         if (payload.length < 12) return None
         val bb = java.nio.ByteBuffer.wrap(payload)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        def fcc(off: Int): String =
-          new String(payload, off, 4, "US-ASCII")
+        def fcc(off: Int): String = fourccAt(payload, off)
         if (fcc(0) != "RIFF" || fcc(8) != "AVI ") return None
         val riffEnd = math.min(8L + bb.getInt(4), payload.length.toLong).toInt
         var avih: Option[(Int, Int, Int, Int)] = None
@@ -711,8 +723,7 @@ object Multimodal {
     media.select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         batch.map { case (docId, p) =>
-          def fcc(off: Int): String =
-            if (p.length >= off + 4) new String(p, off, 4, "US-ASCII") else ""
+          def fcc(off: Int): String = VideoCodec.fourccAt(p, off)
           val isPng = p.length >= 8 && (p(0) & 0xFF) == 0x89 && p(1) == 'P' &&
             p(2) == 'N' && p(3) == 'G'
           if (isPng) {

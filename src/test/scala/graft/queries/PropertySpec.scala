@@ -321,12 +321,21 @@ class PropertySpec extends SparkSpec {
         (avi(i.frameChunks.head._1) & 0xFF) == VideoCodec.frameByte(docId, 0, 0) &&
         (avi(i.frameChunks.head._1 + w * h * 3 - 1) & 0xFF) ==
           VideoCodec.frameByte(docId, 0, w * h * 3 - 1))
-      // EVERY truncation point decodes to None or a structurally valid
-      // prefix — never an exception (the corrupt-payload contract);
-      // sample a spread of cut points including the RIFF header itself
-      val truncOk = (0 until 12).forall { k =>
-        val cut = avi.length * k / 12
-        scala.util.Try(VideoCodec.decode(java.util.Arrays.copyOf(avi, cut))).isSuccess
+      // EVERY truncation point decodes to None, or to a structurally
+      // valid prefix whose frame chunks all lie INSIDE the truncated
+      // bytes (a cut inside the trailing idx1 leaves hdrl+movi whole
+      // and legitimately decodable). Asserting on the decoded VALUE,
+      // not exception-freedom: decode swallows exceptions internally,
+      // so a Try-based check would be vacuously true.
+      val truncOk = (0 until 12).forall { j =>
+        val cut = avi.length * j / 12
+        VideoCodec.decode(java.util.Arrays.copyOf(avi, cut)) match {
+          case None => true
+          case Some(i) =>
+            i.width == w && i.height == h && i.nFrames == nf &&
+              i.frameChunks.forall { case (off, len) =>
+                off >= 0 && len >= 0 && off + len <= cut }
+        }
       }
       roundTrip && truncOk
     })
