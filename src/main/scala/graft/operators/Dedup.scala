@@ -479,6 +479,45 @@ object Dedup {
       threshold: Double): DataFrame =
     deltaPairsFromParts(newIdx, Seq(index), threshold)
 
+  /** The hot-shingle set of a corpus at document frequency > `cap` —
+    * the BOUNDED metadata an index publisher stores alongside a
+    * capped [[shingleIndex]] (by construction at most
+    * |corpus shingles|/cap rows, broadcastable), so that every later
+    * delta batch can shingle its own side into the IDENTICAL capped
+    * space. This is the delta twin of [[jaccardPairs]]' `maxDocFreq`
+    * lever: a shingle shared by f corpus docs costs f join rows per
+    * delta occurrence — one viral boilerplate phrase at 100 TB turns
+    * the daily probe quadratic, and dropping it trades the
+    * least-discriminative evidence for a hard fan-out bound. */
+  def hotShingles(docs: DataFrame, n: Int = 3, cap: Long = 1000L): DataFrame =
+    withHashedShingles(docs, n)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select("shingle")
+
+  /** [[shingleIndex]] in a capped shingle space: the `hot` set is
+    * dropped BEFORE sizes are taken, so `n_sh` (and therefore every
+    * jaccard computed against this index) is consistent within the
+    * capped space — the same sizes-after-filter rule
+    * [[jaccardPairs]]' capped path applies. `hot` broadcasts (it is
+    * df-bounded by construction). */
+  def shingleIndexCapped(docs: DataFrame, n: Int, hot: DataFrame): DataFrame = {
+    val inv = withHashedShingles(docs, n)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .join(broadcast(hot), Seq("shingle"), "left_anti")
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    inv.join(sizes, "doc_id").select("shingle", "doc_id", "n_sh")
+  }
+
+  /** [[deltaPairs]] with the hot-shingle cap: the corpus `index` must
+    * have been built via [[shingleIndexCapped]] with the SAME `hot`
+    * set (both sides live in one capped space, or the jaccard
+    * denominators disagree). Pairs connected ONLY through dropped
+    * ubiquitous shingles are the bounded recall loss. */
+  def deltaPairsCapped(newDocs: DataFrame, index: DataFrame,
+      hot: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame =
+    deltaPairsFromIndex(shingleIndexCapped(newDocs, n, hot), index, threshold)
+
   /** [[deltaPairsFromIndex]] with the corpus index supplied in PARTS
     * (e.g. a bucketed base snapshot plus plain delta dirs). The corpus
     * join distributes over the union — each part joins the delta

@@ -185,6 +185,21 @@ object PipelineQueries {
       val corpus = all.filter(col("doc_id") % 10 =!= 0)
       Dedup.deltaPairs(delta, Dedup.shingleIndex(corpus, n = 3), n = 3, threshold = 0.5)
     }),
+    // The 100 TB shape of the same probe: both sides shingled into ONE
+    // capped space (hot set at df > 5, published alongside the index),
+    // bounding a viral shingle's delta fan-out at cap × occurrences.
+    // The oracle re-derives the capped space independently, so a hash
+    // match pins both WHICH pairs drop (boilerplate-only links) and
+    // the capped-denominator jaccard values.
+    "dd_delta_pairs_capped" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val all = docs(s, d)
+      val delta = all.filter(col("doc_id") % 10 === 0)
+      val corpus = all.filter(col("doc_id") % 10 =!= 0)
+      val hot = Dedup.hotShingles(all, n = 3, cap = 5L)
+      Dedup.deltaPairsCapped(delta,
+        Dedup.shingleIndexCapped(corpus, 3, hot), hot, n = 3, threshold = 0.5)
+    }),
     // Semantic dedup oracle-checked against the brute-force ground
     // truth: the emitted set must BE the exact ≥ 0.45 pair set.
     // Threshold 0.45 is the highest operating point with a non-trivial
@@ -666,6 +681,27 @@ object PipelineQueries {
       s"""WITH sh AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM documents),
          |sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh FROM sh),
          |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+         |FROM common JOIN sizes sa ON common.doc_a = sa.doc_id
+         |            JOIN sizes sb ON common.doc_b = sb.doc_id
+         |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+         |  AND (doc_a % 10 = 0 OR doc_b % 10 = 0)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the capped incremental path: same restriction to delta-touching
+    // pairs, but the shingle space drops df > 5 shingles FIRST and the
+    // sizes come from the capped space (the sizes-after-filter rule)
+    "dd_delta_pairs_capped" ->
+      s"""WITH sh AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM documents),
+         |inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |hot AS (SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) > 5),
+         |inv AS (SELECT doc_id, shingle FROM inv0
+         |  WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.shingle = inv0.shingle)),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM inv GROUP BY doc_id),
          |common AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
          |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

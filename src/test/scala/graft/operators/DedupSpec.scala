@@ -209,4 +209,37 @@ class DedupSpec extends SparkSpec {
     // the exact d1≡d2 pair lands in the top band (j = 1.0 → band 7)
     assert(h.exists(r => r.getAs[Int]("band") == 7 && r.getAs[Long]("n_pairs") >= 1L))
   }
+
+  test("deltaPairsCapped == capped whole-corpus jaccard restricted to delta pairs") {
+    // every doc shares the "shared boilerplate phrase one" prefix
+    // (df = 4 > cap = 3 → its shingles are hot and dropped); docs 1/2
+    // also share a rare tail, doc 10 (delta) copies doc 1 verbatim,
+    // doc 11 (delta) shares ONLY the boilerplate
+    val all = Seq(
+      (1L, "shared boilerplate phrase one alpha beta gamma delta"),
+      (2L, "shared boilerplate phrase one alpha beta gamma delta"),
+      (3L, "shared boilerplate phrase one epsilon zeta eta theta"),
+      (10L, "shared boilerplate phrase one alpha beta gamma delta"),
+      (11L, "shared boilerplate phrase one iota kappa lambda mu")
+    ).toDF("doc_id", "text")
+    val corpus = all.filter("doc_id < 10")
+    val delta = all.filter("doc_id >= 10")
+    val hot = Dedup.hotShingles(all, n = 3, cap = 3L)
+    assert(hot.count() > 0) // the boilerplate really is hot
+    val got = Dedup.deltaPairsCapped(delta,
+        Dedup.shingleIndexCapped(corpus, 3, hot), hot, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // ground truth: whole-corpus capped jaccard, restricted to pairs
+    // with at least one delta member (df for the cap computed over the
+    // same full doc set the hot list used)
+    val truth = Dedup.jaccardPairs(all, n = 3, threshold = 0.5,
+        maxDocFreq = Some(3L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .filter(p => p._1 >= 10L || p._2 >= 10L).toSet
+    assert(got == truth)
+    // the verbatim copy survives in capped space; the boilerplate-only
+    // neighbor does not (its every shared shingle was hot)
+    assert(got.exists { case (a, b, _) => (a, b) == (1L, 10L) || (a, b) == (2L, 10L) })
+    assert(!got.exists { case (a, b, _) => a == 11L || b == 11L })
+  }
 }
