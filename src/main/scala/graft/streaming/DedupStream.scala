@@ -138,14 +138,24 @@ object DedupStream {
     * cleanup() after consuming both DFs to drop the per-batch caches
     * (foreachBatch runs unboundedly; leaked cache blocks accumulate). */
   private[streaming] def decideBatch(batch: DataFrame, index: DataFrame,
-      n: Int, threshold: Double): (DataFrame, DataFrame, () => Unit) =
-    decideBatchParts(batch, Seq(index), n, threshold)
+      n: Int, threshold: Double,
+      hotShingles: Option[DataFrame] = None): (DataFrame, DataFrame, () => Unit) =
+    decideBatchParts(batch, Seq(index), n, threshold, hotShingles)
 
   /** [[decideBatch]] with the index in parts (bucketed base + deltas) —
     * the corpus join runs per part (Dedup.deltaPairsFromParts) so the
-    * base side's bucketing is not erased by a pre-join union. */
+    * base side's bucketing is not erased by a pre-join union.
+    *
+    * `hotShingles`: the optional df-capped shingle drop list
+    * ([[Dedup.hotShingles]], published once per corpus era). Every
+    * batch shingles into the capped space, and because the published
+    * index is built from THESE batch rows, base + deltas + probe all
+    * stay in one consistent capped space automatically — the streaming
+    * twin of [[Dedup.deltaPairsCapped]], bounding a viral shingle's
+    * per-batch join fan-out. */
   private[streaming] def decideBatchParts(batch: DataFrame, indexParts: Seq[DataFrame],
-      n: Int, threshold: Double): (DataFrame, DataFrame, () => Unit) = {
+      n: Int, threshold: Double,
+      hotShingles: Option[DataFrame] = None): (DataFrame, DataFrame, () => Unit) = {
     val newDocs = batch.select(col("doc_id"), col("text"))
       .filter(col("doc_id").isNotNull) // a null id can't be deduplicated or keyed
       // deterministic pick when a batch carries the same doc_id with
@@ -156,8 +166,11 @@ object DedupStream {
       .cache()
     val newIds = newDocs.select("doc_id")
     // ONE tokenize+shingle pass feeds both the pair join and the kept-
-    // shingle fold-in
-    val newIdx = Dedup.shingleIndex(newDocs, n).cache()
+    // shingle fold-in (capped-space when a hot list is published)
+    val newIdx = hotShingles
+      .map(h => Dedup.shingleIndexCapped(newDocs, n, h))
+      .getOrElse(Dedup.shingleIndex(newDocs, n))
+      .cache()
     // pairs feed aggregation below — the unsorted core skips the
     // presentation exchange deltaPairsFromParts adds for query output
     val pairs = Dedup.deltaPairsFromPartsRaw(newIdx, indexParts, threshold)
@@ -213,7 +226,8 @@ object DedupStream {
   def continuousDedup(spark: SparkSession, stagingDir: String, stateRoot: String,
       outDir: String, checkpointDir: String, n: Int = 3, threshold: Double = 0.5,
       trigger: Trigger = Trigger.AvailableNow(), compactEvery: Long = 16L,
-      numBuckets: Int = 16, readOptions: Map[String, String] = Map.empty): StreamingQuery =
+      numBuckets: Int = 16, readOptions: Map[String, String] = Map.empty,
+      hotShingles: Option[DataFrame] = None): StreamingQuery =
     readDocs(spark, stagingDir, readOptions).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -222,7 +236,7 @@ object DedupStream {
         Files.createDirectories(Paths.get(stateRoot))
         val indexParts = loadIndexParts(s, stateRoot)
         val (decisions, keptShingles, cleanup) =
-          decideBatchParts(batch, indexParts, n, threshold)
+          decideBatchParts(batch, indexParts, n, threshold, hotShingles)
         try {
           decisions.withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(outDir)

@@ -119,6 +119,40 @@ class DedupStreamSpec extends SparkSpec {
     assert(kept2 == kept1, s"replay flipped decisions: $kept2 vs $kept1")
   }
 
+  test("capped batches: boilerplate-only matches stop pairing, real dups still drop") {
+    // corpus doc 100 and batch docs share the boilerplate "pp qq rr ss
+    // tt"; batch doc 2 is a true near-copy of corpus doc 100 beyond
+    // the boilerplate, batch doc 3 shares ONLY the boilerplate
+    val corpusDocs = Seq((100L, "pp qq rr ss tt aa bb cc dd ee")).toDF("doc_id", "text")
+    val batch = Seq(
+      (2L, "pp qq rr ss tt aa bb cc dd ee"),  // verbatim copy → must drop
+      (3L, "pp qq rr ss tt vv ww xx yy zz")   // boilerplate only
+    ).toDF("doc_id", "text")
+    // hot list = the boilerplate's shingles (df > 2 across the era's docs)
+    val hot = graft.operators.Dedup.hotShingles(
+      corpusDocs.unionByName(batch), n = 3, cap = 2L)
+    assert(hot.count() > 0)
+    val cappedIdx = graft.operators.Dedup.shingleIndexCapped(corpusDocs, 3, hot)
+    // UNCAPPED, doc 3 pairs with the corpus through the shared prefix
+    // (3 shared of 13 union shingles → jaccard ≈ 0.23, so a loose 0.2
+    // threshold is where the boilerplate link fires)
+    val (dU, _, cU) = DedupStream.decideBatch(batch,
+      graft.operators.Dedup.shingleIndex(corpusDocs, 3), 3, 0.2)
+    val keptU = dU.filter($"kept").collect().map(_.getLong(0)).toSet
+    cU()
+    assert(keptU == Set.empty[Long]) // both pair with the corpus uncapped
+    // CAPPED at the same threshold: the boilerplate link is gone for
+    // doc 3; doc 2 still drops through its rare-shingle overlap
+    val (dC, shC, cC) = DedupStream.decideBatch(batch, cappedIdx, 3, 0.2,
+      hotShingles = Some(hot))
+    val keptC = dC.filter($"kept").collect().map(_.getLong(0)).toSet
+    // the published shingles are capped-space too (self-consistent index)
+    val pubHot = shC.join(hot, Seq("shingle"), "left_semi").count()
+    cC()
+    assert(keptC == Set(3L), s"capped decisions: $keptC")
+    assert(pubHot == 0L)
+  }
+
   test("compacted base is bucketed: the per-batch corpus join has no Exchange on the base side") {
     val staging = Files.createTempDirectory("graft-ddbkt-in")
     val state = Files.createTempDirectory("graft-ddbkt-state").toString
