@@ -27,6 +27,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // production dead-shuffle-file fix (see GraftSession.startupConfs);
+      // startup-only conf, so set here too — configure() can't apply it
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -54,8 +57,10 @@ object Bench {
       // region (+36 s on the 149-query total); the 300 ms settle lets
       // the concurrent phases drain outside the timed window. Ten
       // queries of dead shuffle files are a bounded few GB.
+      // SPARK_GRAFT_MANUAL_GC=0 disables the harness GC to measure the
+      // production path alone (periodicGC.interval set above)
       sinceGc += 1
-      if (sinceGc >= 10) {
+      if (sinceGc >= 10 && sys.env.getOrElse("SPARK_GRAFT_MANUAL_GC", "1") != "0") {
         sinceGc = 0
         System.gc()
         Thread.sleep(300)

@@ -55,12 +55,33 @@ object GraftSession {
     "spark.sql.files.maxPartitionBytes" -> "268435456",
     "spark.sql.parquet.aggregatePushdown" -> "true")
 
+  /** Startup-only knobs — read at SparkContext creation, so they can
+    * only take effect through [[builder]], never [[configure]] on a
+    * live session.
+    *
+    *  - `spark.cleaner.periodicGC.interval=5min`: ContextCleaner only
+    *    reaps shuffle files/broadcasts after their owning objects are
+    *    GC'd, and a comfortably-sized heap can go HOURS without a full
+    *    GC while dead shuffle files pile up on disk — measured ~70 GB
+    *    / 90% disk / 83% iowait across a 150-query sf1 run (the
+    *    round-6 bench regression's root cause; see SCALE_r07.md). The
+    *    Spark default of 30min is tuned for jobs whose shuffle-to-disk
+    *    ratio is far lower than a dedup/ANN engine's; 5min bounds the
+    *    dead-file window for long-running sessions (ApiServer,
+    *    streaming dedup) without measurable GC overhead — G1 full GCs
+    *    on an idle-ish heap cost tens of ms. Harness `System.gc()`
+    *    calls in Verify/Bench remain only to keep TIMED windows clean;
+    *    this conf is the production fix. */
+  private val startupConfs: Seq[(String, String)] = Seq(
+    "spark.cleaner.periodicGC.interval" -> "5min")
+
   /** A builder with the graft extensions and scale defaults wired;
     * callers add master/appName and `getOrCreate()`. */
   def builder(): SparkSession.Builder = {
     val b = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
-    runtimeConfs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+    (runtimeConfs ++ startupConfs).foldLeft(b) {
+      case (bb, (k, v)) => bb.config(k, v) }
   }
 
   /** Apply the runtime-settable knobs and register the `graft_*` SQL

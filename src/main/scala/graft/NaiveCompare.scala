@@ -280,19 +280,27 @@ object NaiveCompare {
       fact.cache().count(); dim.cache().count()
       def plainJoin: DataFrame =
         fact.join(dim.hint("merge"), Seq("key")).groupBy("key").agg(count(lit(1)).as("n"))
+      // Save BOTH mutated confs and restore the saved originals in a
+      // finally — a throwing variant must not leave the session with
+      // broadcast disabled or a caller's skewJoin setting clobbered.
       val bcThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-      val z1 = report("zipf_join", "plain_noaqe", plainJoin)
-      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-      val z2 = report("zipf_join", "plain_aqe_skewjoin", plainJoin)
-      val z3 = report("zipf_join", "salted",
-        graft.operators.SkewTools.saltedJoinCount(fact, dim, "key", saltBuckets = 32))
-      // same cross-check every other case carries: timing evidence is
-      // only evidence if all variants computed the same answer
-      require(z1 == z2 && z2 == z3, s"zipf_join row counts diverge: $z1/$z2/$z3")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcThresh)
-      fact.unpersist(); dim.unpersist()
+      val skewJoin = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        val z1 = report("zipf_join", "plain_noaqe", plainJoin)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        val z2 = report("zipf_join", "plain_aqe_skewjoin", plainJoin)
+        val z3 = report("zipf_join", "salted",
+          graft.operators.SkewTools.saltedJoinCount(fact, dim, "key", saltBuckets = 32))
+        // same cross-check every other case carries: timing evidence is
+        // only evidence if all variants computed the same answer
+        require(z1 == z2 && z2 == z3, s"zipf_join row counts diverge: $z1/$z2/$z3")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcThresh)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewJoin)
+        fact.unpersist(); dim.unpersist()
+      }
     }
     spark.stop()
   }

@@ -87,7 +87,15 @@ object Dedup {
     * inverted index IS the dominant shuffle, so this is the cheapest
     * multiplier in the file. Set identity is preserved modulo 64-bit
     * collisions (~n²/2⁶⁵ within a doc — immaterial; the string path
-    * remains for minhash, whose md5 signatures the oracle mirrors). */
+    * remains for minhash, whose md5 signatures the oracle mirrors).
+    * One extra collision sensitivity in the CAPPED path: [[hotShingles]]
+    * counts document frequency in this hashed space, so a cross-corpus
+    * collision merges two shingles' df counts and could flip cap
+    * membership at the exact `df == cap` boundary — visible to a
+    * string-space oracle even though pair results elsewhere are
+    * collision-tolerant. Probability is corpus-pairs/2⁶⁵ (immaterial
+    * below ~10¹² distinct shingles); derive the hot list from string
+    * shingles before hashing if exact boundary parity is required. */
   def withHashedShingles(docs: DataFrame, n: Int): DataFrame =
     spread(docs).withColumn("toks", split(col("text"), " "))
       .withColumn("shingles", array_distinct(expr(

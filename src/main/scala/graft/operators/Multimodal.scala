@@ -236,12 +236,15 @@ object Multimodal {
               var p = pos + 12
               val end = pos + 8 + size
               while (p + 8 <= end) {
-                if (fcc(p) == "avih" && bb.getInt(p + 4) >= 40) {
+                val s = bb.getInt(p + 4)
+                // Same overrun contract as the movi walk: a declared
+                // size that escapes the enclosing LIST is a structural
+                // violation, not a skippable chunk.
+                if (s < 0 || p + 8 + s > end) return None
+                if (fcc(p) == "avih" && s >= 40 && p + 48 <= end) {
                   avih = Some((bb.getInt(p + 40), bb.getInt(p + 44),
                     bb.getInt(p + 24), bb.getInt(p + 8)))
                 }
-                val s = bb.getInt(p + 4)
-                if (s < 0) return None
                 p += 8 + s + (s & 1)
               }
             } else if (listType == "movi") {

@@ -80,6 +80,10 @@ object ExtQueries {
     // Day-of-week × hour-of-day load matrix (≤ 168 keys, one
     // map-combined aggregate).
     "ev_hourly_heatmap" -> ((s, d) => Events.hourlyHeatmap(events(s, d))),
+    // The heatmap's production twin: HLL per-cell distinct users,
+    // contract-checked within 15% of exact (no user-granular shuffle).
+    "ev_hourly_heatmap_approx" -> ((s, d) =>
+      Events.hourlyHeatmapApprox(events(s, d), rsd = 0.05, maxRelErr = 0.15)),
     // Daily volume anomalies: per-type z-scores against the trailing
     // 7-day window (sqrt is IEEE-exact, so z is oracle-safe).
     "ev_daily_anomaly" -> ((s, d) => Events.dailyAnomaly(events(s, d))),
@@ -406,6 +410,16 @@ object ExtQueries {
         |  CAST(hour(ts) AS INT) AS hod,
         |  COUNT(*) AS n_events,
         |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin,
+    // contract row: oracle emits the exact count + literal TRUE — the
+    // hash matches iff the HLL estimate held its 15% bound per cell
+    "ev_hourly_heatmap_approx" ->
+      """SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+        |  CAST(hour(ts) AS INT) AS hod,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  TRUE AS within_bound,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin,
     "ev_activity_hist" ->

@@ -73,6 +73,41 @@ object DedupStream {
   private[streaming] def compactedThrough(stateRoot: String): Long =
     DeltaDirs.watermark(SnapshotDir.loadMeta(s"$stateRoot/base"))
 
+  /** Deterministic fingerprint of the capped shingle space: the
+    * hot-shingle drop list reduced to `count:bitxor` (order-free, so
+    * any partitioning of the same set agrees), or `"uncapped"` when no
+    * cap is in force. Published in the base snapshot meta at every
+    * compaction and asserted at stream start — a base built in one
+    * shingle space must never be probed or extended in another (mixed
+    * capped/uncapped `n_sh` silently skews every jaccard denominator). */
+  private[streaming] def capFingerprint(hot: Option[DataFrame]): String =
+    hot match {
+      case None => "uncapped"
+      case Some(h) =>
+        val row = h.agg(count(lit(1)).as("n"),
+          expr("bit_xor(shingle)").as("x")).head()
+        val n = row.getLong(0)
+        val x = if (row.isNullAt(1)) 0L else row.getLong(1)
+        s"$n:$x"
+    }
+
+  /** Assert the persisted base (if any) was built in the SAME capped
+    * shingle space as the cap now being supplied. A base with no
+    * marker is legacy-uncapped: compatible only with `hot = None`. */
+  private[streaming] def requireCapCompatible(stateRoot: String,
+      fingerprint: String): Unit =
+    SnapshotDir.currentDir(s"$stateRoot/base")
+      .filter(d => Files.exists(Paths.get(d)))
+      .foreach { d =>
+        val stored = SnapshotDir.metaAt(d).getOrElse("cap", "uncapped")
+        if (stored != fingerprint)
+          throw new IllegalStateException(
+            s"shingle-space mismatch at $stateRoot: base snapshot cap marker " +
+              s"'$stored' != supplied '$fingerprint' — a base built in one " +
+              "capped space cannot be probed/extended in another; rebuild " +
+              "the index or supply the matching hotShingles set")
+      }
+
   // delta listing (lookalike skipping, overflow guards) is the shared
   // [[graft.fs.DeltaDirs]] protocol, also used by the persisted IVF index
 
@@ -227,7 +262,11 @@ object DedupStream {
       outDir: String, checkpointDir: String, n: Int = 3, threshold: Double = 0.5,
       trigger: Trigger = Trigger.AvailableNow(), compactEvery: Long = 16L,
       numBuckets: Int = 16, readOptions: Map[String, String] = Map.empty,
-      hotShingles: Option[DataFrame] = None): StreamingQuery =
+      hotShingles: Option[DataFrame] = None): StreamingQuery = {
+    // one fingerprint per stream start: asserts the existing base (if
+    // any) matches the supplied cap, and stamps every compaction below
+    val capMark = capFingerprint(hotShingles)
+    requireCapCompatible(stateRoot, capMark)
     readDocs(spark, stagingDir, readOptions).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -252,7 +291,8 @@ object DedupStream {
             SnapshotDir.publishBucketed(
               loadIndex(s, stateRoot).dropDuplicates("shingle", "doc_id"),
               s"$stateRoot/base", bucketCol = "shingle", numBuckets = numBuckets,
-              meta = Map("compacted_through" -> batchId.toString))
+              meta = Map("compacted_through" -> batchId.toString,
+                "cap" -> capMark))
             // best-effort cleanup: the new watermark already retires
             // these deltas, so even a failed LISTING only costs disk
             val retired =
@@ -269,4 +309,5 @@ object DedupStream {
         } finally cleanup()
       }
       .start()
+  }
 }

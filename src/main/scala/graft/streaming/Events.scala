@@ -771,6 +771,29 @@ object Events {
         sum(valueDec).cast("double").as("total_value"))
       .orderBy("dow", "hod")
 
+  /** [[hourlyHeatmap]]'s PRODUCTION twin: distinct users per cell via
+    * `approx_count_distinct`, CONTRACT-checked against the exact count
+    * ([[approxUsersDaily]] pattern — the oracle emits the exact value
+    * and literal TRUE, so the row hash-matches iff the sketch held its
+    * `maxRelErr` bound). At scale this is the aggregate to run: the
+    * HLL sketch is fixed-size mergeable state that partial-combines
+    * map-side onto ≤ 168 keys — no user-granular shuffle at all —
+    * where the exact `countDistinct` expands every row to a
+    * (dow, hod, user_id) key first. The exact aggregate here exists
+    * only to power the contract. */
+  def hourlyHeatmapApprox(events: DataFrame, rsd: Double = 0.05,
+      maxRelErr: Double = 0.15): DataFrame =
+    events.groupBy(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        approx_count_distinct(col("user_id"), rsd).as("approx"),
+        sum(valueDec).cast("double").as("total_value"))
+      .select(col("dow"), col("hod"), col("n_events"), col("n_users"),
+        (abs(col("approx") - col("n_users")).cast("double") <=
+          lit(maxRelErr) * col("n_users").cast("double")).as("within_bound"),
+        col("total_value"))
+      .orderBy("dow", "hod")
+
   /** Events-per-user POWER-LAW histogram: users bucketed by
     * ⌊log₂(n_events)⌋ + 1 (the binary-string length: n = 1 → bucket
     * 1, 2-3 → 2, 4-7 → 3, …) — the one-glance answer to "is this

@@ -61,6 +61,28 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.VideoCodec.decode(Array.emptyByteArray).isEmpty)
   }
 
+  test("VideoCodec: hdrl sub-chunk overrunning its LIST is rejected, not read past") {
+    // malformed-but-in-bounds: the avih chunk's declared size escapes
+    // the enclosing LIST(hdrl) while staying inside the RIFF — the
+    // strict-parser contract demands None, not garbage header fields
+    val avi = Multimodal.VideoCodec.encodeAvi(9L, 10, 8, 4, 50000)
+    def findFourcc(tag: String): Int = {
+      val t = tag.getBytes("US-ASCII")
+      (0 until avi.length - 4).find(i =>
+        avi(i) == t(0) && avi(i + 1) == t(1) &&
+          avi(i + 2) == t(2) && avi(i + 3) == t(3)).get
+    }
+    val avihOff = findFourcc("avih")
+    val corrupt = avi.clone()
+    // declared size = whole remaining file (≫ the hdrl LIST end)
+    val huge = avi.length - avihOff - 8
+    java.nio.ByteBuffer.wrap(corrupt)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(avihOff + 4, huge)
+    assert(Multimodal.VideoCodec.decode(corrupt).isEmpty)
+    // the honest encode still decodes (the guard is not over-strict)
+    assert(Multimodal.VideoCodec.decode(avi).isDefined)
+  }
+
   test("decodeMetadata: sniffs all three REAL containers from bytes alone") {
     val m = Multimodal.decodeMetadata(spark, Multimodal.codecTable(spark, docs))
       .collect().map(r => r.doc_id -> r).toMap

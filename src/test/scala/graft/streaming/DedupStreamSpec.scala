@@ -189,6 +189,42 @@ class DedupStreamSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("cap marker: a base built in one shingle space refuses a mismatched cap") {
+    val staging = Files.createTempDirectory("graft-ddcap-in")
+    val state = Files.createTempDirectory("graft-ddcap-state").toString
+    val out = Files.createTempDirectory("graft-ddcap-out").toString
+    val ckpt = Files.createTempDirectory("graft-ddcap-ckpt").toString
+    // era 1: an UNCAPPED stream compacts a base (compactEvery=1)
+    Seq((1L, "aa bb cc dd ee"), (2L, "zz yy xx ww vv"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(staging.toString)
+    DedupStream.continuousDedup(spark, staging.toString, state, out, ckpt,
+      compactEvery = 1L, trigger = Trigger.AvailableNow()).awaitTermination(120000)
+    // the compacted base carries the uncapped marker
+    import graft.fs.SnapshotDir
+    assert(SnapshotDir.loadMeta(s"$state/base").get("cap").contains("uncapped"))
+
+    // era 2: resuming WITH a cap against the uncapped base must fail
+    // loudly — mixed capped/uncapped n_sh skews every jaccard
+    val hot = Seq(42L).toDF("shingle")
+    val e = intercept[IllegalStateException] {
+      DedupStream.continuousDedup(spark, staging.toString, state, out,
+        Files.createTempDirectory("graft-ddcap-ckpt2").toString,
+        compactEvery = 1L, trigger = Trigger.AvailableNow(),
+        hotShingles = Some(hot))
+    }
+    assert(e.getMessage.contains("shingle-space mismatch"))
+    // resuming uncapped (the matching space) still works
+    DedupStream.continuousDedup(spark, staging.toString, state, out,
+      Files.createTempDirectory("graft-ddcap-ckpt3").toString,
+      compactEvery = 1L, trigger = Trigger.AvailableNow())
+      .awaitTermination(120000)
+    // fingerprint is deterministic and order-free over the set
+    val fpA = DedupStream.capFingerprint(Some(Seq(7L, 9L, 11L).toDF("shingle")))
+    val fpB = DedupStream.capFingerprint(
+      Some(Seq(11L, 7L, 9L).toDF("shingle").repartition(3)))
+    assert(fpA == fpB && fpA != "uncapped")
+  }
+
   test("null doc_id rows are excluded from decisions") {
     val docs = Seq((Some(7L), "aa bb cc"), (None, "dd ee ff"))
       .toDF("doc_id", "text")
