@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stage-cost attribution for the sf1 constant-factor tail: times the
+  * PREFIXES of each slow text operator's plan (tokenize+explode only →
+  * + first aggregate → full operator), so "fix what's fixable, name
+  * the floor" decisions rest on measured stage costs, not totals.
+  * Each prefix is forced with `queryExecution.toRdd.count()` (the
+  * Bench rule — a bare count() lets Catalyst collapse the plan).
+  *
+  * Prints one JSON line per (operator, stage, sec). min-of-2 like
+  * Bench; caches dropped between stages so no prefix is timed warm.
+  *
+  * Usage: runMain graft.StageProbe [sfDir]
+  */
+object StageProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "target/sf1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.configure(spark)
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    docs.queryExecution.toRdd.count() // warm the scan/page cache once
+
+    def time(op: String, stage: String)(mk: => DataFrame): Unit = {
+      var best = Double.MaxValue
+      var rows = 0L
+      (1 to 2).foreach { _ =>
+        graft.operators.OpCaches.releaseAll()
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        rows = mk.queryExecution.toRdd.count()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      println(f"""{"op":"$op","stage":"$stage","sec":$best%.3f,"rows":$rows}""")
+    }
+
+    // ---- ta_bigram_rarity prefixes (native positional bigram hashes,
+    // matching the operator since the HashedShinglesExpr switch)
+    def bigramPostings0 = graft.operators.Dedup.spread(docs)
+      .select(col("doc_id"), explode(graft.operators.Dedup.hashedNgrams(
+        col("text"), 2, distinct = false)).as("term"))
+    time("ta_bigram_rarity", "explode_only")(bigramPostings0)
+    def bigramTf = bigramPostings0.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    time("ta_bigram_rarity", "tf_agg")(bigramTf)
+    time("ta_bigram_rarity", "df_agg")(
+      bigramTf.groupBy("term").agg(count(lit(1)).as("df")))
+    time("ta_bigram_rarity", "full")(
+      graft.operators.TextAnalysis.bigramRarity(docs))
+
+    // ---- dd_shingle_df_hist prefixes
+    def shingleInv = graft.operators.Dedup.withHashedShingles(docs, 3)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    time("dd_shingle_df_hist", "explode_only")(shingleInv)
+    time("dd_shingle_df_hist", "df_agg")(
+      shingleInv.groupBy("shingle").agg(count(lit(1)).as("df")))
+    time("dd_shingle_df_hist", "full")(
+      graft.operators.Dedup.shingleDfHistogram(docs, 3))
+
+    // ---- dd_dup_spans prefixes
+    def posGrams = graft.operators.Dedup.spread(docs)
+      .select(col("doc_id"), posexplode(graft.operators.Dedup.hashedNgrams(
+        col("text"), 3, distinct = false)).as(Seq("pos", "shingle")))
+    time("dd_dup_spans", "posexplode_only")(posGrams)
+    time("dd_dup_spans", "shared_agg")(
+      posGrams.groupBy("shingle")
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .filter(col("mn") =!= col("mx")))
+    time("dd_dup_spans", "full")(graft.operators.Dedup.dupSpans(docs, 3))
+
+    // ---- ta_tfidf_top prefixes
+    def tokPostings = graft.operators.Dedup.spread(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    time("ta_tfidf_top", "tf_agg")(tokPostings)
+    def tfidfScored = {
+      val postings = tokPostings
+      val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      postings.join(dfs, Seq("term")).crossJoin(broadcast(nDocs))
+        .withColumn("score", col("tf").cast("double") *
+          ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))))
+    }
+    time("ta_tfidf_top", "score_join")(tfidfScored)
+    time("ta_tfidf_top", "window_topk")({
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tfidfScored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+    })
+    time("ta_tfidf_top", "full")(
+      graft.operators.TextAnalysis.tfidfTopK(docs, 5))
+
+    // ---- dd_delta_pairs_capped prefixes (the one-scan form)
+    def inv0 = graft.operators.Dedup.withHashedShingles(docs, 3)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    time("dd_delta_pairs_capped", "explode_only")(inv0)
+    time("dd_delta_pairs_capped", "hot_agg")(
+      inv0.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") > 5).select("shingle"))
+    time("dd_delta_pairs_capped", "full")(
+      graft.operators.Dedup.deltaPairsCappedOneScan(docs,
+        isDelta = col("doc_id") % 10 === 0, n = 3, cap = 5L, threshold = 0.5))
+
+    spark.stop()
+  }
+}

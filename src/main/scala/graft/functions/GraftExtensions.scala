@@ -43,5 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_winnow_min"),
       info("graft_winnow_min", "graft_winnow_min(text, k) - min md5 over all char k-grams"),
       (args: Seq[Expression]) => WinnowMinExpr(args(0), intArg(args(1), "k"))))
+    ext.injectFunction((FunctionIdentifier("graft_hashed_shingles"),
+      info("graft_hashed_shingles",
+        "graft_hashed_shingles(text, n) - distinct xxhash64 word n-grams as array<bigint>"),
+      (args: Seq[Expression]) => HashedShinglesExpr(args(0), intArg(args(1), "n"))))
   }
 }

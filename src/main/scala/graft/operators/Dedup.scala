@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Document-deduplication operators for a large-scale training-data
@@ -95,12 +95,27 @@ object Dedup {
     * string-space oracle even though pair results elsewhere are
     * collision-tolerant. Probability is corpus-pairs/2⁶⁵ (immaterial
     * below ~10¹² distinct shingles); derive the hot list from string
-    * shingles before hashing if exact boundary parity is required. */
+    * shingles before hashing if exact boundary parity is required.
+    *
+    * Implementation: the native [[graft.functions.HashedShinglesExpr]]
+    * — value-identical to the HOF chain
+    * `array_distinct(transform(sequence(..), i ->
+    * xxhash64(array_join(slice(toks, i, n), ' '))))` but one
+    * allocation-free pass over the raw bytes (HOF lambdas are
+    * interpreted per element; the chain measured ~2.6× slower at sf1,
+    * and shingling is the CPU-dominant stage of every inverted-index
+    * operator). */
   def withHashedShingles(docs: DataFrame, n: Int): DataFrame =
-    spread(docs).withColumn("toks", split(col("text"), " "))
-      .withColumn("shingles", array_distinct(expr(
-        s"transform(sequence(1, greatest(size(toks) - ${n - 1}, 1)), " +
-          s"i -> xxhash64(array_join(slice(toks, i, $n), ' ')))")))
+    spread(docs).withColumn("shingles", hashedNgrams(col("text"), n))
+
+  /** [[graft.functions.HashedShinglesExpr]] as a Column: the distinct
+    * (set) form when `distinct`, the positional/tf form otherwise —
+    * shared by every operator that shingles into hashed space. */
+  private[graft] def hashedNgrams(text: Column, n: Int,
+      distinct: Boolean = true): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.HashedShinglesExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(text), n, distinct))
 
   /** Exact dedup: one group per distinct content hash with the kept
     * representative (min doc_id) and the copy count. */
@@ -288,14 +303,19 @@ object Dedup {
     * FLAGGED positions enter it. */
   def dupSpans(docs: DataFrame, n: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val gramsExpr = expr(
-      s"transform(sequence(1, greatest(size(split(text, ' ')) - ${n - 1}, 1)), " +
-        s"i -> xxhash64(array_join(slice(split(text, ' '), i, $n), ' ')))")
+    // positional (non-distinct) native n-gram hashes: posexplode gives
+    // (pos, gram) identical to the HOF transform array, minus its
+    // per-element interpreted lambda cost
     val posGrams = OpCaches.track(spread(docs).select(col("doc_id"),
-      posexplode(gramsExpr).as(Seq("pos", "shingle"))))
-    val shared = posGrams.select("doc_id", "shingle").distinct()
-      .groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2L).select("shingle")
+      posexplode(hashedNgrams(col("text"), n, distinct = false))
+        .as(Seq("pos", "shingle"))))
+    // "≥2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id): ONE map-side-
+    // combining aggregate on shingle, instead of a (doc_id, shingle)
+    // distinct shuffle FOLLOWED by a df shuffle — the distinct was the
+    // single biggest exchange in this operator at sf1
+    val shared = posGrams.groupBy("shingle")
+      .agg(min(col("doc_id")).as("d_min"), max(col("doc_id")).as("d_max"))
+      .filter(col("d_min") =!= col("d_max")).select("shingle")
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val runs = posGrams.join(shared, Seq("shingle"), "left_semi")
       .withColumn("grp", col("pos") - row_number().over(w))
@@ -525,6 +545,38 @@ object Dedup {
   def deltaPairsCapped(newDocs: DataFrame, index: DataFrame,
       hot: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame =
     deltaPairsFromIndex(shingleIndexCapped(newDocs, n, hot), index, threshold)
+
+  /** The capped incremental probe BOOTSTRAPPED in one corpus scan —
+    * for the cold-start job that has no published index yet and must
+    * derive the hot set, the capped corpus index, AND the delta probe
+    * from the same raw documents. Composing [[hotShingles]] +
+    * [[shingleIndexCapped]]×2 + [[deltaPairsCapped]] tokenizes and
+    * shingles the corpus ~2.2× (once for the df pass, once per side's
+    * index) — and shingling is the CPU-dominant stage. Here the
+    * exploded (doc_id, shingle) set is computed ONCE and cached; the
+    * hot set, the capped sizes, and both probe sides all derive from
+    * that one pass, exactly mirroring the oracle's CTE structure.
+    * Steady-state production should still publish the capped index +
+    * hot list once per corpus era ([[DedupStream]] does); this is the
+    * bootstrap/backfill shape, not a replacement for persistence.
+    * Results are identical to the composed form (same capped space,
+    * same sizes-after-filter rule). */
+  def deltaPairsCappedOneScan(all: DataFrame, isDelta: Column, n: Int = 3,
+      cap: Long = 1000L, threshold: Double = 0.5): DataFrame = {
+    val inv0 = OpCaches.track(withHashedShingles(all, n)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle")))
+    val hot = inv0.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select("shingle")
+    // hot is df-bounded (≤ |shingles|/cap rows) → broadcast anti-join
+    val inv = inv0.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // the capped index feeds three plan branches (corpus side + the
+    // delta side's two uses in the probe) — cache it so the sizes
+    // shuffle and the anti-join run once
+    val idx = OpCaches.track(
+      inv.join(sizes, "doc_id").select("shingle", "doc_id", "n_sh"))
+    deltaPairsFromIndex(idx.filter(isDelta), idx.filter(!isDelta), threshold)
+  }
 
   /** [[deltaPairsFromIndex]] with the corpus index supplied in PARTS
     * (e.g. a bucketed base snapshot plus plain delta dirs). The corpus

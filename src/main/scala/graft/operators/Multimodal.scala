@@ -453,8 +453,12 @@ object Multimodal {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (expr("bit_count(a.ahash_hi ^ b.ahash_hi)") +
           expr("bit_count(a.ahash_lo ^ b.ahash_lo)")).cast("int").as("hamming"))
-      .distinct()
+      // hamming filter BEFORE the cross-chunk dedup: bit_count is a
+      // per-row codegen'd op, the distinct is a shuffle — discarding
+      // far pairs first shrinks the exchange to the (rare) near pairs
+      // instead of deduping every chunk collision
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 

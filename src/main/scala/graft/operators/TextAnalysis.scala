@@ -428,12 +428,21 @@ object TextAnalysis {
           .as("mean_df"))
       .orderBy("doc_id")
 
-  /** The shared rarity skeleton: explode `termCol` → (doc, term) tf
-    * aggregate → df aggregate of the postings → AQE-decided join back
-    * on term. Both rarity operators aggregate this frame per doc. */
-  private def rarityPostings(docs: DataFrame, termCol: Column): DataFrame = {
-    val postings = graft.operators.Dedup.spread(docs)
-      .select(col("doc_id"), explode(termCol).as("term"))
+  /** The shared rarity skeleton over a string term column (the
+    * unigram caller, whose terms stay strings). */
+  private def rarityPostings(docs: DataFrame, termCol: Column): DataFrame =
+    raritySkeleton(graft.operators.Dedup.spread(docs)
+      .select(col("doc_id"), explode(termCol).as("term")))
+
+  /** explode → (doc, term) tf aggregate → df aggregate of the
+    * postings → AQE-decided join back on term. Both rarity operators
+    * aggregate this frame per doc. The bigram caller feeds it hashed
+    * terms (neither operator ever EMITS a term — only per-doc integer
+    * stats — so 8-byte longs replace strings in every shuffle; same
+    * collision caveat as
+    * [[graft.operators.Dedup.withHashedShingles]]). */
+  private def raritySkeleton(exploded: DataFrame): DataFrame = {
+    val postings = exploded
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
     postings.join(dfs, Seq("term"))
@@ -456,14 +465,15 @@ object TextAnalysis {
     * postings (skew-safe for viral bigrams), AQE-decided join back on
     * the bigram key, final per-doc aggregate. The bigram vocabulary is
     * larger than the unigram one, which RAISES the value of partial
-    * aggregation and changes nothing structurally; the hashed-shingle
-    * lever ([[graft.operators.Dedup.withHashedShingles]]) applies
-    * identically if the string keys ever dominate shuffle bytes. */
-  def bigramRarity(docs: DataFrame): DataFrame = {
-    val bigrams = expr(
-      "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)), " +
-        "i -> array_join(slice(split(text, ' '), i, 2), ' '))")
-    rarityPostings(docs, bigrams)
+    * aggregation and changes nothing structurally. The bigrams are
+    * hashed to longs by the native positional
+    * [[graft.functions.HashedShinglesExpr]] BEFORE the explode (no
+    * term ever leaves the operator, and bigram strings were the
+    * dominant shuffle bytes at sf1). */
+  def bigramRarity(docs: DataFrame): DataFrame =
+    raritySkeleton(graft.operators.Dedup.spread(docs)
+      .select(col("doc_id"), explode(graft.operators.Dedup.hashedNgrams(
+        col("text"), 2, distinct = false)).as("term")))
       .groupBy("doc_id").agg(
         sum(col("tf")).as("n_bigrams"),
         sum(col("tf") * col("df")).as("sum_df"),
@@ -475,7 +485,6 @@ object TextAnalysis {
         (col("n_uniq").cast("double") / col("n_bigrams").cast("double"))
           .as("uniq_frac"))
       .orderBy("doc_id")
-  }
 
   /** Per-document top-k TF-IDF keyword extraction. idf is the
     * RATIONAL Robertson surrogate (N − df + 0.5)/(df + 0.5) — the
@@ -496,12 +505,20 @@ object TextAnalysis {
     * pushdown prunes to k rows per doc before the final sort). */
   def tfidfTopK(docs: DataFrame, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val postings = graft.operators.Dedup.spread(docs)
+    // postings feed two branches (the score join and the df
+    // aggregate); cached so the tokenize+explode+tf pass runs once
+    // even when AQE re-planning defeats ReuseExchange. The df
+    // aggregate and its join back run on the xxhash64 of the term
+    // (8-byte keys; the term string itself only rides the postings
+    // side because it is in the OUTPUT — same collision caveat as
+    // withHashedShingles, vocab²/2⁶⁵).
+    val postings = graft.operators.OpCaches.track(graft.operators.Dedup.spread(docs)
       .select(col("doc_id"), explode(toks).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .groupBy(col("doc_id"), xxhash64(col("term")).as("term_h"))
+      .agg(max(col("term")).as("term"), count(lit(1)).as("tf")))
+    val dfs = postings.groupBy("term_h").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = postings.join(dfs, Seq("term"))
+    val scored = postings.join(dfs, Seq("term_h"))
       .crossJoin(broadcast(nDocs))
       .withColumn("score", col("tf").cast("double") *
         ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /

@@ -193,12 +193,12 @@ object PipelineQueries {
     // the capped-denominator jaccard values.
     "dd_delta_pairs_capped" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      val all = docs(s, d)
-      val delta = all.filter(col("doc_id") % 10 === 0)
-      val corpus = all.filter(col("doc_id") % 10 =!= 0)
-      val hot = Dedup.hotShingles(all, n = 3, cap = 5L)
-      Dedup.deltaPairsCapped(delta,
-        Dedup.shingleIndexCapped(corpus, 3, hot), hot, n = 3, threshold = 0.5)
+      // one-scan bootstrap: the hot set, capped index, and probe all
+      // derive from a single cached shingle pass (the composed
+      // hotShingles + shingleIndexCapped form re-shingled the corpus
+      // ~2.2× and was the slowest dd row at sf1)
+      Dedup.deltaPairsCappedOneScan(docs(s, d),
+        isDelta = col("doc_id") % 10 === 0, n = 3, cap = 5L, threshold = 0.5)
     }),
     // Semantic dedup oracle-checked against the brute-force ground
     // truth: the emitted set must BE the exact ≥ 0.45 pair set.

@@ -31,5 +31,7 @@ object GraftSqlBridge {
       exprs => graft.functions.MinHashesExpr(exprs(0), lit(exprs(1), "k")), "scala_udf")
     reg.createOrReplaceTempFunction("graft_winnow_min",
       exprs => graft.functions.WinnowMinExpr(exprs(0), lit(exprs(1), "k")), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_hashed_shingles",
+      exprs => graft.functions.HashedShinglesExpr(exprs(0), lit(exprs(1), "n")), "scala_udf")
   }
 }

@@ -129,4 +129,49 @@ class NativeExprSpec extends SparkSpec {
     val native = colOf(WinnowMinExpr(GraftSqlBridge.expression(col("text")), 5))
     assert(df.select((hof === native).as("eq")).collect().forall(_.getBoolean(0)))
   }
+
+  test("HashedShinglesExpr == split/transform/array_join/xxhash64/array_distinct chain") {
+    // adversarial token shapes: runs of spaces (empty tokens), leading/
+    // trailing spaces, < n tokens, exactly n, repeated grams (distinct
+    // path), unicode multibyte, empty string
+    val texts = Seq(
+      "aa bb cc dd ee",
+      "aa  bb   cc", // empty tokens from space runs
+      " leading and trailing ",
+      "short",
+      "one two three",
+      "dup dup dup dup dup dup", // repeated grams → distinct collapses
+      "ééé ünï ços デダップ 漢字 mixed",
+      "",
+      "a b", "tab\tis one token here ok")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val hof = expr(
+        s"array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - ${n - 1}, 1)), " +
+          s"i -> xxhash64(array_join(slice(split(text, ' '), i, $n), ' '))))")
+      val native = colOf(HashedShinglesExpr(GraftSqlBridge.expression(col("text")), n))
+      val rows = df.select(hof.as("h"), native.as("nv")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"n=$n mismatch: hof=${r.getSeq[Long](0)} native=${r.getSeq[Long](1)}")
+      }
+    }
+    // null text → null array, matching the HOF's null propagation
+    val nl = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+      .select(colOf(HashedShinglesExpr(GraftSqlBridge.expression(col("text")), 3)))
+      .collect()
+    assert(nl.head.isNullAt(0))
+    // positional (distinct=false) form == the raw transform array
+    // (repeated grams KEPT, one hash per position)
+    for (n <- Seq(1, 3)) {
+      val hofAll = expr(
+        s"transform(sequence(1, greatest(size(split(text, ' ')) - ${n - 1}, 1)), " +
+          s"i -> xxhash64(array_join(slice(split(text, ' '), i, $n), ' ')))")
+      val nativeAll = colOf(HashedShinglesExpr(
+        GraftSqlBridge.expression(col("text")), n, distinct = false))
+      val rows = df.select(hofAll.as("h"), nativeAll.as("nv")).collect()
+      rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"positional n=$n mismatch"))
+    }
+  }
 }
