@@ -28,8 +28,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // production dead-shuffle-file fix (see GraftSession.startupConfs);
-      // startup-only conf, so set here too — configure() can't apply it
-      .config("spark.cleaner.periodicGC.interval", "5min")
+      // startup-only conf, so set here too — configure() can't apply it.
+      // Overridable so the periodic-cleaner's mid-query GC + bulk file
+      // deletion can be isolated from the harness's untimed GC slots
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "5min"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Decade sweep over MATERIALIZED scale-up directories (sf1 → sf10 =
+  * 10× → 100× the driver's largest shipped SF): times the most
+  * scale-sensitive operators on each dir and prints one JSON line per
+  * (op, dir), so each new data decade is probed for the failure class
+  * the previous one surfaced (sf1 caught the dead-shuffle-file pileup
+  * and the LSH collision-domain blowup — both invisible at sf0.1).
+  *
+  * Unlike [[ScaleProbe]] (in-memory synthetic multiples, 1×–8× curve
+  * shape), this reads the [[ScaleUp]] parquet output, so the parquet
+  * scan path, partition sizing, and AQE stage statistics are the real
+  * ones for that data size.
+  *
+  * Op selection = the round-7 verdict's "most scale-sensitive" list:
+  * the capped dedup family (one-scan bootstrap AND the
+  * persisted-index probe shape), the LSH embedding join at its
+  * cost-guard boundary, perceptual-hash pairs, near-dup clustering
+  * end-to-end, the streaming-dedup batch core, plus the inverted-index
+  * flagships whose curves must stay linear.
+  *
+  * Usage: runMain graft.DecadeProbe <dir1> [dir2 ...]
+  */
+object DecadeProbe {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq else Seq("target/sf1", "target/sf10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = GraftSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // warm-up
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    dirs.foreach { dir =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text", "source")
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val nDocs = docs.count()
+
+      def run(name: String)(df: => DataFrame): Unit = {
+        graft.operators.OpCaches.releaseAll()
+        spark.catalog.clearCache()
+        System.gc() // untimed: keep prior ops' dead shuffles out of the window
+        val t0 = System.nanoTime()
+        val rows =
+          try df.queryExecution.toRdd.count()
+          catch { case e: Throwable =>
+            println(s"""{"op":"$name","dir":"$dir","docs":$nDocs,""" +
+              s""""sec":-1,"rows":-1,"err":${Jsons.quote(
+                Option(e.getMessage).getOrElse(e.getClass.getName).take(300))}}""")
+            return
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"op":"$name","dir":"$dir","docs":$nDocs,"sec":$sec%.3f,"rows":$rows}""")
+      }
+
+      import graft.operators._
+      // --- capped dedup family ---
+      run("dd_one_scan_capped")(Dedup.deltaPairsCappedOneScan(
+        docs, isDelta = col("doc_id") % 10 === 0, n = 3, cap = 5L, threshold = 0.5))
+      // the steady-state (persisted) shape: hot set + capped corpus
+      // index built once, then the delta probes it — timed END-TO-END
+      // here (publish cost included) so the two shapes are comparable
+      run("dd_capped_persisted") {
+        val delta = docs.filter(col("doc_id") % 10 === 0)
+        val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+        val hot = Dedup.hotShingles(docs, n = 3, cap = 5L)
+        Dedup.deltaPairsCapped(delta,
+          Dedup.shingleIndexCapped(corpus, 3, hot), hot, n = 3, threshold = 0.5)
+      }
+      run("dd_hot_shingles")(Dedup.hotShingles(docs, n = 3, cap = 5L))
+      // --- inverted-index flagships (linear curves required) ---
+      run("dd_minhash_lsh")(Dedup.minhashLsh(docs))
+      run("dd_jaccard_pairs")(Dedup.jaccardPairs(docs))
+      run("dd_dup_ngram_rate")(Dedup.dupNgramRate(docs))
+      run("dd_dup_spans")(Dedup.dupSpans(docs))
+      run("dd_shingle_df_hist")(Dedup.shingleDfHistogram(docs))
+      run("dd_clusters_e2e")(Dedup.clusters(
+        Dedup.jaccardPairsRaw(docs).select("doc_a", "doc_b")))
+      // --- text ---
+      run("ta_tfidf_top")(TextAnalysis.tfidfTopK(docs, k = 5))
+      run("ta_bigram_rarity")(TextAnalysis.bigramRarity(docs))
+      // --- embeddings: the LSH join at its guard boundary (the guard
+      // dispatches to blocked-exact when tables/2^bits ≥ 1 — sf10 is
+      // exactly the regime the sf1 sweep's spill failure lived in) ---
+      run("ss_embedding_lsh")(Similarity.cosinePairsLsh(emb, threshold = 0.45))
+      run("ss_topk_lsh")(Similarity.topkLsh(emb, k = 5))
+      // --- multimodal ---
+      run("mm_phash_pairs")(Multimodal.phashPairs(
+        Multimodal.imagePHash(spark,
+          Multimodal.imageTableWithVariants(spark, docs)).toDF()))
+      // --- streaming dedup batch core: one incremental batch decided
+      // against a loaded index (the foreachBatch body minus the sink
+      // IO), at the 10%-delta split the oracle rows use ---
+      run("stream_decide_batch") {
+        val delta = docs.filter(col("doc_id") % 10 === 0)
+        val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+        val idx = Dedup.shingleIndex(corpus, n = 3)
+        Dedup.deltaPairsFromParts(Dedup.shingleIndex(delta, n = 3), Seq(idx),
+          threshold = 0.5)
+      }
+    }
+    spark.stop()
+  }
+}

@@ -219,6 +219,30 @@ object NaiveCompare {
     val n6 = report("tfidf_top_20x", "naive", naiveTfidf)
     require(r6 == n6, s"tfidf row counts diverge: $r6 vs $n6")
 
+    // ---- shingle hashing: native expression vs the HOF chain ---------
+    // Shingling is the CPU-dominant stage of every inverted-index
+    // operator. The naive form is the portable SQL chain (split →
+    // transform(sequence) → array_join(slice) → xxhash64 →
+    // array_distinct) — semantically identical, but each lambda is
+    // interpreted per element and each gram materializes a joined
+    // string. The rewrite (HashedShinglesExpr) hashes sliding byte
+    // spans of the raw UTF8String in one pass. Both variants explode
+    // to the (doc_id, shingle) postings so the measured region is the
+    // one the dedup operators actually execute.
+    // same spread as withHashedShingles, so parallelism is identical
+    // and the timed difference is purely the shingling expression
+    def hofShingles: DataFrame = graft.operators.Dedup.spread(big)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles", array_distinct(expr(
+        "transform(sequence(1, greatest(size(toks) - 2, 1)), " +
+          "i -> xxhash64(array_join(slice(toks, i, 3), ' ')))")))
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val r8 = report("hashed_shingles_20x", "rewrite",
+      graft.operators.Dedup.withHashedShingles(big, 3)
+        .select(col("doc_id"), explode(col("shingles")).as("shingle")))
+    val n8 = report("hashed_shingles_20x", "naive", hofShingles)
+    require(r8 == n8, s"shingle row counts diverge: $r8 vs $n8")
+
     // ---- document frequency under a ZIPF vocabulary ----------------
     // The testdata's uniform 31-term vocabulary cannot exhibit term
     // skew, so synthesize the shape real corpora have: postings where

@@ -37,11 +37,15 @@ object ScaleUp {
     val inDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "target/sf1"
     val k = if (args.length > 2) args(2).toInt else 10
-    // the embedding sign patterns (2i+1 mod 101) are distinct odd
-    // residues only for i ≤ 49; at i = 50 the multiplier is 0 and the
-    // replica becomes the exact NEGATION of replica 0 — a mirror
-    // duplicate, the generator degeneracy this tool exists to avoid
-    require(k >= 1 && k <= 50, s"k must be in [1, 50], got $k")
+    // the embedding sign patterns (2i+1 mod P, P prime) are distinct
+    // odd residues only for i < P/2; at i = P/2 the multiplier is 0
+    // and the replica becomes the exact NEGATION of replica 0 — a
+    // mirror duplicate, the generator degeneracy this tool exists to
+    // avoid. P = 101 for k ≤ 50 (BYTE-IDENTICAL to every sf1 artifact
+    // generated before the k ≤ 100 extension); P = 211 gives 105
+    // distinct patterns for the sf10 decade (k = 100).
+    require(k >= 1 && k <= 100, s"k must be in [1, 100], got $k")
+    val P = if (k <= 50) 101 else 211
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -107,13 +111,13 @@ object ScaleUp {
     write("embeddings", times(in("embeddings")) { (t, i) =>
       // distinct odd multipliers mod 101 (prime) — no two replicas
       // share a sign pattern (the ScaleProbe decorrelation)
-      val p = (2 * i + 1) % 101
+      val p = (2 * i + 1) % P
       if (i == 0) t
       else t
         .withColumn("vec_id", col("vec_id") + lit(i * E))
         .withColumn("embedding",
           expr(s"transform(embedding, (x, j) -> " +
-            s"CASE WHEN ((j + 1) * $p) % 101 < 50 THEN -x ELSE x END)"))
+            s"CASE WHEN ((j + 1) * $p) % $P < ${P / 2} THEN -x ELSE x END)"))
     }, 4)
 
     spark.stop()
