@@ -114,6 +114,17 @@ object StageProbe {
       graft.operators.Dedup.deltaPairsCappedOneScan(docs,
         isDelta = col("doc_id") % 10 === 0, n = 3, cap = 5L, threshold = 0.5))
 
+    // ---- mm_phash_pairs prefixes: is the cost the PNG encode, the
+    // ImageIO decode + aHash, or the pigeonhole self-join?
+    val docs3 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "source")
+    def imgTable = graft.operators.Multimodal.imageTableWithVariants(spark, docs3)
+    time("mm_phash_pairs", "png_encode")(imgTable)
+    def hashed = graft.operators.Multimodal.imagePHash(spark, imgTable).toDF()
+    time("mm_phash_pairs", "decode_ahash")(hashed)
+    time("mm_phash_pairs", "full")(
+      graft.operators.Multimodal.phashPairs(hashed))
+
     spark.stop()
   }
 }

@@ -442,23 +442,41 @@ object Multimodal {
       struct(lit(c).as("chunk"),
         expr(s"shiftrightunsigned(full, ${7 * c}) & ${(1 << width) - 1}").as("cval"))
     }
-    val chunks = hashes.withColumn("full", full)
-      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
-        explode(array(chunkDefs: _*)).as("ck"))
-      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+    // the hash table feeds BOTH sides of the self-join; untracked, a
+    // non-trivial upstream (the PNG decode pipeline) would run twice.
+    // 24 bytes/row, so the cache is negligible at any image count
+    // (tracked: OpCaches.releaseAll() drops it after the caller's
+    // terminal action)
+    val h = OpCaches.track(hashes.withColumn("full", full)
+      .select(col("doc_id"), col("full")))
+    val chunks = h
+      .select(col("doc_id"), col("full"), explode(array(chunkDefs: _*)).as("ck"))
+      .select(col("doc_id"), col("full"),
         col("ck.chunk").as("chunk"), col("ck.cval").as("cval"))
+    // each near pair agrees on up to 9 chunks, so the raw join emits it
+    // up to 9 times. Dedup WITHOUT a distinct shuffle: keep a candidate
+    // row only when its chunk is the FIRST agreeing chunk — "no chunk
+    // below mine agrees", decidable per row from the xor of the two
+    // full hashes. agree_mask packs "is 7-bit block j of xor zero" into
+    // bit j (chunk 8 can never be an earlier chunk, so 8 blocks
+    // suffice); all shifts/ands/CASEs are codegen'd integer ops, so the
+    // only exchanges left are the join itself and the final sort.
+    val xorv = col("a.full").bitwiseXOR(col("b.full"))
+    val agreeMask = (0 until 8).map { j =>
+      when(xorv.bitwiseAND(lit(127L << (7 * j))) === 0, lit(1 << j))
+        .otherwise(lit(0))
+    }.reduce(_.bitwiseOR(_))
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
           col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming", expr("bit_count(a.full ^ b.full)").cast("int"))
+      // hamming filter FIRST: bit_count is cheap and most chunk
+      // collisions are far pairs; the first-agreement check then
+      // uniquifies the survivors
+      .filter(col("hamming") <= maxHamming &&
+        agreeMask.bitwiseAND(expr("shiftleft(1, a.chunk) - 1")) === 0)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (expr("bit_count(a.ahash_hi ^ b.ahash_hi)") +
-          expr("bit_count(a.ahash_lo ^ b.ahash_lo)")).cast("int").as("hamming"))
-      // hamming filter BEFORE the cross-chunk dedup: bit_count is a
-      // per-row codegen'd op, the distinct is a shuffle — discarding
-      // far pairs first shrinks the exchange to the (rare) near pairs
-      // instead of deduping every chunk collision
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+        col("hamming"))
       .orderBy("doc_a", "doc_b")
   }
 
