@@ -46,7 +46,11 @@ object DecadeProbe {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val nDocs = docs.count()
 
+      // optional comma-separated op allowlist for targeted re-measures
+      val only = sys.env.get("GRAFT_PROBE_OPS")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
       def run(name: String)(df: => DataFrame): Unit = {
+        if (!only.forall(_.contains(name))) return
         graft.operators.OpCaches.releaseAll()
         spark.catalog.clearCache()
         System.gc() // untimed: keep prior ops' dead shuffles out of the window
@@ -92,7 +96,10 @@ object DecadeProbe {
       // --- embeddings: the LSH join at its guard boundary (the guard
       // dispatches to blocked-exact when tables/2^bits ≥ 1 — sf10 is
       // exactly the regime the sf1 sweep's spill failure lived in) ---
-      run("ss_embedding_lsh")(Similarity.cosinePairsLsh(emb, threshold = 0.45))
+      // 0.8 = the operator's documented high-threshold domain. Lower
+      // thresholds now recall-dispatch to the balanced exact join
+      // (quadratic by semantics — excluded here like ss_cosine_pairs)
+      run("ss_embedding_lsh")(Similarity.cosinePairsLsh(emb, threshold = 0.8))
       run("ss_topk_lsh")(Similarity.topkLsh(emb, k = 5))
       // --- multimodal ---
       run("mm_phash_pairs")(Multimodal.phashPairs(

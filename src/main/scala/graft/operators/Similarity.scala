@@ -232,28 +232,70 @@ object Similarity {
     // both paths emit exactly the ≥ threshold pair set.
     if (tables.toDouble / (1L << bits) >= 1.0)
       return cosinePairsBlockedRaw(emb, threshold).orderBy("vec_a", "vec_b")
-    val planes = LshPlanes.planesFor(tables, bits, seed = 977L)
+    // DECADE GUARD (r8, caught by the sf10 sweep): a ratio < 1 keeps
+    // LSH out of brute-force costume but the candidate multiset is
+    // still Θ((tables/2^bits)·n²) — a SIZE-INDEPENDENT fraction of all
+    // pairs. At the defaults (16/2⁵ = 0.5) that was 10⁸ candidates at
+    // 20k vectors (fine) and 10¹⁰ at 200k (the join never finished).
+    // Fixed bits are the defect: 5 bits = 32 buckets per table no
+    // matter the corpus. Auto-scale bits with n to hold the expected
+    // per-table bucket load at ~LshLoadTarget random vectors — buckets
+    // then grow WITH the corpus and expected candidates collapse to
+    // Θ(tables · n · load), linear in n. More bits thin each table's
+    // collision probability, so tables are re-sized to hold the
+    // design-point recall (cosine 0.9, per-bit p = 1 − θ/π ≈ 0.8564):
+    // miss = (1 − p^bits)^T ≤ e^(−T·p^bits) ≤ e⁻³ ≈ 5% at T = 3/p^bits.
+    // Small corpora (n ≤ load·2^bits) are byte-identical to before —
+    // the guard only engages where the fixed parameters stop scaling.
+    // The extra count() is one columnar pass, amortized against a join
+    // whose unguarded cost grows quadratically.
+    //
+    // The recall target is evaluated AT THE CALLER'S THRESHOLD, not a
+    // fixed design point: per-bit collision for a pair at exactly the
+    // threshold is p₁ = 1 − θ_t/π, and T tables miss such a pair with
+    // (1 − p₁^bits)^T ≤ e^(−T·p₁^bits) — ≤ e⁻³ ≈ 5% at T = 3/p₁^bits.
+    // A first cut of this guard targeted cosine 0.9 regardless of the
+    // call and silently LOST 2/3 of the 0.45-threshold pair set at
+    // sf1 — recall is a function of the operating point, never a
+    // constant. When even LshTablesMax tables can't reach the target
+    // (low thresholds barely separate p₁ from the random-pair 1/2, so
+    // required tables explode as (1/p₁)^bits), LSH is outside its
+    // sub-quadratic domain at this corpus size and the dispatch falls
+    // through to the balanced exact join — the established low-
+    // threshold doctrine (see cosinePairsBlocked's scaladoc), now
+    // chosen from (n, threshold) instead of only the static ratio.
+    val n = emb.count()
+    val bitsEff = math.min(24, math.max(bits,
+      math.ceil(math.log(n.toDouble / LshLoadTarget) / math.log(2)).toInt))
+    val p1 = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    val tablesNeeded = 3.0 / math.pow(p1, bitsEff)
+    if (bitsEff > bits && tablesNeeded > LshTablesMax)
+      return cosinePairsBlockedRaw(emb, threshold).orderBy("vec_a", "vec_b")
+    val tablesEff =
+      if (bitsEff == bits) tables
+      else math.max(tables, math.ceil(tablesNeeded).toInt)
+    val planes = LshPlanes.planesFor(tablesEff, bitsEff, seed = 977L)
     // one native expression for all table keys (posexplode → (tbl, bkey));
     // identical keys to the per-table HOF columns, none of their
-    // per-plan janino compilation (LshPlanes.keysCol)
-    val buckets = emb.select(col("vec_id"),
+    // per-plan janino compilation (LshPlanes.keysCol).
+    // Payloads ride INTO the bucket self-join (r8, second sf10 catch):
+    // the previous id-only candidate stream joined the two vector
+    // payloads BY ID afterwards — fine while the payload table fits a
+    // broadcast, but at 200k vectors AQE flipped both joins to
+    // sort-merge and the ~10⁸-row candidate stream had to be sorted
+    // twice (the probe spilled the disk full). Fat bucket rows cost
+    // one O(n·tables) exchange instead; candidates are then generated
+    // AND cosine-filtered inside the codegen'd join partition, so no
+    // per-candidate row ever reaches an exchange — only ≥-threshold
+    // survivors (plus the bounded ≤tables× scoring duplication, which
+    // the final distinct dedups) leave the partition.
+    val bk = prepared(emb).select(col("vec_id"), col("v"), col("nrm"),
       posexplode(LshPlanes.keysCol(col("embedding"), planes)).as(Seq("tbl", "bkey")))
-    // Score FIRST, dedupe LAST: the candidate multiset (tables ×
-    // collisions) is never shuffled through a distinct — every
-    // bucket-mate row goes straight to the (cheap, 64-mult) cosine,
-    // the threshold filter kills ~all of it, and only the tiny
-    // survivor set pays a dedup. The scoring duplication factor is
-    // bounded by `tables` and is ~2× in practice — far cheaper than a
-    // full-candidate-set shuffle, which measured 2× slower here and
-    // grows with the corpus at 100 TB. (An exactly-once emission
-    // filter carrying both key arrays through the join was measured
-    // 10× WORSE — the fat join rows cost more than the dedup saved.)
-    val e = prepared(emb).select("vec_id", "v", "nrm")
-    buckets.toDF("ida", "tbl", "bkey")
-      .join(buckets.toDF("idb", "tbl", "bkey"), Seq("tbl", "bkey"))
+    bk.select(col("tbl"), col("bkey"), col("vec_id").as("ida"),
+        col("v").as("va"), col("nrm").as("na"))
+      .join(bk.select(col("tbl"), col("bkey"), col("vec_id").as("idb"),
+        col("v").as("vb"), col("nrm").as("nb")), Seq("tbl", "bkey"))
       .filter(col("ida") < col("idb"))
-      .join(e.toDF("ida", "va", "na"), "ida")
-      .join(e.toDF("idb", "vb", "nb"), "idb")
       .select(col("ida").as("vec_a"), col("idb").as("vec_b"),
         (VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
@@ -376,6 +418,21 @@ object Similarity {
     * side scales, the query side never does. 2000 = the full sf0.1
     * id range, so gate outputs at sf ≤ 0.1 are unchanged. */
   val QueryCap = 2000L
+
+  /** Target expected per-table bucket load (random vectors per bucket)
+    * for [[cosinePairsLsh]]'s data-size bits auto-scaling: effective
+    * bits = ceil(log2(n / LshLoadTarget)) once n outgrows the caller's
+    * fixed bits. 64 keeps expected candidates at tables·n·load/2 —
+    * linear in n — while small corpora (n ≤ load·2^bits) never engage
+    * the guard and keep their exact historical output. */
+  val LshLoadTarget = 64.0
+
+  /** Ceiling on auto-scaled table count in [[cosinePairsLsh]]: past
+    * this, reaching the 95% recall target at the caller's threshold
+    * would cost more bucket passes than the balanced exact join —
+    * the dispatch falls through to [[cosinePairsBlocked]] instead of
+    * silently degrading recall. */
+  val LshTablesMax = 128
 
   /** The fixed evaluation query-set predicate (see [[QueryCap]]). */
   private[graft] def isQuery(queryMod: Long) =
