@@ -156,6 +156,58 @@ class SimilaritySpec extends SparkSpec {
     assert(lshPlan.toLowerCase.contains("posexplode"), lshPlan)
   }
 
+  test("cosinePairsLsh decade guard: bits auto-scale with n, recall target holds") {
+    // the clustered fixture again, but padded with noise vectors past
+    // n = LshLoadTarget * 2^bits so the data-size guard ENGAGES
+    // (bits 2 -> effective bits 3 at n = 480). Planted pairs are
+    // near-identical (cosine >= ~0.95), so the 95%-recall table sizing
+    // must recover essentially all of them; precision is exact by the
+    // cosine re-rank, so spurious pairs are impossible.
+    def base(c: Int): Array[Float] =
+      Array.tabulate(64)(i => (((c * 2654435761L + i * 40503L) % 1000) / 500.0f - 1.0f))
+    val clustered = for { c <- 0 until 20; m <- 0 until 4 } yield {
+      val b = base(c)
+      val v = b.indices.map(i => b(i) + (((c * 31 + m * 7 + i) % 5) - 2) * 0.02f).toArray
+      ((c * 4 + m).toLong, v)
+    }
+    val noise = (0 until 400).map { k =>
+      (1000L + k, Array.tabulate(64)(i =>
+        (((k * 48271L + i * 16807L) % 2000) / 1000.0f - 1.0f)))
+    }
+    val df = (clustered ++ noise).toDF("vec_id", "embedding")
+    val brute = Similarity.cosinePairs(df, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size >= 100) // the fixture really has a pair population
+    val lsh = Similarity.cosinePairsLsh(df, threshold = 0.9, tables = 2, bits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((lsh -- brute).isEmpty)                      // exact precision
+    assert((brute -- lsh).size <= brute.size / 20,      // >= 95% recall
+      s"missed ${(brute -- lsh).size} of ${brute.size}")
+    // and the bucket path really ran (not a blocked-exact fallthrough)
+    val plan = Similarity.cosinePairsLsh(df, 0.9, tables = 2, bits = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("posexplode"), plan)
+  }
+
+  test("cosinePairsLsh decade guard: low thresholds recall-dispatch to the exact join") {
+    // 5000 vectors push effective bits to 7; at threshold 0.2 no
+    // <= LshTablesMax-table scheme reaches the 95% recall target
+    // (tables needed ~ 3/p1^bits ~ 165), so the dispatch must fall
+    // through to the balanced exact join rather than silently lose
+    // pairs — and the output must be the exact pair set.
+    val df = (0 until 5000).map { k =>
+      (k.toLong, Array.tabulate(8)(i =>
+        (((k * 48271L + i * 16807L) % 2000) / 1000.0f - 1.0f)))
+    }.toDF("vec_id", "embedding")
+    val guarded = Similarity.cosinePairsLsh(df, threshold = 0.2, tables = 2, bits = 2)
+    val plan = guarded.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("posexplode"), plan) // no LSH bucket build
+    val exact = Similarity.cosinePairsBlocked(df, threshold = 0.2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val got = guarded.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == exact.toSeq)
+  }
+
   test("knnLabel: majority vote with deterministic tie-break and correctness flag") {
     // query 0 (label 0): neighbors by cosine are 1 (lbl 0), 4 (lbl 1),
     // 2 (lbl 0), 3 (lbl 2) -> k=3 votes {0:2, 1:1} -> predicts 0, correct
