@@ -105,6 +105,14 @@ object DecadeProbe {
       run("mm_phash_pairs")(Multimodal.phashPairs(
         Multimodal.imagePHash(spark,
           Multimodal.imageTableWithVariants(spark, docs)).toDF()))
+      // the production twin: per-image cluster assignment — output
+      // LINEAR in images where the pair list above is output-bound
+      // (quadratic in clique size on this generator's replica cliques)
+      run("mm_phash_clusters")(Dedup.clusters(
+        Multimodal.phashPairs(
+          Multimodal.imagePHash(spark,
+            Multimodal.imageTableWithVariants(spark, docs)).toDF())
+          .select("doc_a", "doc_b")))
       // --- streaming dedup batch core: one incremental batch decided
       // against a loaded index (the foreachBatch body minus the sink
       // IO), at the 10%-delta split the oracle rows use ---

@@ -166,6 +166,36 @@ object ExtQueries {
       Multimodal.phashPairs(
         Multimodal.imagePHash(s,
           Multimodal.imageTableWithVariants(s, Tables.documents(s, d))).toDF())),
+    // Production twin for the pair list above: the sf10 decade probe
+    // measured mm_phash_pairs OUTPUT-bound (113M rows — pair output
+    // is quadratic in clique size), so the deliverable a dedup
+    // pipeline actually consumes is the per-image CLUSTER assignment
+    // (connected components over the hamming≤8 graph, LINEAR output)
+    // and the keep list derived from it. Reuses Dedup.clusters'
+    // size-adaptive CC; the oracle is an independent DuckDB recursive
+    // min-label closure over its formula-derived hashes.
+    "mm_phash_clusters" -> ((s, d) =>
+      graft.operators.Dedup.clusters(
+        Multimodal.phashPairs(
+          Multimodal.imagePHash(s,
+            Multimodal.imageTableWithVariants(s, Tables.documents(s, d))).toDF())
+          .select("doc_a", "doc_b"))),
+    // Keep list: every image except non-representative clique members
+    // (the representative is the min-id member = the cluster label).
+    // The hash table feeds both the pair join and the keep base, so it
+    // is tracked once; the anti-join's right side is the (tiny,
+    // linear) cluster table, broadcastable at any corpus size.
+    "mm_phash_keep" -> ((s, d) => {
+      val hashes = graft.operators.OpCaches.track(
+        Multimodal.imagePHash(s,
+          Multimodal.imageTableWithVariants(s, Tables.documents(s, d))).toDF())
+      val cl = graft.operators.Dedup.clusters(
+        Multimodal.phashPairs(hashes).select("doc_a", "doc_b"))
+      hashes.select(col("doc_id"))
+        .join(cl.filter(col("doc_id") =!= col("cluster")).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    }),
     // REAL in-JDK AUDIO codec round-trip: payloads are actual RIFF/WAV
     // files, format comes from javax.sound.sampled reading the bytes,
     // features are exact integers over the DECODED samples — the
@@ -238,7 +268,7 @@ object ExtQueries {
     * PNG encode → ImageIO decode → Multimodal.ImageCodec.ahash path.
     * Ends with a relation `h(out_id, ahash_hi, ahash_lo)`. */
   private val phashCte: String =
-    """WITH imgs AS (
+    """WITH RECURSIVE imgs AS (
       |  SELECT doc_id AS out_id, doc_id AS base_id, 0 AS pert, length(text) AS n
       |  FROM documents WHERE doc_id % 3 = 0
       |  UNION ALL
@@ -266,6 +296,24 @@ object ExtQueries {
       |    CAST(SUM(CASE WHEN gy > mean AND c < 32
       |      THEN (CAST(1 AS BIGINT) << c) ELSE 0 END) AS BIGINT) AS ahash_lo
       |  FROM gray g JOIN m USING (out_id) GROUP BY g.out_id)""".stripMargin
+
+  /** phash pairs + connected components shared by mm_phash_clusters /
+    * mm_phash_keep: recursive min-label closure over the hamming≤8
+    * graph — the independent DuckDB twin of Dedup.clusters composed
+    * over Multimodal.phashPairs. Ends with `cl(doc_id, cluster)`;
+    * one copy feeds both rows so they can never drift. */
+  private val phashClustersCte: String =
+    s"""$phashCte,
+       |pp AS (SELECT a.out_id AS doc_a, b.out_id AS doc_b
+       |  FROM h a JOIN h b ON a.out_id < b.out_id
+       |  WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
+       |      + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 8),
+       |e AS (SELECT doc_a AS v, doc_b AS u FROM pp
+       |      UNION ALL SELECT doc_b AS v, doc_a AS u FROM pp),
+       |r(v, u) AS (SELECT DISTINCT v, v AS u FROM e
+       |  UNION
+       |  SELECT r.v, e.u FROM r JOIN e ON r.u = e.v),
+       |cl AS (SELECT v AS doc_id, min(u) AS cluster FROM r GROUP BY v)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "ev_tumbling_hourly" ->
@@ -628,6 +676,14 @@ object ExtQueries {
          |WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
          |    + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 8
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "mm_phash_clusters" ->
+      s"""$phashClustersCte
+         |SELECT doc_id, cluster FROM cl ORDER BY doc_id""".stripMargin,
+    "mm_phash_keep" ->
+      s"""$phashClustersCte
+         |SELECT out_id AS doc_id FROM h
+         |WHERE out_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster)
+         |ORDER BY doc_id""".stripMargin,
     "mm_audio_meta" ->
       """WITH a AS (SELECT doc_id, length(text) AS tl FROM documents WHERE doc_id % 3 = 1),
         |p AS (SELECT doc_id, 8000 + (doc_id % 5) * 2000 AS rate,

@@ -183,6 +183,48 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.contains((30L, Multimodal.VariantIdTag + 30L)))
   }
 
+  test("phash clusters + keep: CC over the hamming graph; keep drops non-representatives") {
+    val d = Seq(
+      (0L, "x" * 40, "en", "s", 40L),
+      (30L, "y" * 61, "en", "s", 61L),
+      (33L, "z" * 95, "en", "s", 95L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val hashes = Multimodal.imagePHash(
+      spark, Multimodal.imageTableWithVariants(spark, d)).toDF()
+    val pairs = Multimodal.phashPairs(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // independent union-find over the emitted pair set (attach the
+    // larger root under the smaller, so a component's root IS its min
+    // id — the cluster-label contract)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(x => x -> find(x)).toMap
+    val got = Dedup.clusters(Multimodal.phashPairs(hashes).select("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected)
+    // the fixture's intended structure is really present: two
+    // two-member cliques (base 0 + variant, base 30 + variant)
+    assert(got(Multimodal.VariantIdTag) == 0L)
+    assert(got(Multimodal.VariantIdTag + 30L) == 30L)
+    // keep list = all images minus non-representative clique members
+    val cl = Dedup.clusters(Multimodal.phashPairs(hashes).select("doc_a", "doc_b"))
+    val keep = hashes.select(col("doc_id"))
+      .join(cl.filter(col("doc_id") =!= col("cluster")).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    val allIds = hashes.collect().map(_.getAs[Long]("doc_id")).toSet
+    val dropped = expected.collect { case (id, root) if id != root => id }.toSet
+    assert(keep == allIds -- dropped)
+  }
+
   test("resizeMeta caps the long side at maxSide, preserving aspect ratio") {
     val r = Multimodal.resizeMeta(
       Multimodal.decodeMetadata(spark, Multimodal.codecTable(spark, docs))
