@@ -219,6 +219,18 @@ object NaiveCompare {
     val n6 = report("tfidf_top_20x", "naive", naiveTfidf)
     require(r6 == n6, s"tfidf row counts diverge: $r6 vs $n6")
 
+    // ---- token run counting: native byte pass vs three regex passes --
+    // The regex form materializes an array of every match per pattern
+    // just to take its size; counting is the whole contract, so the
+    // native expression scans the UTF-8 bytes once per document
+    // (TokenRunStatsExpr). Value identity is spec-enforced
+    // (NativeExprSpec); this records the measured constant factor.
+    val r6b = report("regex_tokens", "rewrite",
+      graft.operators.TextAnalysis.regexTokenStats(big))
+    val n6b = report("regex_tokens", "naive",
+      graft.operators.TextAnalysis.regexTokenStatsRegex(big))
+    require(r6b == n6b, s"regex_tokens row counts diverge: $r6b vs $n6b")
+
     // ---- shingle hashing: native expression vs the HOF chain ---------
     // Shingling is the CPU-dominant stage of every inverted-index
     // operator. The naive form is the portable SQL chain (split →

@@ -275,8 +275,30 @@ object TextAnalysis {
   /** BPE-style pre-tokenization counts: alpha runs, digit runs, and
     * other non-space symbols — the regex pre-split every BPE/GPT-ish
     * tokenizer applies before merges, so these counts are the cheap
-    * upper bound on subword token counts used for corpus budgeting. */
-  def regexTokenStats(docs: DataFrame): DataFrame =
+    * upper bound on subword token counts used for corpus budgeting.
+    *
+    * Native path: one byte pass per document
+    * ([[graft.functions.TokenRunStatsExpr]]) instead of three regex
+    * engines materializing every match just to count them — the counts
+    * are the whole contract, so the match arrays the regex form
+    * allocates are pure overhead (sf1: 2.5 s → see SCALE_r08).
+    * [[regexTokenStatsRegex]] keeps the regex formulation as the
+    * value-identity witness (spec-enforced) and the naive floor. */
+  def regexTokenStats(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val st = GraftSqlBridge.column(
+      graft.functions.TokenRunStatsExpr(GraftSqlBridge.expression(col("text")))).as("_rs")
+    docs.select(col("doc_id"), st)
+      .select(col("doc_id"), col("_rs.n_alpha_runs"), col("_rs.n_digit_runs"),
+        col("_rs.n_pieces"))
+      .orderBy("doc_id")
+  }
+
+  /** The regex formulation of [[regexTokenStats]] — three
+    * `regexp_extract_all` passes, kept as the independent
+    * value-identity twin (mirrors the DuckDB oracle SQL verbatim) and
+    * the measured naive floor for the native expression. */
+  def regexTokenStatsRegex(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long").as("n_alpha_runs"),
@@ -493,30 +515,36 @@ object TextAnalysis {
     * hash-differ across engines; score = tf · idf from IEEE-exact
     * ops only.
     *
-    * Scale shape: postings from one explode + hash aggregate on
-    * (doc, term) (map-side combine collapses repeats before the
-    * shuffle); document frequency is a second aggregate of the
-    * postings on term (skew-safe: partial aggregation absorbs hot
-    * terms, unlike a window count that would pile a stop-word's
-    * postings into one partition). The df side joins back on term —
-    * vocabulary-sized, so it is NOT hint-broadcast: AQE broadcasts it
-    * when it measures small, and shuffles when a 100 TB vocabulary
-    * doesn't. The per-doc top-k compiles to WindowGroupLimit (rank
-    * pushdown prunes to k rows per doc before the final sort). */
+    * Scale shape: term frequency is a PER-DOCUMENT property, so it is
+    * computed in-row by the native [[graft.functions.TermFreqsExpr]]
+    * (one byte pass per document, true-byte-equality counting) — the
+    * explode + (doc, term) hash aggregate this replaces paid a full
+    * shuffle of every posting to establish a fact that never needed
+    * an exchange. Document frequency is one aggregate over the
+    * exploded `term_h` hashes alone (8-byte keys, map-side combine
+    * absorbs hot terms; term strings never reach this exchange). The
+    * df side joins back on term_h — vocabulary-sized, so it is NOT
+    * hint-broadcast: AQE broadcasts it when it measures small, and
+    * shuffles when a 100 TB vocabulary doesn't. The per-doc top-k
+    * compiles to WindowGroupLimit (rank pushdown prunes to k rows per
+    * doc before the final sort). */
   def tfidfTopK(docs: DataFrame, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // postings feed two branches (the score join and the df
-    // aggregate); cached so the tokenize+explode+tf pass runs once
-    // even when AQE re-planning defeats ReuseExchange. The df
-    // aggregate and its join back run on the xxhash64 of the term
-    // (8-byte keys; the term string itself only rides the postings
-    // side because it is in the OUTPUT — same collision caveat as
-    // withHashedShingles, vocab²/2⁶⁵).
-    val postings = graft.operators.OpCaches.track(graft.operators.Dedup.spread(docs)
-      .select(col("doc_id"), explode(toks).as("term"))
-      .groupBy(col("doc_id"), xxhash64(col("term")).as("term_h"))
-      .agg(max(col("term")).as("term"), count(lit(1)).as("tf")))
-    val dfs = postings.groupBy("term_h").agg(count(lit(1)).as("df"))
+    import org.apache.spark.sql.GraftSqlBridge
+    // per-doc tf arrays feed two branches (the score join and the df
+    // aggregate); cached so the tokenize+count pass runs once even
+    // when AQE re-planning defeats ReuseExchange — and the cached
+    // form is one compact array row per document, not a postings row
+    // per (doc, term).
+    val perDoc = graft.operators.OpCaches.track(graft.operators.Dedup.spread(docs)
+      .select(col("doc_id"), GraftSqlBridge.column(
+        graft.functions.TermFreqsExpr(GraftSqlBridge.expression(col("text")))).as("tfs")))
+    val postings = perDoc
+      .select(col("doc_id"), explode(col("tfs")).as("p"))
+      .select(col("doc_id"), col("p.term_h").as("term_h"),
+        col("p.term").as("term"), col("p.tf").as("tf"))
+    val dfs = perDoc.select(explode(col("tfs.term_h")).as("term_h"))
+      .groupBy("term_h").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val scored = postings.join(dfs, Seq("term_h"))
       .crossJoin(broadcast(nDocs))

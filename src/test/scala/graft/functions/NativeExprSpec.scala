@@ -130,6 +130,65 @@ class NativeExprSpec extends SparkSpec {
     assert(df.select((hof === native).as("eq")).collect().forall(_.getBoolean(0)))
   }
 
+  test("TokenRunStatsExpr == three regexp_extract_all counts") {
+    // adversarial shapes: empty, all-space, runs at both ends, digit/
+    // alpha adjacency, uppercase + punctuation (each its own piece),
+    // BMP multibyte (2–3 UTF-8 bytes), supplementary plane (4 bytes —
+    // one codepoint, one piece), plus a seeded fuzz sweep
+    val fixed = Seq(
+      "", "   ", "abc", "abc def", "a1b2c3", "123 456", "0a0a0",
+      "Hello, World!", "..!!..", "a.b,c;d", "ées çava 漢字テスト",
+      "emoji 😀😀 pair", "trailing space ",
+      " leading", "UPPER lower 123mix", "a", "9", ".", "é")
+    val rnd = new scala.util.Random(41)
+    val alphabet = "abz019 AZ.,!é漢😀"
+    // build from code points so surrogate pairs stay well-formed
+    val cps = alphabet.codePoints().toArray
+    val fuzzStrs = Seq.fill(120) {
+      val sb = new java.lang.StringBuilder
+      (0 until rnd.nextInt(60)).foreach(_ => sb.appendCodePoint(cps(rnd.nextInt(cps.length))))
+      sb.toString
+    }
+    val df = (fixed ++ fuzzStrs).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val native = graft.operators.TextAnalysis.regexTokenStats(df)
+    val regex = graft.operators.TextAnalysis.regexTokenStatsRegex(df)
+    val n = native.collect(); val r = regex.collect()
+    assert(n.length == r.length)
+    n.zip(r).foreach { case (a, b) => assert(a == b, s"mismatch: native=$a regex=$b") }
+    // null text → null struct fields propagate like the regex form
+    val nl = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+    val nn = graft.operators.TextAnalysis.regexTokenStats(nl).collect().head
+    assert(nn.isNullAt(1) && nn.isNullAt(2) && nn.isNullAt(3))
+  }
+
+  test("TermFreqsExpr == explode/groupBy term counting, incl. hashes") {
+    // token shapes: empty tokens from space runs, leading/trailing
+    // spaces, repeats (tf > 1), unicode, single token, empty string
+    val texts = Seq(
+      "aa bb aa cc aa bb", "aa  bb   aa", " x y x ", "solo", "",
+      "ééé 漢字 ééé", "a a a a a a a a", "tab\ttoken stays whole")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val native = df.select(col("doc_id"), colOf(graft.functions.TermFreqsExpr(
+        GraftSqlBridge.expression(col("text")))).as("tfs"))
+      .select(col("doc_id"), explode(col("tfs")).as("p"))
+      .select(col("doc_id"), col("p.term_h"), col("p.term"), col("p.tf"))
+      .orderBy("doc_id", "term")
+    val hof = df.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), xxhash64(col("term")).as("term_h"), col("term"), col("tf"))
+      .orderBy("doc_id", "term")
+    val n = native.collect(); val h = hof.collect()
+    assert(n.length == h.length, s"row counts: native=${n.length} hof=${h.length}")
+    n.zip(h).foreach { case (a, b) => assert(a == b, s"mismatch: native=$a hof=$b") }
+    // null text → null array (explode drops the doc, like the HOF)
+    val nl = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+      .select(colOf(graft.functions.TermFreqsExpr(
+        GraftSqlBridge.expression(col("text"))))).collect()
+    assert(nl.head.isNullAt(0))
+  }
+
   test("HashedShinglesExpr == split/transform/array_join/xxhash64/array_distinct chain") {
     // adversarial token shapes: runs of spaces (empty tokens), leading/
     // trailing spaces, < n tokens, exactly n, repeated grams (distinct
