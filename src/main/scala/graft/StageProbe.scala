@@ -46,17 +46,24 @@ object StageProbe {
       println(f"""{"op":"$op","stage":"$stage","sec":$best%.3f,"rows":$rows}""")
     }
 
-    // ---- ta_bigram_rarity prefixes (native positional bigram hashes,
-    // matching the operator since the HashedShinglesExpr switch)
-    def bigramPostings0 = graft.operators.Dedup.spread(docs)
-      .select(col("doc_id"), explode(graft.operators.Dedup.hashedNgrams(
-        col("text"), 2, distinct = false)).as("term"))
-    time("ta_bigram_rarity", "explode_only")(bigramPostings0)
-    def bigramTf = bigramPostings0.groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
-    time("ta_bigram_rarity", "tf_agg")(bigramTf)
+    // ---- ta_bigram_rarity prefixes (in-row HashedNgramFreqsExpr
+    // counting since the rarityPostings switch; tf_agg_legacy keeps
+    // the removed explode→(doc,term) aggregate measurable so the
+    // saving stays on record)
+    import org.apache.spark.sql.GraftSqlBridge
+    def bigramFreqs = graft.operators.Dedup.spread(docs)
+      .select(col("doc_id"), GraftSqlBridge.column(
+        graft.functions.HashedNgramFreqsExpr(
+          GraftSqlBridge.expression(col("text")), 2)).as("tfs"))
+    time("ta_bigram_rarity", "freqs_only")(bigramFreqs)
     time("ta_bigram_rarity", "df_agg")(
-      bigramTf.groupBy("term").agg(count(lit(1)).as("df")))
+      bigramFreqs.select(explode(col("tfs.gram_h")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df")))
+    time("ta_bigram_rarity", "tf_agg_legacy")(
+      graft.operators.Dedup.spread(docs)
+        .select(col("doc_id"), explode(graft.operators.Dedup.hashedNgrams(
+          col("text"), 2, distinct = false)).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     time("ta_bigram_rarity", "full")(
       graft.operators.TextAnalysis.bigramRarity(docs))
 
@@ -80,16 +87,29 @@ object StageProbe {
         .filter(col("mn") =!= col("mx")))
     time("dd_dup_spans", "full")(graft.operators.Dedup.dupSpans(docs, 3))
 
-    // ---- ta_tfidf_top prefixes
-    def tokPostings = graft.operators.Dedup.spread(docs)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    time("ta_tfidf_top", "tf_agg")(tokPostings)
+    // ---- ta_tfidf_top prefixes (in-row TermFreqsExpr since the
+    // tfidfTopK switch; tf_agg_legacy keeps the removed explode→
+    // (doc,term) aggregate measurable)
+    def tfFreqs = graft.operators.Dedup.spread(docs)
+      .select(col("doc_id"), GraftSqlBridge.column(
+        graft.functions.TermFreqsExpr(
+          GraftSqlBridge.expression(col("text")))).as("tfs"))
+    time("ta_tfidf_top", "termfreqs_only")(tfFreqs)
+    time("ta_tfidf_top", "df_agg")(
+      tfFreqs.select(explode(col("tfs.term_h")).as("term_h"))
+        .groupBy("term_h").agg(count(lit(1)).as("df")))
+    time("ta_tfidf_top", "tf_agg_legacy")(
+      graft.operators.Dedup.spread(docs)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     def tfidfScored = {
-      val postings = tokPostings
-      val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      val postings = tfFreqs.select(col("doc_id"), explode(col("tfs")).as("p"))
+        .select(col("doc_id"), col("p.term_h").as("term_h"),
+          col("p.term").as("term"), col("p.tf").as("tf"))
+      val dfs = tfFreqs.select(explode(col("tfs.term_h")).as("term_h"))
+        .groupBy("term_h").agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-      postings.join(dfs, Seq("term")).crossJoin(broadcast(nDocs))
+      postings.join(dfs, Seq("term_h")).crossJoin(broadcast(nDocs))
         .withColumn("score", col("tf").cast("double") *
           ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
             (col("df").cast("double") + lit(0.5))))

@@ -86,6 +86,104 @@ object HashedShingles {
     UnsafeArrayData.fromPrimitiveArray(
       if (m == nGrams) out else java.util.Arrays.copyOf(out, m))
   }
+
+  /** Per-document gram-hash FREQUENCIES: the positional form of
+    * [[compute]] folded through a count — `(hash, tf)` per distinct
+    * gram hash, in first-occurrence order. Counting is BY HASH,
+    * exactly like the `groupBy(hashed gram)` aggregate it replaces
+    * (same collision caveat), so values are identical to
+    * explode(positional) → groupBy → count while the per-document
+    * work never leaves the row. */
+  def computeFreqs(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes()
+    var numToks = 1
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' ') numToks += 1
+      i += 1
+    }
+    val starts = new Array[Int](numToks)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' ') {
+        starts(t) = i + 1; t += 1
+      }
+      i += 1
+    }
+    val nGrams = math.max(numToks - n + 1, 1)
+    var cap = 4
+    while (cap < nGrams * 2) cap <<= 1
+    val slot = new Array[Int](cap)
+    java.util.Arrays.fill(slot, -1)
+    val dHash = new Array[Long](nGrams)
+    val dCount = new Array[Long](nGrams)
+    var m = 0
+    var g = 0
+    while (g < nGrams) {
+      val start = starts(g)
+      val lastTok = math.min(g + n - 1, numToks - 1)
+      val end = if (lastTok + 1 < numToks) starts(lastTok + 1) - 1 else len
+      val h = XXH64.hashUnsafeBytes(base, off + start, end - start, 42L)
+      var idx = (h ^ (h >>> 32)).toInt & (cap - 1)
+      var found = -1
+      while (found < 0 && slot(idx) >= 0) {
+        if (dHash(slot(idx)) == h) found = slot(idx)
+        else idx = (idx + 1) & (cap - 1)
+      }
+      if (found >= 0) dCount(found) += 1
+      else {
+        slot(idx) = m
+        dHash(m) = h; dCount(m) = 1
+        m += 1
+      }
+      g += 1
+    }
+    val out = new Array[Any](m)
+    var d = 0
+    while (d < m) {
+      out(d) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](dHash(d), dCount(d)))
+      d += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `graft_hashed_ngram_freqs(text, n)`: per-document positional
+  * gram-hash frequencies as `array<struct<gram_h:long, tf:long>>` —
+  * the native form of `posexplode(hashed positional grams) → groupBy
+  * (doc_id, gram_h) → count`, computed in-row so the (doc, gram)
+  * shuffle disappears (term frequency is a per-document property).
+  * The df branch explodes `tfs.gram_h` alone; consumers that need a
+  * postings relation explode the array in-stage. */
+case class HashedNgramFreqsExpr(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"gram order must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string document, got $t")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("gram_h", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_hashed_ngram_freqs"
+
+  override def nullSafeEval(input: Any): Any =
+    HashedShingles.computeFreqs(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.HashedShingles.computeFreqs($s, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedNgramFreqsExpr =
+    copy(child = newChild)
 }
 
 /** `graft_hashed_shingles(text, n)`: the distinct xxhash64-hashed

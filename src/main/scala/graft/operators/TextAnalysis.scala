@@ -440,7 +440,7 @@ object TextAnalysis {
     * postings, an AQE-decided join back on term, and a final per-doc
     * aggregate. Nothing is windowed over raw input. */
   def rarityStats(docs: DataFrame): DataFrame =
-    rarityPostings(docs, toks)
+    rarityPostings(docs, n = 1)
       .groupBy("doc_id").agg(
         sum(col("tf")).as("n_tokens"),
         sum(col("tf") * col("df")).as("sum_df"),
@@ -450,23 +450,27 @@ object TextAnalysis {
           .as("mean_df"))
       .orderBy("doc_id")
 
-  /** The shared rarity skeleton over a string term column (the
-    * unigram caller, whose terms stay strings). */
-  private def rarityPostings(docs: DataFrame, termCol: Column): DataFrame =
-    raritySkeleton(graft.operators.Dedup.spread(docs)
-      .select(col("doc_id"), explode(termCol).as("term")))
-
-  /** explode → (doc, term) tf aggregate → df aggregate of the
-    * postings → AQE-decided join back on term. Both rarity operators
-    * aggregate this frame per doc. The bigram caller feeds it hashed
-    * terms (neither operator ever EMITS a term — only per-doc integer
-    * stats — so 8-byte longs replace strings in every shuffle; same
-    * collision caveat as
+  /** The shared rarity skeleton: per-document gram-hash frequencies
+    * computed IN-ROW by the native
+    * [[graft.functions.HashedNgramFreqsExpr]] (term frequency is a
+    * per-document property — the explode + (doc, term) aggregate this
+    * replaces paid a full shuffle of every posting for it), df as one
+    * aggregate over the exploded hashes alone, AQE-decided join back
+    * on the 8-byte hash. Neither rarity operator ever EMITS a term —
+    * only per-doc integer stats — so longs replace strings in every
+    * exchange; counting is by hash exactly like the groupBy-on-hash
+    * form it replaces (same collision caveat as
     * [[graft.operators.Dedup.withHashedShingles]]). */
-  private def raritySkeleton(exploded: DataFrame): DataFrame = {
-    val postings = exploded
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
+  private def rarityPostings(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val perDoc = graft.operators.OpCaches.track(graft.operators.Dedup.spread(docs)
+      .select(col("doc_id"), GraftSqlBridge.column(
+        graft.functions.HashedNgramFreqsExpr(
+          GraftSqlBridge.expression(col("text")), n)).as("tfs")))
+    val postings = perDoc.select(col("doc_id"), explode(col("tfs")).as("p"))
+      .select(col("doc_id"), col("p.gram_h").as("term"), col("p.tf").as("tf"))
+    val dfs = perDoc.select(explode(col("tfs.gram_h")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
     postings.join(dfs, Seq("term"))
   }
 
@@ -487,15 +491,13 @@ object TextAnalysis {
     * postings (skew-safe for viral bigrams), AQE-decided join back on
     * the bigram key, final per-doc aggregate. The bigram vocabulary is
     * larger than the unigram one, which RAISES the value of partial
-    * aggregation and changes nothing structurally. The bigrams are
-    * hashed to longs by the native positional
-    * [[graft.functions.HashedShinglesExpr]] BEFORE the explode (no
-    * term ever leaves the operator, and bigram strings were the
-    * dominant shuffle bytes at sf1). */
+    * aggregation and changes nothing structurally. Bigram hashing AND
+    * per-doc counting happen in-row
+    * ([[graft.functions.HashedNgramFreqsExpr]] via [[rarityPostings]])
+    * — no term ever leaves the operator, and the (doc, bigram)
+    * aggregate's shuffle of every occurrence is gone. */
   def bigramRarity(docs: DataFrame): DataFrame =
-    raritySkeleton(graft.operators.Dedup.spread(docs)
-      .select(col("doc_id"), explode(graft.operators.Dedup.hashedNgrams(
-        col("text"), 2, distinct = false)).as("term")))
+    rarityPostings(docs, n = 2)
       .groupBy("doc_id").agg(
         sum(col("tf")).as("n_bigrams"),
         sum(col("tf") * col("df")).as("sum_df"),

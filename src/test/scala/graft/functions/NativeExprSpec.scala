@@ -189,6 +189,32 @@ class NativeExprSpec extends SparkSpec {
     assert(nl.head.isNullAt(0))
   }
 
+  test("HashedNgramFreqsExpr == posexplode(positional hashes)/groupBy counting") {
+    val texts = Seq(
+      "aa bb aa cc aa bb", "aa  bb   aa", " x y x ", "solo", "",
+      "dup dup dup dup", "ééé 漢字 ééé mixed", "a b")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val native = df.select(col("doc_id"), colOf(graft.functions.HashedNgramFreqsExpr(
+          GraftSqlBridge.expression(col("text")), n)).as("tfs"))
+        .select(col("doc_id"), explode(col("tfs")).as("p"))
+        .select(col("doc_id"), col("p.gram_h").as("term"), col("p.tf"))
+        .orderBy("doc_id", "term")
+      val hof = df.select(col("doc_id"), explode(colOf(HashedShinglesExpr(
+          GraftSqlBridge.expression(col("text")), n, distinct = false))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .orderBy("doc_id", "term")
+      val a = native.collect(); val b = hof.collect()
+      assert(a.length == b.length, s"n=$n row counts: native=${a.length} hof=${b.length}")
+      a.zip(b).foreach { case (x, y) => assert(x == y, s"n=$n mismatch: native=$x hof=$y") }
+    }
+    // null text → null array
+    val nl = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+      .select(colOf(graft.functions.HashedNgramFreqsExpr(
+        GraftSqlBridge.expression(col("text")), 2))).collect()
+    assert(nl.head.isNullAt(0))
+  }
+
   test("HashedShinglesExpr == split/transform/array_join/xxhash64/array_distinct chain") {
     // adversarial token shapes: runs of spaces (empty tokens), leading/
     // trailing spaces, < n tokens, exactly n, repeated grams (distinct
