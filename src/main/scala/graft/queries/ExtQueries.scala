@@ -298,10 +298,19 @@ object ExtQueries {
       |  FROM gray g JOIN m USING (out_id) GROUP BY g.out_id)""".stripMargin
 
   /** phash pairs + connected components shared by mm_phash_clusters /
-    * mm_phash_keep: recursive min-label closure over the hamming≤8
-    * graph — the independent DuckDB twin of Dedup.clusters composed
-    * over Multimodal.phashPairs. Ends with `cl(doc_id, cluster)`;
-    * one copy feeds both rows so they can never drift. */
+    * mm_phash_keep: ROUND-BASED recursive min-label propagation over
+    * the hamming≤8 graph — the independent DuckDB twin of
+    * Dedup.clusters composed over Multimodal.phashPairs. Each
+    * iteration emits at most one (vertex, min label heard this round)
+    * row (GROUP BY in the recursive term; UNION dedup empties the
+    * frontier at the fixpoint), so total work is O(V · diameter).
+    * The textbook reachability-pair closure `r(v, u)` this replaced
+    * accumulates all (v, reachable u) pairs — O(Σ component²), which
+    * on sf1's single 18,280-image component (the generator's variant
+    * cliques chain) never finished: >2 h CPU before being killed,
+    * while this form labels the same graph in seconds. Ends with
+    * `cl(doc_id, cluster)`; one copy feeds both rows so they can
+    * never drift. */
   private val phashClustersCte: String =
     s"""$phashCte,
        |pp AS (SELECT a.out_id AS doc_a, b.out_id AS doc_b
@@ -310,10 +319,10 @@ object ExtQueries {
        |      + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 8),
        |e AS (SELECT doc_a AS v, doc_b AS u FROM pp
        |      UNION ALL SELECT doc_b AS v, doc_a AS u FROM pp),
-       |r(v, u) AS (SELECT DISTINCT v, v AS u FROM e
+       |lab(v, l) AS (SELECT v, v AS l FROM (SELECT DISTINCT v FROM e) t
        |  UNION
-       |  SELECT r.v, e.u FROM r JOIN e ON r.u = e.v),
-       |cl AS (SELECT v AS doc_id, min(u) AS cluster FROM r GROUP BY v)""".stripMargin
+       |  SELECT e.v, min(lab.l) FROM lab JOIN e ON e.u = lab.v GROUP BY e.v),
+       |cl AS (SELECT v AS doc_id, min(l) AS cluster FROM lab GROUP BY v)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "ev_tumbling_hourly" ->
