@@ -695,14 +695,17 @@ object Dedup {
     * groups ("keep min, drop the rest").
     *
     * SIZE-ADAPTIVE, same answer on both paths:
-    *  - edge count ≤ `maxDriverEdges` (default 200k ≈ 3 MB of longs):
-    *    union-find on the driver in one pass. Launching multi-round
-    *    shuffle fleets to label a few hundred edges is pure scheduler
-    *    overhead (measured: ~1.4 s for 256 edges vs ~0.1 s here) —
-    *    the same "don't shuffle kilobytes" rule AQE applies. The
+    *  - edge count ≤ `maxDriverEdges` (default 2M ≈ 32 MB of longs,
+    *    one direction collected — two orders under a default driver
+    *    heap): union-find on the driver in one pass. Launching
+    *    multi-round shuffle fleets to label few edges is pure
+    *    scheduler overhead (measured: ~1.4 s for 256 edges vs ~0.1 s
+    *    here; at sf1's 1.1M-edge phash graph the distributed loop
+    *    cost ~6.5 s where the collect+union-find costs ~1 s). The
     *    budget is a bounded parameter, NOT proportional to corpus
     *    size; callers at 100 TB with dense pair graphs exceed it and
-    *    take the distributed path automatically.
+    *    take the distributed path automatically (the sf10 decade's
+    *    113M-edge graph does).
     *  - otherwise: iterative min-label propagation (the simple form of
     *    large/small-star) with path halving. Round 1 is folded into
     *    the init aggregate (min over the closed neighborhood needs no
@@ -711,7 +714,7 @@ object Dedup {
     *    this is the standard CC-on-Spark shape, and the driver only
     *    sees one scalar (the label sum) per round. */
   def clusters(pairs: DataFrame, maxRounds: Int = 20,
-      maxDriverEdges: Long = 200000L): DataFrame = {
+      maxDriverEdges: Long = 2000000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     // localCheckpoint (not cache): iterative self-referencing lineage
