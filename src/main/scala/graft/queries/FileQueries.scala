@@ -123,7 +123,10 @@ object FileQueries {
   def existingProbeBloom(index: DataFrame, batch: DataFrame,
       fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
-    val b = batch.select("path", "filename")
+    // the projected batch feeds three passes (sizing count, bloom
+    // fold, broadcast build) — cache the 2-column projection so the
+    // batch's source is scanned once, not three times
+    val b = graft.operators.OpCaches.track(batch.select("path", "filename"))
     // composite key with a separator no path can contain, so
     // ("a","b c") never collides with ("a b","c")
     def key(df: DataFrame): Column =
