@@ -58,9 +58,13 @@ object HashedShingles {
     // text — both exactly the HOF slice/greatest semantics
     val nGrams = math.max(numToks - n + 1, 1)
     // open-addressed distinct set (grams are ~tokens per doc — tiny);
-    // unused in the positional form
+    // unused in the positional form. Target size in Long arithmetic:
+    // nGrams*2 overflows Int past 2^30 grams (the probe loop would
+    // then spin on a 4-slot table); docs that large already exceed
+    // the per-row array ceiling, so clamp the target at 2^30.
     var cap = 4
-    while (cap < nGrams * 2) cap <<= 1
+    val capTarget = math.min(nGrams.toLong * 2, 1L << 30)
+    while (cap < capTarget) cap <<= 1
     val table = if (distinct) new Array[Long](cap) else null
     val used = if (distinct) new Array[Boolean](cap) else null
     val out = new Array[Long](nGrams)
@@ -115,7 +119,8 @@ object HashedShingles {
     }
     val nGrams = math.max(numToks - n + 1, 1)
     var cap = 4
-    while (cap < nGrams * 2) cap <<= 1
+    val capTarget = math.min(nGrams.toLong * 2, 1L << 30) // Long math: see compute()
+    while (cap < capTarget) cap <<= 1
     val slot = new Array[Int](cap)
     java.util.Arrays.fill(slot, -1)
     val dHash = new Array[Long](nGrams)

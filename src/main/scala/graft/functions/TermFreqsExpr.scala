@@ -50,7 +50,11 @@ object TermFreqs {
     // open-addressed map: slot -> index into the (start, end, hash,
     // count) parallel arrays of first-seen distinct terms
     var cap = 4
-    while (cap < numToks * 2) cap <<= 1
+    // Long arithmetic: numToks*2 overflows Int past 2^30 tokens, which
+    // would leave the probe loop spinning on a 4-slot table; docs that
+    // large already exceed the per-row array ceiling, so clamp at 2^30.
+    val capTarget = math.min(numToks.toLong * 2, 1L << 30)
+    while (cap < capTarget) cap <<= 1
     val slot = new Array[Int](cap)
     java.util.Arrays.fill(slot, -1)
     val dStart = new Array[Int](numToks)

@@ -149,10 +149,17 @@ object Similarity {
   /** [[cosinePairsBlocked]] without the presentation sort — the core
     * consumed by aggregating callers ([[cosineHistogram]]). */
   private[graft] def cosinePairsBlockedRaw(emb: DataFrame, threshold: Double,
+      blocks: Int = 16): DataFrame =
+    cosinePairsBlockedPrepared(prepared(emb), threshold, blocks)
+
+  /** The block-pair join over an ALREADY-[[prepared]] frame — lets
+    * [[cosinePairsLsh]]'s dispatch fall through to the exact path on
+    * its cached prep without re-preparing (and re-scanning) the corpus. */
+  private[graft] def cosinePairsBlockedPrepared(prep: DataFrame, threshold: Double,
       blocks: Int = 16): DataFrame = {
-    val spark = emb.sparkSession
+    val spark = prep.sparkSession
     import spark.implicits._
-    val e = prepared(emb).select("vec_id", "v", "nrm")
+    val e = prep.select("vec_id", "v", "nrm")
       .withColumn("g", pmod(col("vec_id"), lit(blocks)).cast("int"))
     val blockPairs = (for { i <- 0 until blocks; j <- i until blocks }
       yield (i, j, i * blocks + j)).toDF("gi", "gj", "pid")
@@ -264,13 +271,22 @@ object Similarity {
     // through to the balanced exact join — the established low-
     // threshold doctrine (see cosinePairsBlocked's scaladoc), now
     // chosen from (n, threshold) instead of only the static ratio.
-    val n = emb.count()
+    // The guard's count makes plan CONSTRUCTION eager by design — the
+    // dispatch (bits, tables, LSH-vs-exact) is a function of n, so it
+    // cannot live inside a static plan. What must NOT happen is paying
+    // the upstream scan twice (once for the count, again at execution):
+    // prepare + cache FIRST, count the cache, and feed the same cached
+    // frame to whichever path wins — one corpus scan total, and a
+    // plan-only caller (Explain) pays one cached materialization, not
+    // two cold scans.
+    val prep = OpCaches.track(prepared(emb))
+    val n = prep.count()
     val bitsEff = math.min(24, math.max(bits,
       math.ceil(math.log(n.toDouble / LshLoadTarget) / math.log(2)).toInt))
     val p1 = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
     val tablesNeeded = 3.0 / math.pow(p1, bitsEff)
     if (bitsEff > bits && tablesNeeded > LshTablesMax)
-      return cosinePairsBlockedRaw(emb, threshold).orderBy("vec_a", "vec_b")
+      return cosinePairsBlockedPrepared(prep, threshold).orderBy("vec_a", "vec_b")
     val tablesEff =
       if (bitsEff == bits) tables
       else math.max(tables, math.ceil(tablesNeeded).toInt)
@@ -289,7 +305,7 @@ object Similarity {
     // per-candidate row ever reaches an exchange — only ≥-threshold
     // survivors (plus the bounded ≤tables× scoring duplication, which
     // the final distinct dedups) leave the partition.
-    val bk = prepared(emb).select(col("vec_id"), col("v"), col("nrm"),
+    val bk = prep.select(col("vec_id"), col("v"), col("nrm"),
       posexplode(LshPlanes.keysCol(col("embedding"), planes)).as(Seq("tbl", "bkey")))
     bk.select(col("tbl"), col("bkey"), col("vec_id").as("ida"),
         col("v").as("va"), col("nrm").as("na"))

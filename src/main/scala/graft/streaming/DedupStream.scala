@@ -74,21 +74,38 @@ object DedupStream {
     DeltaDirs.watermark(SnapshotDir.loadMeta(s"$stateRoot/base"))
 
   /** Deterministic fingerprint of the capped shingle space: the
-    * hot-shingle drop list reduced to `count:bitxor` (order-free, so
-    * any partitioning of the same set agrees), or `"uncapped"` when no
+    * hot-shingle drop list reduced to `count:bitxor:bitxor(xxhash64)`
+    * — the third field xors the RE-HASHED shingles (order-free, so any
+    * partitioning of the same set agrees; and it breaks the count+xor
+    * degeneracy where two distinct equal-size sets xor to the same raw
+    * value — e.g. {a,b} vs {a^b^c, c}, which the plain pair collides
+    * on but an independent second mix does not, short of an engineered
+    * simultaneous 128-bit collision). `"uncapped"` when no
     * cap is in force. Published in the base snapshot meta at every
     * compaction and asserted at stream start — a base built in one
     * shingle space must never be probed or extended in another (mixed
-    * capped/uncapped `n_sh` silently skews every jaccard denominator). */
+    * capped/uncapped `n_sh` silently skews every jaccard denominator).
+    *
+    * Compatibility caveat: bases compacted BEFORE the marker existed
+    * carry no `cap` entry and read back as legacy-uncapped. A legacy
+    * base that was in fact built WITH a cap therefore passes the guard
+    * when resumed with `hot = None` — the guard cannot detect it;
+    * such bases must be rebuilt (or re-compacted once under the
+    * current code, which stamps the marker). Bases stamped with the
+    * older `count:xor` two-field form fail the equality check against
+    * the three-field form and surface as a loud mismatch, which is
+    * the safe direction. */
   private[streaming] def capFingerprint(hot: Option[DataFrame]): String =
     hot match {
       case None => "uncapped"
       case Some(h) =>
         val row = h.agg(count(lit(1)).as("n"),
-          expr("bit_xor(shingle)").as("x")).head()
+          expr("bit_xor(shingle)").as("x"),
+          expr("bit_xor(xxhash64(shingle))").as("s")).head()
         val n = row.getLong(0)
         val x = if (row.isNullAt(1)) 0L else row.getLong(1)
-        s"$n:$x"
+        val s = if (row.isNullAt(2)) 0L else row.getLong(2)
+        s"$n:$x:$s"
     }
 
   /** Assert the persisted base (if any) was built in the SAME capped

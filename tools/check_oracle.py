@@ -82,12 +82,24 @@ def main():
         try:
             timer = None
             if ORACLE_TIMEOUT_SEC > 0:
-                timer = threading.Timer(ORACLE_TIMEOUT_SEC, con.interrupt)
+                # Guard against the cancel/fire race: if the timer fires
+                # after fetchdf() returns but before cancel(), a naked
+                # con.interrupt() would abort the NEXT query. Only
+                # interrupt while this query is still marked running.
+                running = threading.Event()
+                running.set()
+
+                def _maybe_interrupt():
+                    if running.is_set():
+                        con.interrupt()
+
+                timer = threading.Timer(ORACLE_TIMEOUT_SEC, _maybe_interrupt)
                 timer.start()
             try:
                 exp = canon(con.execute(sql).fetchdf())
             finally:
                 if timer is not None:
+                    running.clear()
                     timer.cancel()
         except Exception as e:
             if "INTERRUPT" in str(e).upper():
