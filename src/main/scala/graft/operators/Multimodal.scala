@@ -435,20 +435,31 @@ object Multimodal {
     * chunk with p ≈ 2⁻⁷, so candidate fan-out stays near-linear while
     * recall at ≤ 8 is exact, not probabilistic. */
   def phashPairs(hashes: DataFrame, maxHamming: Int = 8): DataFrame = {
-    require(maxHamming <= 8, "9-chunk blocking only guarantees recall for hamming <= 8")
-    val full = shiftleft(col("ahash_hi"), 32).bitwiseOR(col("ahash_lo"))
-    val chunkDefs = (0 until 9).map { c =>
-      val width = if (c == 8) 8 else 7
-      struct(lit(c).as("chunk"),
-        expr(s"shiftrightunsigned(full, ${7 * c}) & ${(1 << width) - 1}").as("cval"))
-    }
     // the hash table feeds BOTH sides of the self-join; untracked, a
     // non-trivial upstream (the PNG decode pipeline) would run twice.
     // 24 bytes/row, so the cache is negligible at any image count
     // (tracked: OpCaches.releaseAll() drops it after the caller's
     // terminal action)
-    val h = OpCaches.track(hashes.withColumn("full", full)
-      .select(col("doc_id"), col("full")))
+    val h = OpCaches.track(withFullHash(hashes))
+    phashPairsCore(h, maxHamming).orderBy("doc_a", "doc_b")
+  }
+
+  /** doc_id + the 64 aHash bits packed into one `full` long. */
+  private def withFullHash(hashes: DataFrame): DataFrame =
+    hashes.withColumn("full",
+        shiftleft(col("ahash_hi"), 32).bitwiseOR(col("ahash_lo")))
+      .select(col("doc_id"), col("full"))
+
+  /** The pigeonhole-blocked hamming join over a (doc_id, full) frame —
+    * the core shared by [[phashPairs]] (all images) and
+    * [[phashSpanningEdges]] (distinct hashes only). Unsorted. */
+  private def phashPairsCore(h: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 8, "9-chunk blocking only guarantees recall for hamming <= 8")
+    val chunkDefs = (0 until 9).map { c =>
+      val width = if (c == 8) 8 else 7
+      struct(lit(c).as("chunk"),
+        expr(s"shiftrightunsigned(full, ${7 * c}) & ${(1 << width) - 1}").as("cval"))
+    }
     val chunks = h
       .select(col("doc_id"), col("full"), explode(array(chunkDefs: _*)).as("ck"))
       .select(col("doc_id"), col("full"),
@@ -477,7 +488,46 @@ object Multimodal {
         agreeMask.bitwiseAND(expr("shiftleft(1, a.chunk) - 1")) === 0)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("hamming"))
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** A SPANNING edge set of the hamming ≤ `maxHamming` graph with the
+    * SAME connected components as [[phashPairs]]' full output but
+    * clique-LINEAR size — the edge relation the CC consumers
+    * (mm_phash_clusters / mm_phash_keep) should feed on at scale. A
+    * viral image duplicated c times is a hamming-0 clique: the full
+    * pair contract emits c·(c−1)/2 edges from it (sf10 measured 113M
+    * edges / 600k images, wall 399 s — edge-bound), while CC only
+    * needs c−1 of them.
+    *
+    * Construction: quotient by IDENTICAL full hash. (1) Equal-hash
+    * groups collapse to their min-doc_id representative via STAR edges
+    * rep→member (each a genuine hamming-0 pair, so ⊆ the full edge
+    * set). (2) The pairwise chunk-blocked join then runs over DISTINCT
+    * hash values only (one row per group), emitting one rep–rep edge
+    * per near hash-value pair instead of c_a·c_b member edges. CC
+    * identity: both edge families are subsets of the true ≤-threshold
+    * graph, and every true edge (a,b) is spanned — equal hashes share
+    * a representative's star; unequal hashes contribute the rep(a)–
+    * rep(b) edge (same hamming, hashes equal by group). NOT the naive
+    * "star per blocking bucket": chunk-bucket mates are candidates,
+    * not matches — wiring a bucket to its min id would merge images
+    * at hamming > threshold into one component.
+    *
+    * Scale shape: star edges are one hash-partitioned groupBy + a
+    * join-back (linear, shuffle on `full`); the quadratic-prone join
+    * now sees one row per distinct hash, so clique growth (the thing
+    * that DOES grow with a web-scale corpus) no longer touches it. */
+  def phashSpanningEdges(hashes: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val h = OpCaches.track(withFullHash(hashes))
+    val groups = OpCaches.track(
+      h.groupBy("full").agg(min("doc_id").as("rep")))
+    val stars = h.join(groups, Seq("full"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    val repPairs = phashPairsCore(
+        groups.select(col("rep").as("doc_id"), col("full")), maxHamming)
+      .select("doc_a", "doc_b")
+    stars.unionByName(repPairs)
   }
 
   /** REAL decode stage: javax.imageio reads each PNG's true dimensions

@@ -171,15 +171,18 @@ object ExtQueries {
     // is quadratic in clique size), so the deliverable a dedup
     // pipeline actually consumes is the per-image CLUSTER assignment
     // (connected components over the hamming≤8 graph, LINEAR output)
-    // and the keep list derived from it. Reuses Dedup.clusters'
-    // size-adaptive CC; the oracle is an independent DuckDB recursive
-    // min-label closure over its formula-derived hashes.
+    // and the keep list derived from it. CC feeds on the clique-LINEAR
+    // spanning edge set (identical-hash quotient — see
+    // phashSpanningEdges), not the full O(c²) pair contract; the
+    // components (and so this row's output) are provably identical.
+    // Reuses Dedup.clusters' size-adaptive CC; the oracle is an
+    // independent DuckDB recursive min-label closure over its
+    // formula-derived hashes.
     "mm_phash_clusters" -> ((s, d) =>
       graft.operators.Dedup.clusters(
-        Multimodal.phashPairs(
+        Multimodal.phashSpanningEdges(
           Multimodal.imagePHash(s,
-            Multimodal.imageTableWithVariants(s, Tables.documents(s, d))).toDF())
-          .select("doc_a", "doc_b"))),
+            Multimodal.imageTableWithVariants(s, Tables.documents(s, d))).toDF()))),
     // Keep list: every image except non-representative clique members
     // (the representative is the min-id member = the cluster label).
     // The hash table feeds both the pair join and the keep base, so it
@@ -190,7 +193,7 @@ object ExtQueries {
         Multimodal.imagePHash(s,
           Multimodal.imageTableWithVariants(s, Tables.documents(s, d))).toDF())
       val cl = graft.operators.Dedup.clusters(
-        Multimodal.phashPairs(hashes).select("doc_a", "doc_b"))
+        Multimodal.phashSpanningEdges(hashes))
       hashes.select(col("doc_id"))
         .join(cl.filter(col("doc_id") =!= col("cluster")).select("doc_id"),
           Seq("doc_id"), "left_anti")

@@ -225,6 +225,40 @@ class MultimodalSpec extends SparkSpec {
     assert(keep == allIds -- dropped)
   }
 
+  test("phashSpanningEdges: identical CC to the full pair set, clique-LINEAR edges") {
+    // hand-built hash table: a 6-member hamming-0 clique (identical
+    // hashes — the viral-image shape), one near variant (hamming 2 from
+    // the clique), and two far singletons
+    val cliqueHi = 0x0F0F0F0FL
+    val cliqueLo = 0x33CC33CCL
+    val nearLo = cliqueLo ^ 3L // flips 2 bits → hamming 2
+    val rows =
+      (1L to 6L).map(id => (id, cliqueHi, cliqueLo)) ++ Seq(
+        (7L, cliqueHi, nearLo),
+        (100L, 0xFFFFFFFFL, 0x00000000L),
+        (200L, 0x12345678L, 0x9ABCDEF0L))
+    val hashes = rows.toDF("doc_id", "ahash_hi", "ahash_lo")
+    val full = Multimodal.phashPairs(hashes).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val span = Multimodal.phashSpanningEdges(hashes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every spanning edge is a genuine ≤-threshold pair (subset, never
+    // a bucket-star artifact merging far images)
+    assert(span.subsetOf(full), s"spanning edges not ⊆ pair set: ${span -- full}")
+    // clique-linear: 6-clique + near variant = 7 nodes, 2 distinct
+    // hashes → 5 star edges + 1 rep–rep edge, vs C(6,2)+6 = 21 full
+    assert(full.size == 21, s"full pair set ${full.size}")
+    assert(span.size == 6, s"spanning set ${span.size}")
+    // identical connected components (the consumer contract)
+    val clFull = Dedup.clusters(Multimodal.phashPairs(hashes).select("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val clSpan = Dedup.clusters(Multimodal.phashSpanningEdges(hashes))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clFull == clSpan)
+    assert(clSpan(7L) == 1L) // near variant joins the clique's component
+    assert(!clSpan.contains(100L) && !clSpan.contains(200L)) // singletons never pair
+  }
+
   test("resizeMeta caps the long side at maxSide, preserving aspect ratio") {
     val r = Multimodal.resizeMeta(
       Multimodal.decodeMetadata(spark, Multimodal.codecTable(spark, docs))
