@@ -111,6 +111,14 @@ object FileQueries {
         Seq("path", "filename"), "left_semi")
       .orderBy(col("path"), col("filename"))
 
+  /** Probe-set size below which [[existingProbeBloom]] dispatches to
+    * the plain broadcast semi join. At ~100 B/key, 2²⁰ keys ≈ 100 MB
+    * raw broadcast — the practical executor-memory comfort edge; below
+    * it the bloom build (a second distributed pass over the probe
+    * keys) costs more than it saves, above it the raw broadcast is the
+    * thing that stops scaling and the fold+prefilter wins. */
+  val BloomMinKeys: Long = 1L << 20
+
   /** B8, bloom-prefiltered form — the shape for probe sets too big to
     * broadcast raw (say 10^8 ingest paths against a 10^10-row index):
     * fold the probe keys DISTRIBUTED into a fixed-size bloom filter
@@ -119,25 +127,40 @@ object FileQueries {
     * non-members before any join. The exact semi join then runs only
     * over the surviving fraction (true matches + fpp), restoring
     * exactness — bloom filters have no false negatives, so the result
-    * is IDENTICAL to [[existingProbe]] and shares its oracle. */
+    * is IDENTICAL to [[existingProbe]] and shares its oracle. Probe
+    * sets under `bloomMinKeys` dispatch straight to [[existingProbe]]
+    * (see the in-body note). */
   def existingProbeBloom(index: DataFrame, batch: DataFrame,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01, bloomMinKeys: Long = BloomMinKeys): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
-    // the projected batch feeds three passes (sizing count, bloom
-    // fold, broadcast build) — cache the 2-column projection so the
-    // batch's source is scanned once, not three times
-    val b = graft.operators.OpCaches.track(batch.select("path", "filename"))
+    val proj = batch.select("path", "filename")
     // composite key with a separator no path can contain, so
     // ("a","b c") never collides with ("a b","c")
     def key(df: DataFrame): Column =
       concat_ws("\u0000", df("path"), df("filename"))
-    val keyed = b.select(key(b).as("k"))
-    val nKeys = keyed.count()
-    // zero probe keys: the answer is vacuously empty, and Spark's
-    // bloom aggregate returns null bytes over zero rows — skip the
-    // prefilter and let the empty semi join say so
-    if (nKeys == 0L) return existingProbe(index, batch)
-    val bloom = keyed.stat.bloomFilter("k", nKeys, fpp)
+    // the sizing/dispatch count runs UNCACHED (one column-pruned scan
+    // — a cache write here would cost more than the broadcast path it
+    // precedes); the projection is cached only on the bloom path,
+    // where it feeds two more passes (fold + broadcast build)
+    val nKeys = proj.select(key(proj).as("k")).count()
+    // SIZE DISPATCH (the cosinePairsLsh doctrine — pick the plan from
+    // the measured operating point, keep the output contract fixed):
+    // below the broadcast regime the bloom build is pure overhead. The
+    // prefilter only repays its costs (a second distributed pass over
+    // the probe keys for the treeAggregate fold, plus shipping the
+    // filter bytes to every scan task) when the RAW probe set is too
+    // big to broadcast — the 10⁸-key ingest-manifest regime it exists
+    // for. Measured at sf1 the unconditional bloom path was 3.24 s /
+    // 4.5× DuckDB while the plain broadcast semi join answers the
+    // same probe in well under a second. Zero keys also lands here:
+    // the answer is vacuously empty (and Spark's bloom aggregate
+    // returns null bytes over zero rows). Results are IDENTICAL on
+    // both paths (bloom has no false negatives + the exact verify
+    // join), so the dispatch is invisible to consumers and the two
+    // paths share one oracle.
+    if (nKeys < bloomMinKeys) return existingProbe(index, proj)
+    val b = graft.operators.OpCaches.track(proj)
+    val bloom = b.select(key(b).as("k")).stat.bloomFilter("k", nKeys, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)

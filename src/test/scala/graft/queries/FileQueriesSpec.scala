@@ -127,7 +127,10 @@ class FileQueriesSpec extends SparkSpec {
   test("existingProbeBloom == exact probe (no false negatives survive the verify join)") {
     val batch = files.filter($"filename".like("%.tar.gz") || $"filename" === "six")
     val exact = FileQueries.existingProbe(files, batch).collect().toSeq
-    val bloomed = FileQueries.existingProbeBloom(files, batch).collect().toSeq
+    // force the bloom path (bloomMinKeys = 0) — results must be
+    // identical to the exact probe regardless of which path runs
+    val bloomed = FileQueries.existingProbeBloom(files, batch, bloomMinKeys = 0L)
+      .collect().toSeq
     assert(bloomed == exact && exact.length == 3)
     // empty probe set still answers (empty), rather than erroring on a
     // zero-item bloom
@@ -137,8 +140,23 @@ class FileQueriesSpec extends SparkSpec {
     // expression below the verify join (check the ANALYZED plan: over
     // a LocalRelation the optimizer legitimately folds the filter into
     // the local rows; on a parquet scan it stays as a scan filter)
-    val plan = FileQueries.existingProbeBloom(files, batch)
+    val plan = FileQueries.existingProbeBloom(files, batch, bloomMinKeys = 0L)
       .queryExecution.analyzed.toString
     assert(plan.contains("graft_bloom_contains"), plan)
+  }
+
+  test("existingProbeBloom size dispatch: sub-threshold probe sets take the broadcast path") {
+    val batch = files.filter($"filename".like("%.tar.gz") || $"filename" === "six")
+    // at the default threshold (2^20 keys) this 3-key probe must NOT
+    // pay the bloom build — plan is the plain broadcast semi join
+    val small = FileQueries.existingProbeBloom(files, batch)
+    assert(!small.queryExecution.analyzed.toString.contains("graft_bloom_contains"))
+    assert(small.collect().toSeq == FileQueries.existingProbe(files, batch).collect().toSeq)
+    // the boundary is >=: exactly at bloomMinKeys the bloom path runs
+    val atBoundary = FileQueries.existingProbeBloom(files, batch, bloomMinKeys = 3L)
+    assert(atBoundary.queryExecution.analyzed.toString.contains("graft_bloom_contains"))
+    // one key below the boundary falls through
+    val below = FileQueries.existingProbeBloom(files, batch, bloomMinKeys = 4L)
+    assert(!below.queryExecution.analyzed.toString.contains("graft_bloom_contains"))
   }
 }
