@@ -527,11 +527,44 @@ object TextAnalysis {
     * absorbs hot terms; term strings never reach this exchange). The
     * df side joins back on term_h — vocabulary-sized, so it is NOT
     * hint-broadcast: AQE broadcasts it when it measures small, and
-    * shuffles when a 100 TB vocabulary doesn't. The per-doc top-k
-    * compiles to WindowGroupLimit (rank pushdown prunes to k rows per
-    * doc before the final sort). */
+    * shuffles when a 100 TB vocabulary doesn't. The per-doc top-k is
+    * a bounded-heap aggregate ([[graft.functions.TopKByScoreAgg]]):
+    * map-side partial aggregation cuts each partition to ≤ k entries
+    * per doc BEFORE the doc_id exchange and nothing ever sorts the
+    * posting stream — the window/WindowGroupLimit form this replaces
+    * still map-side-sorted every posting (r8 stage attribution
+    * measured that sort as the query's 2.4 s floor at sf1); kept as
+    * [[tfidfTopKWindow]] for the value-identity spec. */
   def tfidfTopK(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val topk = GraftSqlBridge.column(graft.functions.TopKByScoreAgg(
+        GraftSqlBridge.expression(col("score")),
+        GraftSqlBridge.expression(col("term")),
+        GraftSqlBridge.expression(col("tf")),
+        GraftSqlBridge.expression(col("df")), k).toAggregateExpression())
+    tfidfScored(docs)
+      .groupBy("doc_id").agg(topk.as("top"))
+      .select(col("doc_id"), explode(col("top")).as("t"))
+      .select(col("doc_id"), col("t.term").as("term"), col("t.tf").as("tf"),
+        col("t.df").as("df"), col("t.score").as("score"))
+      .orderBy(col("doc_id"), col("score").desc, col("term"))
+  }
+
+  /** The window/row_number form of [[tfidfTopK]] — value-identical
+    * (same keep-preference: score desc, term asc), kept as the spec
+    * twin and the measured NAIVE baseline the heap aggregate beat. */
+  def tfidfTopKWindow(docs: DataFrame, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tfidfScored(docs).withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("score").desc, col("term"))
+  }
+
+  /** Shared scoring core of the two top-k forms: in-row term
+    * frequencies, one df aggregate over hashed terms, AQE-decided
+    * join back, Robertson-rational score. */
+  private def tfidfScored(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
     // per-doc tf arrays feed two branches (the score join and the df
     // aggregate); cached so the tokenize+count pass runs once even
@@ -548,14 +581,10 @@ object TextAnalysis {
     val dfs = perDoc.select(explode(col("tfs.term_h")).as("term_h"))
       .groupBy("term_h").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = postings.join(dfs, Seq("term_h"))
+    postings.join(dfs, Seq("term_h"))
       .crossJoin(broadcast(nDocs))
       .withColumn("score", col("tf").cast("double") *
         ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
           (col("df").cast("double") + lit(0.5))))
-    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
-      .orderBy(col("doc_id"), col("score").desc, col("term"))
   }
 }

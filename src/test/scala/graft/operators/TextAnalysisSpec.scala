@@ -221,4 +221,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r1.getAs[Double]("score") == 3.0 * ((3.0 - 1.0 + 0.5) / (1.0 + 0.5)))
     assert(r1.getAs[Long]("tf") == 3L && r1.getAs[Long]("df") == 1L)
   }
+
+  test("tfidfTopK heap aggregate == window form row-for-row (incl. ties, <k docs)") {
+    // repartition(7) forces multi-partition partial buffers + a real
+    // merge; tie rows ("tie_a tie_b" — equal tf, equal df → equal
+    // score) pin the term-asc tie-break across both forms
+    val df = mk(
+      (1L, "shared shared rare1 rare1 rare1 tie_a tie_b", "en"),
+      (2L, "shared other other tie_a tie_b", "en"),
+      (3L, "shared alone", "en"),
+      (4L, "solo", "en"), // fewer terms than k
+      (5L, "x y z w v u t s r q p o n m", "en")
+    ).repartition(7)
+    for (k <- Seq(1, 3, 5)) {
+      val heap = TextAnalysis.tfidfTopK(df, k).collect().toSeq
+      val win = TextAnalysis.tfidfTopKWindow(df, k).collect().toSeq
+      assert(heap == win, s"k=$k: heap and window top-k diverge")
+    }
+  }
 }
