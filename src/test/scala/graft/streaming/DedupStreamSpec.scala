@@ -223,6 +223,62 @@ class DedupStreamSpec extends SparkSpec {
     val fpB = DedupStream.capFingerprint(
       Some(Seq(11L, 7L, 9L).toDF("shingle").repartition(3)))
     assert(fpA == fpB && fpA != "uncapped")
+    // the count+xor degeneracy is broken: {1,2} and {4,7} share size
+    // and raw xor (3), but the re-hashed third field separates them
+    val fpC = DedupStream.capFingerprint(Some(Seq(1L, 2L).toDF("shingle")))
+    val fpD = DedupStream.capFingerprint(Some(Seq(4L, 7L).toDF("shingle")))
+    assert(fpC != fpD)
+  }
+
+  test("torn base compaction: readers keep base+deltas; next compaction converges") {
+    import java.nio.file.Paths
+    val staging = Files.createTempDirectory("graft-ddcrash-in")
+    val state = Files.createTempDirectory("graft-ddcrash-state").toString
+    val out = Files.createTempDirectory("graft-ddcrash-out").toString
+    val ckpt = Files.createTempDirectory("graft-ddcrash-ckpt").toString
+    // batch 0 with compaction disabled → live delta-0, no base yet
+    Seq((1L, "aa bb cc dd ee")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(staging.toString)
+    DedupStream.continuousDedup(spark, staging.toString, state, out, ckpt,
+      compactEvery = 0L, trigger = Trigger.AvailableNow()).awaitTermination(120000)
+    assert(DedupStream.loadIndex(spark, state)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet == Set(1L))
+
+    // inject a compaction torn before the pointer flip: a complete but
+    // unpointed base snap dir whose meta claims delta-0 folded (if any
+    // reader consulted it, doc 1's shingles would vanish AND delta-0
+    // would read as retired), plus a stale temp pointer and a partial
+    // snap dir from a mid-write death
+    val orphan = s"$state/base/snap-999999999999999999"
+    Seq((0L, "ghost")).toDF("k", "v").write.parquet(orphan)
+    Files.writeString(Paths.get(s"$orphan/_snapmeta"),
+      "bucket_col=shingle\nbucket_n=16\ncap=uncapped\ncompacted_through=0")
+    Files.writeString(Paths.get(s"$state/base/.CURRENT-1"),
+      "snap-999999999999999999")
+    val partial = Paths.get(s"$state/base/snap-777777777777777777")
+    Files.createDirectories(partial)
+    Files.writeString(partial.resolve("part-00000-torn.parquet"), "torn")
+
+    // readers: no pointer was ever flipped, so the index view is still
+    // exactly the live delta — doc 1 present, nothing retired
+    assert(DedupStream.loadIndex(spark, state)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet == Set(1L))
+
+    // retry: batch 1 runs WITH compaction (1 % 1 == 0) — its decisions
+    // must still see doc 1 (the near-copy drops), and the compaction
+    // publishes a real base, retires the deltas, and sweeps the debris
+    Seq((2L, "aa bb cc dd ee"), (3L, "qq rr ss tt uu")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(staging.toString)
+    DedupStream.continuousDedup(spark, staging.toString, state, out, ckpt,
+      compactEvery = 1L, trigger = Trigger.AvailableNow()).awaitTermination(120000)
+    val decisions = spark.read.parquet(out)
+      .select("doc_id", "kept").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(decisions == Map(1L -> true, 2L -> false, 3L -> true), decisions.toString)
+    assert(DedupStream.compactedThrough(state) == 1L)
+    assert(DedupStream.loadIndex(spark, state)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    for (p <- Seq(orphan, s"$state/base/.CURRENT-1", partial.toString))
+      assert(!Files.exists(Paths.get(p)), s"debris not swept: $p")
   }
 
   test("null doc_id rows are excluded from decisions") {
