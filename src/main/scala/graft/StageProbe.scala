@@ -134,6 +134,66 @@ object StageProbe {
       graft.operators.Dedup.deltaPairsCappedOneScan(docs,
         isDelta = col("doc_id") % 10 === 0, n = 3, cap = 5L, threshold = 0.5))
 
+    // ---- ta_tfidf_top: the heap aggregate that replaced the window
+    // (same scored prefix, different finisher) — keeps the win and the
+    // remaining floor both on record
+    time("ta_tfidf_top", "heap_topk")({
+      val topk = GraftSqlBridge.column(graft.functions.TopKByScoreAgg(
+        GraftSqlBridge.expression(col("score")),
+        GraftSqlBridge.expression(col("term")),
+        GraftSqlBridge.expression(col("tf")),
+        GraftSqlBridge.expression(col("df")), 5).toAggregateExpression())
+      tfidfScored.groupBy("doc_id").agg(topk.as("top"))
+        .select(col("doc_id"), explode(col("top")).as("t"))
+    })
+
+    // ---- fi_cleanup_candidates prefixes: two scans + the anti join;
+    // smj_anti vs hash_anti isolates the sort cost of the default plan
+    val files = graft.tables.Tables.files(spark, sfDir)
+    val live = files.filter(col("path") =!= "/data/d7" && !col("filename").like("%99%"))
+    time("fi_cleanup_candidates", "scan_both")(
+      files.select("path", "filename").unionByName(live.select("path", "filename")))
+    time("fi_cleanup_candidates", "smj_anti")(
+      files.join(live.select("path", "filename"),
+        Seq("path", "filename"), "left_anti"))
+    time("fi_cleanup_candidates", "hash_anti")(
+      files.join(live.select("path", "filename").hint("shuffle_hash"),
+        Seq("path", "filename"), "left_anti"))
+    time("fi_cleanup_candidates", "full")(
+      graft.queries.FileQueries.cleanupCandidates(files, live))
+
+    // ---- ev_gap_percentiles prefixes: the per-user lag window vs the
+    // single-reducer exact percentile buffer
+    val events = graft.tables.Tables.events(spark, sfDir)
+    def gaps = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      events.select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+    }
+    time("ev_gap_percentiles", "lag_window")(gaps)
+    time("ev_gap_percentiles", "full")(
+      graft.streaming.Events.gapPercentiles(events))
+
+    // ---- q7_nation_trade prefixes: which join pays?
+    time("q7_nation_trade", "lineitem_filter")(
+      graft.tables.Tables.lineitem(spark, sfDir)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00"))))
+    time("q7_nation_trade", "orders_cust_join")({
+      val nation = graft.tables.Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+      val cust = graft.tables.Tables.customer(spark, sfDir)
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      graft.tables.Tables.orders(spark, sfDir)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("cust_nation"))
+    })
+    time("q7_nation_trade", "full")(
+      graft.queries.TpchQueries.q7Trade(spark, sfDir))
+
     // ---- mm_phash_pairs prefixes: is the cost the PNG encode, the
     // ImageIO decode + aHash, or the pigeonhole self-join?
     val docs3 = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -268,9 +268,22 @@ object FileQueries {
 
   /** C4 — cleanup semantics as a relational op (indexer.py:1028-1291):
     * rows of `index` whose (path, filename) no longer appear in
-    * `live` are the deletions — a left anti join. */
+    * `live` are the deletions — a left anti join.
+    *
+    * SHUFFLE_HASH hint on the probe set: both sides are index-scale
+    * (live ≈ the whole corpus), so the anti join must shuffle — but
+    * Spark's default pick is sort-merge, which sorts BOTH sides on the
+    * long (path, filename) string key just to stream them. An anti
+    * join needs only membership, not order: the shuffled hash form
+    * builds a per-partition table from `live` and probes it, deleting
+    * both sorts (measured 1.16 s → 0.61 s at sf1 — DuckDB's own plan
+    * is a hash anti join). Build-side safety at 100 TB: the build is
+    * `live` hash-partitioned on a near-unique composite key (no skew
+    * by construction), so per-partition build size is live/partitions
+    * — the standard sizing story, same as every hash aggregate. */
   def cleanupCandidates(index: DataFrame, live: DataFrame): DataFrame =
-    index.join(live.select("path", "filename"), Seq("path", "filename"), "left_anti")
+    index.join(live.select("path", "filename").hint("shuffle_hash"),
+        Seq("path", "filename"), "left_anti")
       .orderBy(col("path"), col("filename"))
 
   /** D1 — CLI stats (indexer.py:847-913). Single pass, single row.
