@@ -221,6 +221,41 @@ object Similarity {
     * a pair with p ≈ 0.54¹⁶ ≈ 5·10⁻⁵. Each additional 8 tables
     * multiplies the miss rate by ≈ 0.007 (32 tables ≈ 3·10⁻⁹) — size
     * `tables` to the corpus's pair count and loss tolerance. */
+  /** The decade guard's PARAMETER DERIVATION as a pure function of
+    * (corpus size, operating point), so the behavior at data scales no
+    * testbed reaches (bits saturating at 24 ≈ 10⁹ vectors at load 64,
+    * the recall-dispatch frontier) is spec-pinned as math rather than
+    * left to a run nothing can afford. Returns None when LSH is
+    * outside its sub-quadratic domain at this (n, threshold) — the
+    * caller must dispatch to the balanced exact join — else
+    * Some((bitsEff, tablesEff)).
+    *
+    * Derivation (see the in-body commentary of [[cosinePairsLsh]] for
+    * the measured history): bits auto-scale as ceil(log2(n / load))
+    * so expected per-table bucket load stays ~[[LshLoadTarget]]
+    * (buckets grow WITH the corpus; expected candidates collapse from
+    * Θ((T/2^bits)·n²) to Θ(T·n·load)); bits are capped at 24 — past
+    * ~10⁹ vectors per partition-set the bucket count stops growing
+    * and candidate volume resumes quadratic growth per decade, which
+    * is the documented ceiling for ONE LSH domain (shard the corpus
+    * above it); tables re-target ≥95% recall AT THE CALLER'S
+    * THRESHOLD: per-bit collision p₁ = 1 − θ/π, miss ≤ e^(−T·p₁^bits)
+    * ≤ e⁻³ at T = 3/p₁^bits. When that T exceeds [[LshTablesMax]] the
+    * threshold is too low for sub-quadratic LSH at this n → None.
+    * Small corpora (bitsEff == bits) keep the caller's exact
+    * parameters — byte-identical to the pre-guard behavior. */
+  private[graft] def lshParams(n: Long, threshold: Double,
+      tables: Int, bits: Int): Option[(Int, Int)] = {
+    val bitsEff = math.min(24, math.max(bits,
+      math.ceil(math.log(n.toDouble / LshLoadTarget) / math.log(2)).toInt))
+    val p1 = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    val tablesNeeded = 3.0 / math.pow(p1, bitsEff)
+    if (bitsEff > bits && tablesNeeded > LshTablesMax) None
+    else Some((bitsEff,
+      if (bitsEff == bits) tables
+      else math.max(tables, math.ceil(tablesNeeded).toInt)))
+  }
+
   def cosinePairsLsh(emb: DataFrame, threshold: Double,
       tables: Int = 16, bits: Int = 5): DataFrame = {
     // COST GUARD — the sf1 gate's catch (r7): a RANDOM pair collides
@@ -281,15 +316,10 @@ object Similarity {
     // two cold scans.
     val prep = OpCaches.track(prepared(emb))
     val n = prep.count()
-    val bitsEff = math.min(24, math.max(bits,
-      math.ceil(math.log(n.toDouble / LshLoadTarget) / math.log(2)).toInt))
-    val p1 = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
-    val tablesNeeded = 3.0 / math.pow(p1, bitsEff)
-    if (bitsEff > bits && tablesNeeded > LshTablesMax)
+    val params = lshParams(n, threshold, tables, bits)
+    if (params.isEmpty)
       return cosinePairsBlockedPrepared(prep, threshold).orderBy("vec_a", "vec_b")
-    val tablesEff =
-      if (bitsEff == bits) tables
-      else math.max(tables, math.ceil(tablesNeeded).toInt)
+    val (bitsEff, tablesEff) = params.get
     val planes = LshPlanes.planesFor(tablesEff, bitsEff, seed = 977L)
     // one native expression for all table keys (posexplode → (tbl, bkey));
     // identical keys to the per-table HOF columns, none of their

@@ -208,6 +208,47 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == exact.toSeq)
   }
 
+  test("lshParams pins the decade boundaries no testbed reaches (pure math)") {
+    // small corpora: byte-identical to the caller's parameters
+    assert(Similarity.lshParams(1000L, 0.9, tables = 16, bits = 5)
+      .contains((5, 16)))
+    // bits grow as ceil(log2(n/64)): one decade of data ≈ +3.3 bits
+    def bitsAt(n: Long) =
+      Similarity.lshParams(n, 0.9, 16, 5).map(_._1).getOrElse(-1)
+    assert(bitsAt(64L << 10) == 10)
+    assert(bitsAt(64L << 15) == 15)
+    assert(bitsAt(64L << 20) == 20)
+    // SATURATION: bits cap at 24 — beyond ~10^9 vectors (64 * 2^24)
+    // the bucket domain stops growing; the cap is the documented
+    // single-domain ceiling, and tables stop growing with it (recall
+    // is a function of (threshold, bits) only)
+    val atCap = Similarity.lshParams(64L << 24, 0.9, 16, 5).get
+    val pastCap = Similarity.lshParams((64L << 24) * 100, 0.9, 16, 5).get
+    assert(atCap._1 == 24 && pastCap == atCap)
+    // recall re-targeting: tables = ceil(3 / p1^bits) at the caller's
+    // threshold once the guard engages (p1(0.9) ≈ 0.8564)
+    val p1 = 1.0 - math.acos(0.9) / math.Pi
+    val (b10, t10) = Similarity.lshParams(64L << 10, 0.9, 16, 5).get
+    assert(t10 == math.max(16, math.ceil(3.0 / math.pow(p1, b10)).toInt))
+    // tables within budget at the design point even at the cap:
+    // 3 / p1(0.9)^24 ≈ 124 <= LshTablesMax = 128 — high-threshold LSH
+    // stays affordable at a billion vectors
+    assert(atCap._2 <= Similarity.LshTablesMax)
+    // the recall-dispatch frontier is threshold-monotone: at any fixed
+    // n past the guard, low thresholds fall through (None), high ones
+    // keep LSH — and the frontier moves DOWN as bits shrink
+    val n = 64L << 10
+    assert(Similarity.lshParams(n, 0.2, 16, 5).isEmpty)
+    assert(Similarity.lshParams(n, 0.9, 16, 5).nonEmpty)
+    val frontier = (20 to 95).map(_ / 100.0)
+      .map(t => Similarity.lshParams(n, t, 16, 5).nonEmpty)
+    assert(frontier.sliding(2).forall(w => !w.head || w.last),
+      "dispatch frontier not monotone in threshold")
+    // a caller-forced bits value is never shrunk (bitsEff >= bits),
+    // and the caller's own (possibly oversized) tables are kept
+    assert(Similarity.lshParams(100L, 0.9, 64, 12).contains((12, 64)))
+  }
+
   test("knnLabel: majority vote with deterministic tie-break and correctness flag") {
     // query 0 (label 0): neighbors by cosine are 1 (lbl 0), 4 (lbl 1),
     // 2 (lbl 0), 3 (lbl 2) -> k=3 votes {0:2, 1:1} -> predicts 0, correct
