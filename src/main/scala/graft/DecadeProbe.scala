@@ -71,6 +71,23 @@ object DecadeProbe {
       // --- capped dedup family ---
       run("dd_one_scan_capped")(Dedup.deltaPairsCappedOneScan(
         docs, isDelta = col("doc_id") % 10 === 0, n = 3, cap = 5L, threshold = 0.5))
+      // pathological BOILERPLATE corpus at the same doc count: every
+      // doc = a 60-token shared preamble + a 10-token unique tail, so
+      // ~6/7 of all shingle instances hash to the same ~58 hot keys
+      // (df = n). The hot-set aggregate must collapse them map-side
+      // (algebraic count), the capped index must drop them wholesale,
+      // and the surviving join must see only the unique tails — if any
+      // stage materializes the hot postings, this row explodes while
+      // the organic-corpus row above stays flat.
+      run("dd_one_scan_boilerplate") {
+        val boiler = (0 until 60).map(i => s"bp$i").mkString(" ")
+        val docsB = spark.range(nDocs).select(col("id").as("doc_id"),
+          concat(lit(boiler + " "), concat_ws(" ",
+            expr("transform(sequence(0, 9), j -> concat('u', cast(id * 10 + j as string)))")))
+            .as("text"))
+        Dedup.deltaPairsCappedOneScan(docsB,
+          isDelta = col("doc_id") % 10 === 0, n = 3, cap = 5L, threshold = 0.5)
+      }
       // the steady-state (persisted) shape: hot set + capped corpus
       // index built once, then the delta probes it — timed END-TO-END
       // here (publish cost included) so the two shapes are comparable
@@ -90,6 +107,13 @@ object DecadeProbe {
       run("dd_shingle_df_hist")(Dedup.shingleDfHistogram(docs))
       run("dd_clusters_e2e")(Dedup.clusters(
         Dedup.jaccardPairsRaw(docs).select("doc_a", "doc_b")))
+      // the distributed min-label fallback FORCED (maxDriverEdges = 0)
+      // on the same organic graph: pins the >budget path's wall per
+      // decade, so the driver union-find's escape hatch has its own
+      // scale curve instead of only the r8 113M-edge anecdote
+      run("dd_clusters_distributed")(Dedup.clusters(
+        Dedup.jaccardPairsRaw(docs).select("doc_a", "doc_b"),
+        maxDriverEdges = 0L))
       // --- text ---
       run("ta_tfidf_top")(TextAnalysis.tfidfTopK(docs, k = 5))
       run("ta_bigram_rarity")(TextAnalysis.bigramRarity(docs))
@@ -105,14 +129,18 @@ object DecadeProbe {
       run("mm_phash_pairs")(Multimodal.phashPairs(
         Multimodal.imagePHash(spark,
           Multimodal.imageTableWithVariants(spark, docs)).toDF()))
-      // the production twin: per-image cluster assignment — output
-      // LINEAR in images where the pair list above is output-bound
-      // (quadratic in clique size on this generator's replica cliques)
+      // the production twin: per-image cluster assignment — CC over
+      // the clique-LINEAR spanning edge set (identical-hash quotient),
+      // not the pair contract's O(c²) output; both wall AND edge count
+      // must now grow ~linearly in images where the r8 probe measured
+      // the pairs-fed path edge-bound (113M edges / 399 s at sf10)
       run("mm_phash_clusters")(Dedup.clusters(
-        Multimodal.phashPairs(
+        Multimodal.phashSpanningEdges(
           Multimodal.imagePHash(spark,
-            Multimodal.imageTableWithVariants(spark, docs)).toDF())
-          .select("doc_a", "doc_b")))
+            Multimodal.imageTableWithVariants(spark, docs)).toDF())))
+      run("mm_phash_spanning_edges")(Multimodal.phashSpanningEdges(
+        Multimodal.imagePHash(spark,
+          Multimodal.imageTableWithVariants(spark, docs)).toDF()))
       // --- streaming dedup batch core: one incremental batch decided
       // against a loaded index (the foreachBatch body minus the sink
       // IO), at the 10%-delta split the oracle rows use ---

@@ -219,6 +219,35 @@ object NaiveCompare {
     val n6 = report("tfidf_top_20x", "naive", naiveTfidf)
     require(r6 == n6, s"tfidf row counts diverge: $r6 vs $n6")
 
+    // ---- per-doc top-k: bounded-heap aggregate vs window rank --------
+    // Same scored postings; the window form map-side sorts the FULL
+    // posting stream before WindowGroupLimit prunes to k (r8 stage
+    // attribution: that sort was the query's floor), the heap
+    // aggregate cuts each partition to <= k rows per doc pre-exchange
+    // and never sorts the stream. Value identity is spec-enforced
+    // (TextAnalysisSpec); this records the measured constant factor.
+    val r6h = report("tfidf_topk_heap", "rewrite",
+      graft.operators.TextAnalysis.tfidfTopK(big, k = 5))
+    val n6h = report("tfidf_topk_heap", "naive",
+      graft.operators.TextAnalysis.tfidfTopKWindow(big, k = 5))
+    require(r6h == n6h, s"tfidf heap/window row counts diverge: $r6h vs $n6h")
+
+    // ---- existence probe: size-dispatched vs forced bloom prefilter --
+    // Records the crossover price the dispatch avoids: below the
+    // broadcast threshold the bloom build (sizing count + distributed
+    // fold + filter shipping) is pure overhead over the plain
+    // broadcast semi join that answers the same probe. The naive
+    // variant forces the bloom path (bloomMinKeys = 0).
+    if (enabled("probe_bloom_dispatch")) {
+      val files = graft.tables.Tables.files(spark, sfDir)
+      val batch = files.filter(col("filename").like("%.log"))
+      val rPb = report("probe_bloom_dispatch", "rewrite",
+        graft.queries.FileQueries.existingProbeBloom(files, batch))
+      val nPb = report("probe_bloom_dispatch", "naive",
+        graft.queries.FileQueries.existingProbeBloom(files, batch, bloomMinKeys = 0L))
+      require(rPb == nPb, s"probe dispatch row counts diverge: $rPb vs $nPb")
+    }
+
     // ---- token run counting: native byte pass vs three regex passes --
     // The regex form materializes an array of every match per pattern
     // just to take its size; counting is the whole contract, so the

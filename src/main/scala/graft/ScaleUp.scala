@@ -43,9 +43,13 @@ object ScaleUp {
     // mirror duplicate, the generator degeneracy this tool exists to
     // avoid. P = 101 for k ≤ 50 (BYTE-IDENTICAL to every sf1 artifact
     // generated before the k ≤ 100 extension); P = 211 gives 105
-    // distinct patterns for the sf10 decade (k = 100).
-    require(k >= 1 && k <= 100, s"k must be in [1, 100], got $k")
-    val P = if (k <= 50) 101 else 211
+    // distinct patterns for the sf10 decade (k = 100); P = 2003 covers
+    // the sf100 decade (k = 1000; 2i+1 ≤ 1999 < 2003, all distinct).
+    // Id strides are 1M, so the INPUT's ids must stay under 1M — scale
+    // from the base testdata, never from an already-scaled output
+    // (whose ids reach k·1M and would collide across replicas).
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    val P = if (k <= 50) 101 else if (k <= 100) 211 else 2003
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -57,7 +61,12 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
 
     def in(name: String): DataFrame = spark.read.parquet(s"$inDir/$name.parquet")
-    def write(name: String, df: DataFrame, parts: Int): Unit = {
+    // optional comma-separated table allowlist: a docs-only decade
+    // probe need not pay for (or store) a 12 GB lineitem
+    val onlyTables = sys.env.get("GRAFT_SCALEUP_TABLES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def write(name: String, df: => DataFrame, parts: Int): Unit = {
+      if (!onlyTables.forall(_.contains(name))) return
       df.repartition(parts)
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       println(s"[scaleup] $name: ${spark.read.parquet(s"$outDir/$name.parquet").count()} rows")
