@@ -316,6 +316,11 @@ object Similarity {
     // two cold scans.
     val prep = OpCaches.track(prepared(emb))
     val n = prep.count()
+    // empty corpus: no pairs, and the dims probe below would head() an
+    // empty frame — answer with the typed empty relation
+    if (n == 0L)
+      return prep.select(col("vec_id").as("vec_a"), col("vec_id").as("vec_b"),
+        col("nrm").as("cosine")).limit(0)
     val params = lshParams(n, threshold, tables, bits)
     if (params.isEmpty)
       return cosinePairsBlockedPrepared(prep, threshold).orderBy("vec_a", "vec_b")
@@ -335,19 +340,100 @@ object Similarity {
     // per-candidate row ever reaches an exchange — only ≥-threshold
     // survivors (plus the bounded ≤tables× scoring duplication, which
     // the final distinct dedups) leave the partition.
-    val bk = prep.select(col("vec_id"), col("v"), col("nrm"),
-      posexplode(LshPlanes.keysCol(col("embedding"), planes)).as(Seq("tbl", "bkey")))
-    bk.select(col("tbl"), col("bkey"), col("vec_id").as("ida"),
-        col("v").as("va"), col("nrm").as("na"))
-      .join(bk.select(col("tbl"), col("bkey"), col("vec_id").as("idb"),
-        col("v").as("vb"), col("nrm").as("nb")), Seq("tbl", "bkey"))
-      .filter(col("ida") < col("idb"))
-      .select(col("ida").as("vec_a"), col("idb").as("vec_b"),
-        (VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
-      .filter(col("cosine") >= threshold)
-      .distinct()
-      .orderBy("vec_a", "vec_b")
+    // EXCHANGE SIZING (r9, caught by the sf100 probe): the fat bucket
+    // rows are n·tables·(8·dims + ~40 B) through ONE exchange — at 2M
+    // 64-dim vectors and the 93 tables the recall target demands,
+    // that is ~100 GB, and the session's default partition count
+    // (cores) gave ~3 GB sort buffers per task: the shuffle died in
+    // SPILL_OUT_OF_MEMORY. Volume is the design's honest price (the
+    // id-only alternative re-sorts a 10⁸-row candidate stream instead
+    // — the r8 sf10 death); the fix is to SHARD it: explicitly hash-
+    // partition both join inputs on (tbl, bkey) into
+    // ceil(volume / 128 MB) partitions, so per-task sort state stays
+    // bounded no matter the corpus. Both sides share the partitioning,
+    // so the join adds no further exchange; explicit repartition
+    // counts are exempt from AQE coalescing.
+    val dims = prep.select(size(col("v"))).head().getInt(0)
+    val rowBytes = 8L * dims + 40L
+    val defaultParts = prep.sparkSession.sessionState.conf.numShufflePartitions
+
+    // One table-group's bucket self-join: fat rows hash-partitioned on
+    // (tbl, bkey) into ceil(volume / 128 MB) partitions so per-task
+    // sort state stays bounded (at the session default the sf100
+    // reduce side died in SPILL_OUT_OF_MEMORY at ~3 GB/task), and the
+    // corpus pre-spread across the same partition count BEFORE the
+    // posexplode so the ~tables× blow-up happens in many small map
+    // tasks, not cores-many huge ones (the shuffle-WRITE side of the
+    // same sf100 failure). Both join inputs share one partitioning —
+    // the join adds no further exchange, and explicit repartition
+    // counts are exempt from AQE coalescing.
+    def bucketPairs(tablePlanes: Seq[Seq[Seq[Int]]]): DataFrame = {
+      val exchangeParts = math.max(defaultParts,
+        math.min(4096L, n * tablePlanes.length * rowBytes / (128L << 20)).toInt)
+      val spread =
+        if (exchangeParts > defaultParts) prep.repartition(exchangeParts) else prep
+      val bk = spread.select(col("vec_id"), col("v"), col("nrm"),
+          posexplode(LshPlanes.keysCol(col("embedding"), tablePlanes)).as(Seq("tbl", "bkey")))
+        .repartition(exchangeParts, col("tbl"), col("bkey"))
+      bk.select(col("tbl"), col("bkey"), col("vec_id").as("ida"),
+          col("v").as("va"), col("nrm").as("na"))
+        .join(bk.select(col("tbl"), col("bkey"), col("vec_id").as("idb"),
+          col("v").as("vb"), col("nrm").as("nb")), Seq("tbl", "bkey"))
+        .filter(col("ida") < col("idb"))
+        .select(col("ida").as("vec_a"), col("idb").as("vec_b"),
+          (VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+        .filter(col("cosine") >= threshold)
+    }
+
+    // SCRATCH BUDGET (r9, the sf100 probe's second catch): the fat-row
+    // exchange's TOTAL volume is n·tables·rowBytes — partitioning
+    // bounds per-task memory but every byte still lands on shuffle
+    // scratch at once, and at 2M vectors × 93 tables (~100 GB) it
+    // overran this machine's 71 GB of free disk (ENOSPC mid-stage).
+    // When the estimated volume exceeds the budget, the tables are
+    // processed in SEQUENTIAL groups: each group is a full bucket join
+    // over a slice of the tables, its (tiny) ≥-threshold survivors are
+    // materialized via localCheckpoint, and the group's shuffle files
+    // are handed to the ContextCleaner before the next group starts —
+    // peak scratch is one group's volume, wall cost is the same total
+    // IO serialized. Recall is unchanged: a pair survives iff it
+    // collides in ANY table, and union-over-groups ∪ distinct computes
+    // exactly that disjunction (the final distinct already existed to
+    // dedup multi-table collisions within one pass).
+    val budget = lshScratchBudgetBytes(prep.sparkSession)
+    val groups = math.max(1L,
+      math.min(tablesEff.toLong, (n * tablesEff * rowBytes + budget - 1) / budget)).toInt
+    val survivors =
+      if (groups == 1) bucketPairs(planes)
+      else {
+        val perGroup = math.ceil(tablesEff.toDouble / groups).toInt
+        planes.grouped(perGroup).toSeq.map { slice =>
+          val out = bucketPairs(slice).localCheckpoint() // eager: survivors only
+          // the finished group's ShuffleDependencies are now garbage;
+          // an explicit GC enqueues them for the ContextCleaner so the
+          // next group's writes don't stack on the last one's files
+          // (the 5min periodic cleaner is too coarse at group cadence)
+          System.gc()
+          out
+        }.reduce(_ unionByName _)
+      }
+    survivors.distinct().orderBy("vec_a", "vec_b")
   }
+
+  /** Scratch budget for one LSH exchange group:
+    * `graft.lsh.scratchBudgetBytes` when set, else 40% of the usable
+    * space of the first `spark.local.dir` (exact in local mode where
+    * driver scratch IS executor scratch; a conservative driver-side
+    * proxy on a cluster, where operators should set the conf from the
+    * executors' real scratch sizing). Floor of 1 GB so a full disk
+    * degrades to per-table groups instead of a zero-division. */
+  private def lshScratchBudgetBytes(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("graft.lsh.scratchBudgetBytes").flatMap(_.toLongOption)
+      .getOrElse {
+        val dir = spark.conf.getOption("spark.local.dir").map(_.split(",")(0))
+          .getOrElse(System.getProperty("java.io.tmpdir"))
+        math.max(1L << 30, (new java.io.File(dir).getUsableSpace * 0.4).toLong)
+      }
 
   /** SemDeDup-style cell-blocked semantic near-dup pairs: k-means
     * cells (the deterministic IVF trainer) are the BLOCKING key — a

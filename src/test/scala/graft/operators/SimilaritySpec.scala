@@ -208,6 +208,32 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == exact.toSeq)
   }
 
+  test("cosinePairsLsh scratch groups: sequential table groups == one-pass pair set") {
+    // clustered fixture with real pairs; force the grouped path with a
+    // tiny scratch budget (the volume estimate for this corpus is a
+    // few MB, so 64 KB → many groups) and compare against the
+    // effectively-unbounded single-pass run
+    def base(c: Int): Array[Float] =
+      Array.tabulate(32)(i => (((c * 2654435761L + i * 40503L) % 1000) / 500.0f - 1.0f))
+    val df = (for { c <- 0 until 12; m <- 0 until 3 } yield {
+      val b = base(c)
+      val v = b.indices.map(i => b(i) + (((c * 31 + m * 7 + i) % 5) - 2) * 0.02f).toArray
+      ((c * 3 + m).toLong, v)
+    }).toDF("vec_id", "embedding")
+    def run(): Set[(Long, Long)] = {
+      val r = Similarity.cosinePairsLsh(df, threshold = 0.9, tables = 8, bits = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      OpCaches.releaseAll()
+      r
+    }
+    spark.conf.set("graft.lsh.scratchBudgetBytes", Long.MaxValue.toString)
+    val onePass = run()
+    assert(onePass.nonEmpty)
+    spark.conf.set("graft.lsh.scratchBudgetBytes", "65536")
+    try assert(run() == onePass)
+    finally spark.conf.unset("graft.lsh.scratchBudgetBytes")
+  }
+
   test("lshParams pins the decade boundaries no testbed reaches (pure math)") {
     // small corpora: byte-identical to the caller's parameters
     assert(Similarity.lshParams(1000L, 0.9, tables = 16, bits = 5)
