@@ -93,7 +93,7 @@ object Soak {
     val q = graft.streaming.DedupStream.continuousDedup(
       spark, staging, state, outDir, ckpt,
       n = 3, threshold = 0.5,
-      trigger = Trigger.ProcessingTime("200ms"),
+      trigger = Trigger.ProcessingTime("200 milliseconds"),
       compactEvery = 16L, numBuckets = 16,
       readOptions = Map("maxFilesPerTrigger" -> "1"))
 
