@@ -71,5 +71,14 @@ class IndexManifestSpec extends SparkSpec {
     val none = IndexManifest.manifest(spark,
       Seq(IndexManifest.ann(Files.createTempDirectory("graft-mani-ann").toString)))
     assert(none.isEmpty)
+    // torn-publish debris surfaces as a live=false base row (pointer
+    // exists, directory doesn't) — visible, not an exception
+    val torn = Files.createTempDirectory("graft-mani-torn").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$torn/CURRENT"), "snap-000000000000000001")
+    val tornRow = IndexManifest.manifest(spark, Seq(IndexManifest.core(torn)))
+      .collect()
+    assert(tornRow.length == 1 && tornRow(0).getString(2) == "base" &&
+      !tornRow(0).getBoolean(6) && tornRow(0).getLong(5) == -1L)
   }
 }
