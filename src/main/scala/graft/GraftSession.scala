@@ -54,6 +54,18 @@ object GraftSession {
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
     "spark.sql.files.maxPartitionBytes" -> "268435456",
     "spark.sql.parquet.aggregatePushdown" -> "true")
+  // MEASURED INCONCLUSIVE (r9), kept on record: raising
+  // spark.sql.objectHashAggregate.sortBased.fallbackThreshold from its
+  // default 128 to 8192 — so TypedImperativeAggregate partials (the
+  // bounded-heap top-k) stay hash-mode instead of falling back to
+  // sort-based — moved ta_tfidf_top at the sf100 probe by less than
+  // run-to-run machine variance (isolated runs: 117 s with, 134 s
+  // without, vs 44 s measured inside the warm full sweep — the
+  // cold-vs-warm delta dwarfs the knob). The heap aggregate's win
+  // comes from the ≤k-per-group OUTPUT bound, which both partial modes
+  // deliver; the fallback's group-key sort of one partition's postings
+  // is not the cost the old window's (score, term) sort was. Left at
+  // the Spark default.
 
   /** Startup-only knobs — read at SparkContext creation, so they can
     * only take effect through [[builder]], never [[configure]] on a
