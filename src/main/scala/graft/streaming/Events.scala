@@ -836,30 +836,39 @@ object Events {
   def gapPercentiles(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    val ps = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
-    val indexed = gapsOf(events).select(col("gap_us"))
-      .orderBy("gap_us").rdd.map(_.getLong(0))
+    val (n, v) = exactPercentiles(
+      gapsOf(events).select("gap_us"), "gap_us", Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+    Seq((n, v(0), v(1), v(2), v(3), v(4)))
+      .toDF("n_gaps", "p25", "p50", "p75", "p90", "p99")
+  }
+
+  /** Exact interpolated percentiles of a LongType column via a
+    * distributed range-partitioned sort + rank pick — the scale form
+    * of `percentile(col, p)`, which buffers every value in ONE
+    * reducer. Interpolation is Spark `percentile`'s own
+    * `lower·(1−frac) + higher·frac` (matches DuckDB's quantile_cont
+    * bit-for-bit on integers — oracle-pinned). Eager: a few narrow
+    * one-column jobs; collects ≤ 2·|ps| rows. Returns (count, one
+    * value per p; all None on empty input). */
+  private[streaming] def exactPercentiles(df: DataFrame, column: String,
+      ps: Seq[Double]): (Long, Seq[Option[Double]]) = {
+    val indexed = df.select(col(column))
+      .orderBy(column).rdd.map(_.getLong(0))
       .zipWithIndex().map(_.swap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = indexed.count()
-      if (n == 0L) {
-        val none = Option.empty[Double]
-        return Seq((0L, none, none, none, none, none))
-          .toDF("n_gaps", "p25", "p50", "p75", "p90", "p99")
-      }
+      if (n == 0L) return (0L, ps.map(_ => Option.empty[Double]))
       val positions = ps.map(p => p * (n - 1))
       val ranks = positions
         .flatMap(x => Seq(math.floor(x).toLong, math.ceil(x).toLong)).toSet
       val byRank = indexed.filter { case (r, _) => ranks(r) }.collect().toMap
-      val vals = positions.map { pos =>
+      (n, positions.map { pos =>
         val lo = math.floor(pos).toLong
         val hi = math.ceil(pos).toLong
         val d = pos - lo
-        byRank(lo) * (1.0 - d) + byRank(hi) * d
-      }
-      Seq((n, Some(vals(0)), Some(vals(1)), Some(vals(2)), Some(vals(3)), Some(vals(4))))
-        .toDF("n_gaps", "p25", "p50", "p75", "p90", "p99")
+        Some(byRank(lo) * (1.0 - d) + byRank(hi) * d)
+      })
     } finally { indexed.unpersist(false); () }
   }
 
@@ -881,29 +890,39 @@ object Events {
     when(exact === 0, approx === 0)
       .otherwise(abs(approx.cast("double") / exact.cast("double") - 1.0) <= pct)
 
-  /** [[gapPercentiles]]' APPROX twin — the event-scale form: exact
-    * `percentile` buffers the whole gap column in one aggregate
-    * (a sort's worth of memory at 100 TB), `approx_percentile` is a
-    * one-pass mergeable quantile summary. Contract row (the
-    * fi_size_percentiles_approx pattern): the exact values
-    * hash-compare against DuckDB's quantile_cont, and booleans assert
-    * the sketch landed within 10% relative value error — far above
-    * accuracy 10000's rank error on this data, so the row fails only
-    * if the sketch genuinely breaks. */
-  def gapPercentilesApprox(events: DataFrame): DataFrame =
-    gapsOf(events)
-      .agg(count(lit(1)).as("n_gaps"),
-        expr("percentile(gap_us, 0.5D)").as("exact_p50"),
-        expr("percentile(gap_us, 0.9D)").as("exact_p90"),
-        expr("percentile(gap_us, 0.99D)").as("exact_p99"),
+  /** [[gapPercentiles]]' APPROX twin — the event-scale form:
+    * `approx_percentile` is a one-pass mergeable quantile summary.
+    * Contract row (the fi_size_percentiles_approx pattern): the exact
+    * values hash-compare against DuckDB's quantile_cont, and booleans
+    * assert the sketch landed within 10% relative value error — far
+    * above accuracy 10000's rank error on this data, so the row fails
+    * only if the sketch genuinely breaks. The exact reference values
+    * come from the SAME distributed sort + rank pick as
+    * [[gapPercentiles]] (not the single-reducer `percentile`
+    * aggregate — the contract's reference must itself hold at the
+    * scale the sketch exists for); the gap column is cached so the
+    * sort and the sketch share one upstream pass, and the sketch
+    * aggregate cross-joins the 1-row exact relation so the
+    * bounds-check logic stays in the plan. */
+  def gapPercentilesApprox(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gaps = graft.operators.OpCaches.track(gapsOf(events).select("gap_us"))
+    val (n, ex) = exactPercentiles(gaps, "gap_us", Seq(0.5, 0.9, 0.99))
+    val exact = Seq((n, ex(0), ex(1), ex(2)))
+      .toDF("n_gaps", "exact_p50", "exact_p90", "exact_p99")
+    gaps
+      .agg(
         expr("approx_percentile(gap_us, 0.5D, 10000)").as("a50"),
         expr("approx_percentile(gap_us, 0.9D, 10000)").as("a90"),
         expr("approx_percentile(gap_us, 0.99D, 10000)").as("a99"))
+      .crossJoin(broadcast(exact))
       .select(col("n_gaps"), col("exact_p50"), col("exact_p90"),
         col("exact_p99"),
         withinPct(col("a50"), col("exact_p50"), 0.10).as("p50_in_bounds"),
         withinPct(col("a90"), col("exact_p90"), 0.10).as("p90_in_bounds"),
         withinPct(col("a99"), col("exact_p99"), 0.10).as("p99_in_bounds"))
+  }
 
   /** [[sessionPercentiles]]' APPROX twin over the session-duration
     * column — same contract shape as [[gapPercentilesApprox]]: exact
