@@ -901,27 +901,25 @@ object Events {
     * [[gapPercentiles]] (not the single-reducer `percentile`
     * aggregate — the contract's reference must itself hold at the
     * scale the sketch exists for); the gap column is cached so the
-    * sort and the sketch share one upstream pass, and the sketch
-    * aggregate cross-joins the 1-row exact relation so the
-    * bounds-check logic stays in the plan. */
+    * sort and the sketch share one upstream pass, and the exact
+    * values — being driver-known — enter the sketch aggregate's plan
+    * as LITERALS, so the bounds-check logic stays in the plan with no
+    * join node at all. */
   def gapPercentilesApprox(events: DataFrame): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
     val gaps = graft.operators.OpCaches.track(gapsOf(events).select("gap_us"))
     val (n, ex) = exactPercentiles(gaps, "gap_us", Seq(0.5, 0.9, 0.99))
-    val exact = Seq((n, ex(0), ex(1), ex(2)))
-      .toDF("n_gaps", "exact_p50", "exact_p90", "exact_p99")
+    def exLit(o: Option[Double]): Column =
+      o.map(lit).getOrElse(lit(null)).cast("double")
     gaps
       .agg(
         expr("approx_percentile(gap_us, 0.5D, 10000)").as("a50"),
         expr("approx_percentile(gap_us, 0.9D, 10000)").as("a90"),
         expr("approx_percentile(gap_us, 0.99D, 10000)").as("a99"))
-      .crossJoin(broadcast(exact))
-      .select(col("n_gaps"), col("exact_p50"), col("exact_p90"),
-        col("exact_p99"),
-        withinPct(col("a50"), col("exact_p50"), 0.10).as("p50_in_bounds"),
-        withinPct(col("a90"), col("exact_p90"), 0.10).as("p90_in_bounds"),
-        withinPct(col("a99"), col("exact_p99"), 0.10).as("p99_in_bounds"))
+      .select(lit(n).as("n_gaps"), exLit(ex(0)).as("exact_p50"),
+        exLit(ex(1)).as("exact_p90"), exLit(ex(2)).as("exact_p99"),
+        withinPct(col("a50"), exLit(ex(0)), 0.10).as("p50_in_bounds"),
+        withinPct(col("a90"), exLit(ex(1)), 0.10).as("p90_in_bounds"),
+        withinPct(col("a99"), exLit(ex(2)), 0.10).as("p99_in_bounds"))
   }
 
   /** [[sessionPercentiles]]' APPROX twin over the session-duration
