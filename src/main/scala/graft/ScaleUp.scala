@@ -65,6 +65,24 @@ object ScaleUp {
     // probe need not pay for (or store) a 12 GB lineitem
     val onlyTables = sys.env.get("GRAFT_SCALEUP_TABLES")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    /** Enforce the ids-under-stride precondition LOUDLY: an input that
+      * is itself a scaled output carries ids up to k·stride, and the
+      * per-replica shifts would silently collide — producing exactly
+      * the mirror-duplicate degeneracy this generator exists to avoid.
+      * One cheap max() per shifted key column, only for tables that
+      * will actually be written, only when a second replica exists. */
+    def requireIdsUnder(name: String, keys: (String, Long)*): Unit = {
+      if (k <= 1 || !onlyTables.forall(_.contains(name))) return
+      val maxes = in(name).agg(
+        max(col(keys.head._1).cast("long")),
+        keys.tail.map(kv => max(col(kv._1).cast("long"))): _*).head()
+      keys.zipWithIndex.foreach { case ((c, stride), idx) =>
+        val m = maxes.getLong(idx)
+        require(m < stride,
+          s"[scaleup] $name.$c max=$m >= stride $stride — input looks like an " +
+            "already-scaled output; scale from the BASE testdata only")
+      }
+    }
     def write(name: String, df: => DataFrame, parts: Int): Unit = {
       if (!onlyTables.forall(_.contains(name))) return
       df.repartition(parts)
@@ -77,6 +95,15 @@ object ScaleUp {
 
     val E = 1000000L   // entity stride (cust/part/supp/doc/vec/user)
     val O = 10000000L  // orderkey/event stride (6M lineitem rows at k=10)
+
+    requireIdsUnder("customer", "c_custkey" -> E)
+    requireIdsUnder("supplier", "s_suppkey" -> E)
+    requireIdsUnder("part", "p_partkey" -> E)
+    requireIdsUnder("orders", "o_orderkey" -> O, "o_custkey" -> E)
+    requireIdsUnder("lineitem", "l_orderkey" -> O, "l_partkey" -> E, "l_suppkey" -> E)
+    requireIdsUnder("events", "event_id" -> O, "user_id" -> E)
+    requireIdsUnder("documents", "doc_id" -> E)
+    requireIdsUnder("embeddings", "vec_id" -> E)
 
     // dimensions: fixed
     write("region", in("region"), 1)

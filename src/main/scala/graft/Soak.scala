@@ -161,12 +161,17 @@ object Soak {
     apiThread.start()
 
     // ---- sample disk/memory every 10 processed batches ----
-    var lastSampled = -1L
+    // lastSampled starts at MinValue so batch 0 (and any short run with
+    // nBatches < 10) still emits a sample; -1 would floor-divide to the
+    // same decade as batches 0-9 and silently skip them.
+    var lastSampled = Long.MinValue
     var processed = -1L
+    def flush(): Unit = outJsonl.foreach(p => Files.writeString(Paths.get(p),
+      lines.mkString("", "\n", "\n")))
     while (processed < nBatches) {
       Thread.sleep(1000)
       processed = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
-      if (processed / 10 > lastSampled / 10 && processed >= 0) {
+      if (processed >= 0 && processed / 10 > lastSampled / 10) {
         lastSampled = processed
         emit(s"""{"batch":$processed,"sec":${(System.nanoTime() - t0) / 1e9},""" +
           s""""spark_local_mb":${duMb(Paths.get(sparkLocal))},""" +
@@ -180,11 +185,15 @@ object Soak {
       if (!q.isActive) {
         emit(s"""{"event":"stream_died","msg":${Jsons.quote(
           Option(q.exception.map(_.getMessage).orNull).getOrElse("?").take(300))}}""")
+        flush() // the samples collected so far are the evidence — keep them
         sys.exit(2)
       }
     }
     feeding = false
     querying = false
+    // Let the in-flight API request finish before the server goes down:
+    // stop generating load, join the client thread, THEN stop the server.
+    apiThread.join(5000)
     q.stop()
     server.stop()
 
@@ -194,8 +203,7 @@ object Soak {
     emit(s"""{"event":"done","batches":$processed,"compacted_through":$wm,""" +
       s""""decisions":$decided,"wall_sec":${(System.nanoTime() - t0) / 1e9},""" +
       s""""api_ok":${apiOk.get()},"api_bad":${apiBad.get()}}""")
-    outJsonl.foreach(p => Files.writeString(Paths.get(p),
-      lines.mkString("", "\n", "\n")))
+    flush()
     spark.stop()
   }
 }

@@ -87,7 +87,15 @@ case class TopKByScoreAgg(
     new java.util.PriorityQueue[TopKEntry](k + 1, TopKByScoreAgg.WeakestFirst)
 
   private def offer(buf: java.util.PriorityQueue[TopKEntry],
-      s: Double, t: UTF8String, tfv: Long, dfv: Long, owned: Boolean): Unit = {
+      sRaw: Double, t: UTF8String, tfv: Long, dfv: Long, owned: Boolean): Unit = {
+    // Normalize -0.0 to 0.0 so the heap's java.lang.Double.compare
+    // ordering coincides with Spark SQL double ordering (which treats
+    // them equal) for EVERY input, not just the strictly-positive
+    // tf-idf domain — the documented value-identity with the window
+    // twin must hold for the aggregate as a generic building block.
+    // NaN needs no special case: both orderings already place NaN
+    // greatest and equal to itself.
+    val s = if (sRaw == 0.0d) 0.0d else sRaw
     if (buf.size < k) {
       // clone: input UTF8Strings may point into a reused scan buffer
       buf.add(new TopKEntry(s, if (owned) t else t.clone(), tfv, dfv))

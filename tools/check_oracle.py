@@ -80,27 +80,33 @@ def main():
             n_fail += 1
             continue
         try:
+            # Per-query cursor closes the cancel/fire race STRUCTURALLY:
+            # the timer interrupts a connection that no other query will
+            # ever run on, so a timer that fires after fetchdf() returns
+            # (the window the old Event guard narrowed but could not
+            # close) interrupts a cursor that is closed on the next line
+            # — it cannot abort the NEXT query. Cursors share the parent
+            # connection's catalog, so the table views stay visible.
             timer = None
+            qcon = con
             if ORACLE_TIMEOUT_SEC > 0:
-                # Guard against the cancel/fire race: if the timer fires
-                # after fetchdf() returns but before cancel(), a naked
-                # con.interrupt() would abort the NEXT query. Only
-                # interrupt while this query is still marked running.
-                running = threading.Event()
-                running.set()
+                qcon = con.cursor()
 
-                def _maybe_interrupt():
-                    if running.is_set():
-                        con.interrupt()
+                def _interrupt(c=qcon):
+                    try:
+                        c.interrupt()
+                    except Exception:
+                        pass  # cursor already closed — the query won
 
-                timer = threading.Timer(ORACLE_TIMEOUT_SEC, _maybe_interrupt)
+                timer = threading.Timer(ORACLE_TIMEOUT_SEC, _interrupt)
                 timer.start()
             try:
-                exp = canon(con.execute(sql).fetchdf())
+                exp = canon(qcon.execute(sql).fetchdf())
             finally:
                 if timer is not None:
-                    running.clear()
                     timer.cancel()
+                if qcon is not con:
+                    qcon.close()
         except Exception as e:
             if "INTERRUPT" in str(e).upper():
                 print(f"TIMEOUT {name}: oracle exceeded {ORACLE_TIMEOUT_SEC:.0f}s "
