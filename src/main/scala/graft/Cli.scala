@@ -21,6 +21,7 @@ import graft.tables.Tables
   * graft.Cli --db DIR --stats
   * graft.Cli --db DIR --cleanup | --cleanup-empty-dirs
   * graft.Cli --db DIR --sql "SELECT ..."   (files view registered)
+  * graft.Cli --db DIR --manifest [--ann DIR] [--ivf DIR] [--dedup-state DIR]
   * graft.Cli --db DIR --serve [--port 8000]   (HTTP API over the index)
   * }}}
   */
@@ -91,6 +92,19 @@ object Cli {
     } else if (opts.contains("sql")) {
       IndexStore.load(spark, db).createOrReplaceTempView("files")
       spark.sql(opts("sql")).show(1000, truncate = false)
+    } else if (opts.contains("manifest")) {
+      // operational view over every persisted index family: --db is the
+      // core index root; --ann/--ivf/--dedup-state add their families.
+      // One relation answers "anything stale / mid-compaction /
+      // cap-mismatched?" — the same rows the runtime guards read.
+      val fams = Seq(graft.fs.IndexManifest.core(db)) ++
+        opts.get("ann").filter(_.nonEmpty).map(graft.fs.IndexManifest.ann) ++
+        opts.get("ivf").filter(_.nonEmpty).map(graft.fs.IndexManifest.ivf) ++
+        opts.get("dedup-state").filter(_.nonEmpty).map(graft.fs.IndexManifest.dedup)
+      graft.fs.IndexManifest.manifest(spark, fams)
+        .drop("meta") // family-specific blob — the tabular columns are the summary
+        .orderBy("kind", "component", "entry", "seq")
+        .show(1000, truncate = false)
     } else if (opts.contains("serve")) {
       // the reference's FastAPI backend (api_backend main.py:77-100)
       // as a thin HTTP layer over the same index snapshot

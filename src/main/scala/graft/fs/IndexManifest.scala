@@ -57,33 +57,64 @@ object IndexManifest {
     Family("dedup", Seq("base" -> s"$stateRoot/base"),
       deltaDir = Some("base" -> stateRoot))
 
-  /** Build the manifest for `families`. Missing roots (an index not
-    * built yet) contribute no rows — absence is visible as absence. */
-  def manifest(spark: SparkSession, families: Seq[Family]): DataFrame = {
-    import spark.implicits._
-    val rows = families.flatMap { fam =>
-      val baseRows = fam.components.flatMap { case (component, root) =>
+  /** One manifest row — the SAME record the [[manifest]] view shows,
+    * exposed driver-side so the runtime guards ([[graft.streaming
+    * .DedupStream]] cap compat, [[graft.operators.IvfIndex]] /
+    * [[graft.operators.AnnIndex]] staleness) consume the row the
+    * operator would display, not a fifth bespoke walk. */
+  final case class Entry(kind: String, component: String, entry: String,
+      path: String, seq: Long, watermark: Long, live: Boolean,
+      cap: String, meta: Map[String, String])
+
+  /** Walk `families` into manifest rows. Missing roots (an index not
+    * built yet) contribute no rows — absence is visible as absence.
+    * Each component's pointer is resolved ONCE and its meta reused for
+    * the delta rows' watermark, so one entries() call can never pair a
+    * delta liveness verdict with a different base than the base row it
+    * returns (a concurrent compaction between two resolutions would). */
+  def entries(families: Seq[Family]): Seq[Entry] =
+    families.flatMap { fam =>
+      // component -> (resolved dir, present, meta), resolved exactly once
+      val resolved = fam.components.flatMap { case (component, root) =>
         SnapshotDir.currentDir(root).map { dir =>
           val present = Files.isDirectory(Paths.get(dir))
           val meta = if (present) SnapshotDir.metaAt(dir) else Map.empty[String, String]
-          (fam.kind, component, "base", dir, -1L,
-            DeltaDirs.watermark(meta), present, meta.getOrElse("cap", ""), meta)
+          component -> (dir, present, meta)
         }
       }
+      val baseRows = resolved.map { case (component, (dir, present, meta)) =>
+        Entry(fam.kind, component, "base", dir, -1L,
+          DeltaDirs.watermark(meta), present, meta.getOrElse("cap", ""), meta)
+      }
       val deltaRows = fam.deltaDir.toSeq.flatMap { case (component, dir) =>
-        val mark = fam.components.toMap.get(component)
-          .flatMap(SnapshotDir.currentDir)
-          .filter(d => Files.isDirectory(Paths.get(d)))
-          .map(d => DeltaDirs.watermark(SnapshotDir.metaAt(d)))
-          .getOrElse(-1L)
+        val mark = resolved.collectFirst {
+          case (`component`, (_, true, meta)) => DeltaDirs.watermark(meta)
+        }.getOrElse(-1L)
         DeltaDirs.list(dir).map { case (seq, p) =>
-          (fam.kind, component, "delta", p, seq, mark, seq > mark, "",
+          Entry(fam.kind, component, "delta", p, seq, mark, seq > mark, "",
             Map.empty[String, String])
         }
       }
       baseRows ++ deltaRows
     }
-    rows.toDF("kind", "component", "entry", "path", "seq",
-      "watermark", "live", "cap", "meta")
+
+  /** The live base row of `component` within a single family, if any —
+    * the resolution shape every guard wants. */
+  def liveBase(family: Family, component: String): Option[Entry] =
+    entries(Seq(family)).find(e =>
+      e.component == component && e.entry == "base" && e.live)
+
+  /** Unfolded (live) delta rows of a single family, seq-sorted. */
+  def liveDeltas(family: Family): Seq[Entry] =
+    entries(Seq(family)).filter(e => e.entry == "delta" && e.live)
+
+  /** Build the manifest VIEW for `families` — `entries` as a relation. */
+  def manifest(spark: SparkSession, families: Seq[Family]): DataFrame = {
+    import spark.implicits._
+    entries(families)
+      .map(e => (e.kind, e.component, e.entry, e.path, e.seq,
+        e.watermark, e.live, e.cap, e.meta))
+      .toDF("kind", "component", "entry", "path", "seq",
+        "watermark", "live", "cap", "meta")
   }
 }

@@ -84,9 +84,18 @@ object AnnIndex {
     * re-resolution could pair one build's planes with another's data —
     * the divergence class SnapshotDir.loadMeta documents). */
   def topk(spark: SparkSession, root: String, queries: DataFrame, k: Int = 5): DataFrame = {
-    val bucketsDir = SnapshotDir.currentDir(s"$root/buckets")
-      .getOrElse(sys.error(s"no buckets snapshot at $root"))
-    val meta = SnapshotDir.metaAt(bucketsDir)
+    // resolve through the IndexManifest row (the same record an
+    // operator `--manifest` listing shows): a missing or torn-publish
+    // buckets snapshot (pointer present, dir gone) is refused here as
+    // the live=false row rather than as a scan error three joins later
+    val bucketsRow = graft.fs.IndexManifest.liveBase(
+        graft.fs.IndexManifest.ann(root), "buckets")
+      .getOrElse(sys.error(s"no live buckets snapshot at $root (manifest rows: " +
+        graft.fs.IndexManifest.entries(Seq(graft.fs.IndexManifest.ann(root)))
+          .map(e => s"${e.component}/${e.entry} live=${e.live} path=${e.path}")
+          .mkString("; ") + ")"))
+    val bucketsDir = bucketsRow.path
+    val meta = bucketsRow.meta
     val (tables, bits, seed) = (
       meta.getOrElse("tables", sys.error(s"no index meta at $bucketsDir")).toInt,
       meta("bits").toInt, meta("seed").toLong)

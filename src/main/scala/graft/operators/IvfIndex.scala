@@ -111,11 +111,14 @@ object IvfIndex {
   def buildIfAbsent(emb: DataFrame, root: String, nCentroids: Int = 16,
       iters: Int = 2, numBuckets: Int = 16): Boolean = {
     val fp = buildFingerprint(emb, nCentroids, iters, numBuckets)
-    val unchanged = SnapshotDir.currentDir(s"$root/cells").exists { d =>
-      val meta = SnapshotDir.metaAt(d)
-      meta.get("build_fp").contains(fp) &&
-        DeltaDirs.live(s"$root/cells", watermark(meta)).isEmpty
-    }
+    // staleness is a manifest question: the live cells base must carry
+    // this exact build_fp AND no live (unfolded) delta rows may exist —
+    // both read from the same IndexManifest walk the operator view shows
+    val rows = graft.fs.IndexManifest.entries(Seq(graft.fs.IndexManifest.ivf(root)))
+    val unchanged =
+      rows.exists(e => e.entry == "base" && e.live &&
+        e.meta.get("build_fp").contains(fp)) &&
+        !rows.exists(e => e.entry == "delta" && e.live)
     if (!unchanged)
       build(emb, root, nCentroids, iters, numBuckets, Map("build_fp" -> fp))
     !unchanged

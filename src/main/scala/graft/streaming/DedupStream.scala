@@ -110,18 +110,22 @@ object DedupStream {
 
   /** Assert the persisted base (if any) was built in the SAME capped
     * shingle space as the cap now being supplied. A base with no
-    * marker is legacy-uncapped: compatible only with `hot = None`. */
+    * marker is legacy-uncapped: compatible only with `hot = None`.
+    * Reads the [[graft.fs.IndexManifest]] row — the refusal quotes the
+    * exact base entry a `--manifest` listing would show. */
   private[streaming] def requireCapCompatible(stateRoot: String,
       fingerprint: String): Unit =
-    SnapshotDir.currentDir(s"$stateRoot/base")
-      .filter(d => Files.exists(Paths.get(d)))
-      .foreach { d =>
-        val stored = SnapshotDir.metaAt(d).getOrElse("cap", "uncapped")
+    graft.fs.IndexManifest.liveBase(
+        graft.fs.IndexManifest.dedup(stateRoot), "base")
+      .foreach { e =>
+        val stored = e.meta.getOrElse("cap", "uncapped")
         if (stored != fingerprint)
           throw new IllegalStateException(
             s"shingle-space mismatch at $stateRoot: base snapshot cap marker " +
-              s"'$stored' != supplied '$fingerprint' — a base built in one " +
-              "capped space cannot be probed/extended in another; rebuild " +
+              s"'$stored' != supplied '$fingerprint' (manifest row: " +
+              s"kind=${e.kind} component=${e.component} path=${e.path} " +
+              s"watermark=${e.watermark}) — a base built in one capped " +
+              "space cannot be probed/extended in another; rebuild " +
               "the index or supply the matching hotShingles set")
       }
 

@@ -22,6 +22,10 @@ class CliSpec extends SparkSpec {
     Cli.run(spark, db, Map("stats" -> ""))           // must not throw
     Cli.run(spark, db, Map("find-duplicates" -> "")) // must not throw
     Cli.run(spark, db, Map("sql" -> "SELECT COUNT(*) AS n FROM files"))
+    Cli.run(spark, db, Map("manifest" -> "")) // must not throw
+    // the CLI surfaces the same live base row the guards read
+    val coreRows = graft.fs.IndexManifest.entries(Seq(graft.fs.IndexManifest.core(db)))
+    assert(coreRows.exists(e => e.component == "index" && e.entry == "base" && e.live))
 
     val dups = graft.queries.FileQueries.duplicates(
       graft.fs.IndexStore.load(spark, db)).collect()

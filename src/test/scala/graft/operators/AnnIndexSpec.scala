@@ -74,4 +74,24 @@ class AnnIndexSpec extends SparkSpec {
     AnnIndex.build(emb, root, tables = 4, bits = 4, numBuckets = 4)
     assert(AnnIndex.topk(spark, root, queries, k = 3).count() > 0)
   }
+
+  test("torn buckets publish is refused via the manifest row it shows as") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ann-torn").toString
+    AnnIndex.build(emb, root, tables = 4, bits = 4, numBuckets = 4)
+    // tear the buckets pointer: CURRENT names a snapshot dir that's gone
+    // (crash between pointer write and a later retention sweep)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/buckets/CURRENT"), "snap-999999999999")
+    // the manifest view shows exactly one live=false buckets base row...
+    val rows = graft.fs.IndexManifest.entries(Seq(graft.fs.IndexManifest.ann(root)))
+    val bRow = rows.filter(e => e.component == "buckets" && e.entry == "base")
+    assert(bRow.length == 1 && !bRow.head.live)
+    // ...and topk refuses with that same row, not a scan error later
+    val err = intercept[RuntimeException] {
+      AnnIndex.topk(spark, root, emb.limit(2)
+        .select(col("vec_id").as("query_id"), col("embedding")), k = 3)
+    }
+    assert(err.getMessage.contains("no live buckets snapshot"))
+    assert(err.getMessage.contains("snap-999999999999"))
+  }
 }

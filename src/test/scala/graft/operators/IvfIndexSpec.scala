@@ -160,8 +160,10 @@ class IvfIndexSpec extends SparkSpec {
     // changed corpus content → rebuild
     assert(IvfIndex.buildIfAbsent(emb.filter(col("vec_id") < 100), root,
       nCentroids = 8, iters = 1, numBuckets = 4))
-    // a live delta forces the rebuild path (appends must be retired)
+    // a live delta forces the rebuild path (appends must be retired) —
+    // the staleness fact the guard reads is the manifest's live delta row
     IvfIndex.append(emb.filter(col("vec_id") >= 100), root)
+    assert(graft.fs.IndexManifest.liveDeltas(graft.fs.IndexManifest.ivf(root)).nonEmpty)
     assert(IvfIndex.buildIfAbsent(emb.filter(col("vec_id") < 100), root,
       nCentroids = 8, iters = 1, numBuckets = 4))
     // skipped build leaves a queryable index behind

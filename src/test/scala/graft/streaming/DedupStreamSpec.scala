@@ -213,6 +213,13 @@ class DedupStreamSpec extends SparkSpec {
         hotShingles = Some(hot))
     }
     assert(e.getMessage.contains("shingle-space mismatch"))
+    // the refusal quotes the SAME row the IndexManifest view shows —
+    // the guard and the operator surface share one resolution path
+    val viewRow = graft.fs.IndexManifest.manifest(spark,
+        Seq(graft.fs.IndexManifest.dedup(state)))
+      .filter(org.apache.spark.sql.functions.col("entry") === "base").head()
+    assert(viewRow.getString(7) == "uncapped") // cap column
+    assert(e.getMessage.contains(s"path=${viewRow.getString(3)}"))
     // resuming uncapped (the matching space) still works
     DedupStream.continuousDedup(spark, staging.toString, state, out,
       Files.createTempDirectory("graft-ddcap-ckpt3").toString,
