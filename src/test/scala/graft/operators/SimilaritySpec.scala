@@ -208,20 +208,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == exact.toSeq)
   }
 
-  test("cosinePairsLsh scratch groups: sequential table groups == one-pass pair set") {
-    // clustered fixture with real pairs; force the grouped path with a
-    // tiny scratch budget (the volume estimate for this corpus is a
-    // few MB, so 64 KB → many groups) and compare against the
-    // effectively-unbounded single-pass run
+  // clustered fixture with real near-dup pairs for the scratch-group
+  // tests. tables=6, bits=3 keeps the ratio guard OFF (6/2³ = 0.75 < 1
+  // — tables=8/bits=2 would ratio-dispatch to the exact join and never
+  // reach the grouped code), and the 36×6×296 B ≈ 62 KB volume against
+  // an 8 KB budget forces per-table groups (a 64 KB budget would round
+  // to ONE group on this corpus).
+  private def scratchFixture = {
     def base(c: Int): Array[Float] =
       Array.tabulate(32)(i => (((c * 2654435761L + i * 40503L) % 1000) / 500.0f - 1.0f))
-    val df = (for { c <- 0 until 12; m <- 0 until 3 } yield {
+    (for { c <- 0 until 12; m <- 0 until 3 } yield {
       val b = base(c)
       val v = b.indices.map(i => b(i) + (((c * 31 + m * 7 + i) % 5) - 2) * 0.02f).toArray
       ((c * 3 + m).toLong, v)
     }).toDF("vec_id", "embedding")
+  }
+
+  test("cosinePairsLsh scratch groups: sequential table groups == one-pass pair set") {
+    val df = scratchFixture
     def run(): Set[(Long, Long)] = {
-      val r = Similarity.cosinePairsLsh(df, threshold = 0.9, tables = 8, bits = 2)
+      val r = Similarity.cosinePairsLsh(df, threshold = 0.9, tables = 6, bits = 3)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       OpCaches.releaseAll()
       r
@@ -229,9 +235,58 @@ class SimilaritySpec extends SparkSpec {
     spark.conf.set("graft.lsh.scratchBudgetBytes", Long.MaxValue.toString)
     val onePass = run()
     assert(onePass.nonEmpty)
-    spark.conf.set("graft.lsh.scratchBudgetBytes", "65536")
-    try assert(run() == onePass)
-    finally spark.conf.unset("graft.lsh.scratchBudgetBytes")
+    spark.conf.set("graft.lsh.scratchBudgetBytes", "8192")
+    try {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      assert(run() == onePass)
+      // not vacuous: the grouped path really ran (group survivors are
+      // locally-checkpointed RDDs, which the single-pass path never makes)
+      assert((spark.sparkContext.getPersistentRDDs -- before)
+        .values.exists(_.isCheckpointed))
+    } finally spark.conf.unset("graft.lsh.scratchBudgetBytes")
+  }
+
+  test("scratch-group crash injection: a lost group checkpoint fails loudly, never a silent pair subset") {
+    // localCheckpoint truncates lineage by design — if an executor dies
+    // and takes a group's checkpoint blocks with it, Spark CANNOT
+    // rebuild that group's survivors behind the caller's back. The
+    // acceptable outcomes are a loud failure (re-run the operator) —
+    // never a quietly smaller pair set. Simulate the executor loss by
+    // dropping one group's checkpoint blocks (unpersist = exactly the
+    // "original RDD is unpersisted" arm of Spark's checkpoint-miss
+    // error) and assert both halves: the poisoned read throws with the
+    // checkpoint-loss message, and a fresh invocation rebuilds the
+    // complete pair set.
+    val df = scratchFixture
+    spark.conf.set("graft.lsh.scratchBudgetBytes", "8192")
+    try {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val pairs = Similarity.cosinePairsLsh(df, threshold = 0.9, tables = 6, bits = 3)
+      val healthy = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(healthy.nonEmpty)
+      val groupCkpts = (spark.sparkContext.getPersistentRDDs -- before)
+        .values.filter(_.isCheckpointed).toSeq
+      assert(groupCkpts.nonEmpty) // the grouped state machine is under test
+      groupCkpts.head.unpersist(blocking = true) // the injected "executor loss"
+      // a re-collect of the SAME plan would reuse the healthy run's
+      // registered shuffle outputs and never touch the lost checkpoint;
+      // a derived plan builds fresh shuffle dependencies and must
+      // recompute from the checkpointed leaves — the executor-loss read
+      val err = intercept[org.apache.spark.SparkException] {
+        pairs.where(col("vec_a") >= -1).collect()
+      }
+      val chain = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(chain.contains("Checkpoint block"), chain)
+      // recovery path: re-invoking the operator rebuilds every group
+      OpCaches.releaseAll()
+      val retry = Similarity.cosinePairsLsh(df, threshold = 0.9, tables = 6, bits = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(retry == healthy)
+    } finally {
+      spark.conf.unset("graft.lsh.scratchBudgetBytes")
+      OpCaches.releaseAll()
+    }
   }
 
   test("lshParams pins the decade boundaries no testbed reaches (pure math)") {
