@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic k× scale-up of a driver testdata directory — the
@@ -38,18 +38,31 @@ object ScaleUp {
     val outDir = if (args.length > 1) args(1) else "target/sf1"
     val k = if (args.length > 2) args(2).toInt else 10
     // the embedding sign patterns (2i+1 mod P, P prime) are distinct
-    // odd residues only for i < P/2; at i = P/2 the multiplier is 0
-    // and the replica becomes the exact NEGATION of replica 0 — a
-    // mirror duplicate, the generator degeneracy this tool exists to
-    // avoid. P = 101 for k ≤ 50 (BYTE-IDENTICAL to every sf1 artifact
-    // generated before the k ≤ 100 extension); P = 211 gives 105
-    // distinct patterns for the sf10 decade (k = 100); P = 2003 covers
-    // the sf100 decade (k = 1000; 2i+1 ≤ 1999 < 2003, all distinct).
+    // odd RESIDUES, but with only 64 coordinates the visible pattern is
+    // the residue's behavior on the window (j+1)·p for j < 64 — and
+    // distinct residues can share that window. Measured: P = 101 (k ≤
+    // 50) and P = 211 (k ≤ 100) are collision-free over 64 dims and
+    // stay BYTE-IDENTICAL to every sf1/sf10 artifact generated before;
+    // P = 2003 at k = 1000 collides 112 replicas onto 40 patterns
+    // (seven replicas are pure negations of replica 0) — every
+    // collided replica pair is 2000 exact cross-replica duplicates,
+    // ~300k artifact cosine-1 pairs at sf100, the precise degeneracy
+    // this generator exists to avoid (it dominated the r9 sf100
+    // ss_embedding_lsh row count: 2.77M vs the ~19-per-decade organic
+    // rate). Above k = 100 the signs therefore come from Murmur3
+    // hash(replica, coordinate): per-replica patterns are 64
+    // independent bits, so a pattern collision among k replicas has
+    // probability ~k²/2⁶⁴ — gone for any realizable k, at the cost of
+    // regenerating the sf100 artifact once.
     // Id strides are 1M, so the INPUT's ids must stay under 1M — scale
     // from the base testdata, never from an already-scaled output
     // (whose ids reach k·1M and would collide across replicas).
-    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
-    val P = if (k <= 50) 101 else if (k <= 100) 211 else 2003
+    require(k >= 1 && k <= 10000, s"k must be in [1, 10000], got $k")
+    val P = if (k <= 50) 101 else 211
+    // physical-path switchover (union vs cross join) — env-overridable
+    // so the value-identity of the two paths is spec-testable at tiny k
+    val unionMax = sys.env.get("GRAFT_SCALEUP_UNION_MAX")
+      .flatMap(_.toIntOption).getOrElse(100)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -89,9 +102,30 @@ object ScaleUp {
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       println(s"[scaleup] $name: ${spark.read.parquet(s"$outDir/$name.parquet").count()} rows")
     }
-    /** Union of per-replica transforms of `base`. */
-    def times(base: DataFrame)(one: (DataFrame, Int) => DataFrame): DataFrame =
-      (0 until k).map(i => one(base, i)).reduce(_ unionByName _)
+    /** Per-replica transforms of `base`, expressed once per table as a
+      * function of a replica COLUMN. Two physical strategies, same
+      * values (spec-checked):
+      *  - small k (≤ unionMax): a union of k per-replica branches with
+      *    `rep` a literal — the historical plan shape the sf1/sf10
+      *    artifacts came from;
+      *  - large k: one cross join with range(k) — a 10000-branch union
+      *    quadratic-blows analysis time, while the cross join is a
+      *    single broadcast row-multiplier whose plan size is constant
+      *    in k.
+      * Every transform guards with `when(rep === 0, base)` so replica
+      * 0 stays the untouched base either way. */
+    def times(base: DataFrame)(one: (DataFrame, Column) => DataFrame): DataFrame =
+      if (k <= unionMax)
+        (0 until k).map(i => one(base, lit(i))).reduce(_ unionByName _)
+      else
+        one(base.crossJoin(
+            spark.range(k.toLong).select(col("id").cast("int").as("graft_rep"))),
+          col("graft_rep")).drop("graft_rep")
+    /** Partition count for the written table: the per-decade counts
+      * were hand-sized for k ≤ 1000; past that, scale them with k so
+      * files stay ~100 MB. */
+    def parts(p: Int): Int =
+      if (k <= 1000) p else math.min(4096, math.max(p, p * (k / 1000)))
 
     val E = 1000000L   // entity stride (cust/part/supp/doc/vec/user)
     val O = 10000000L  // orderkey/event stride (6M lineitem rows at k=10)
@@ -105,56 +139,64 @@ object ScaleUp {
     requireIdsUnder("documents", "doc_id" -> E)
     requireIdsUnder("embeddings", "vec_id" -> E)
 
+    def shifted(rep: Column, stride: Long)(c: String): Column =
+      col(c) + rep.cast("long") * lit(stride)
+
     // dimensions: fixed
     write("region", in("region"), 1)
     write("nation", in("nation"), 1)
 
-    write("customer", times(in("customer")) { (t, i) =>
-      t.withColumn("c_custkey", col("c_custkey") + lit(i * E))
-    }, 4)
-    write("supplier", times(in("supplier")) { (t, i) =>
-      t.withColumn("s_suppkey", col("s_suppkey") + lit(i * E))
-    }, 1)
-    write("part", times(in("part")) { (t, i) =>
-      t.withColumn("p_partkey", col("p_partkey") + lit(i * E))
-    }, 4)
-    write("orders", times(in("orders")) { (t, i) =>
-      t.withColumn("o_orderkey", col("o_orderkey") + lit(i * O))
-        .withColumn("o_custkey", col("o_custkey") + lit(i * E))
-    }, 8)
-    write("lineitem", times(in("lineitem")) { (t, i) =>
-      t.withColumn("l_orderkey", col("l_orderkey") + lit(i * O))
-        .withColumn("l_partkey", col("l_partkey") + lit(i * E))
-        .withColumn("l_suppkey", col("l_suppkey") + lit(i * E))
-    }, 32)
-    write("events", times(in("events")) { (t, i) =>
-      t.withColumn("event_id", col("event_id") + lit(i * O))
-        .withColumn("user_id", col("user_id") + lit(i * E))
-    }, 16)
-    write("documents", times(in("documents")) { (t, i) =>
-      if (i == 0) t
-      else t
-        .withColumn("doc_id", col("doc_id") + lit(i * E))
-        // disjoint vocabulary per replica: every token tagged, so no
-        // shingle ever matches across replicas (tag length 3 for all
-        // i ≤ 9 keeps the n_chars adjustment uniform)
-        .withColumn("n_chars", col("n_chars") +
-          size(split(col("text"), " ")) * lit(s"r${i}_".length.toLong))
-        .withColumn("text",
+    write("customer", times(in("customer")) { (t, rep) =>
+      t.withColumn("c_custkey", shifted(rep, E)("c_custkey"))
+    }, parts(4))
+    write("supplier", times(in("supplier")) { (t, rep) =>
+      t.withColumn("s_suppkey", shifted(rep, E)("s_suppkey"))
+    }, parts(1))
+    write("part", times(in("part")) { (t, rep) =>
+      t.withColumn("p_partkey", shifted(rep, E)("p_partkey"))
+    }, parts(4))
+    write("orders", times(in("orders")) { (t, rep) =>
+      t.withColumn("o_orderkey", shifted(rep, O)("o_orderkey"))
+        .withColumn("o_custkey", shifted(rep, E)("o_custkey"))
+    }, parts(8))
+    write("lineitem", times(in("lineitem")) { (t, rep) =>
+      t.withColumn("l_orderkey", shifted(rep, O)("l_orderkey"))
+        .withColumn("l_partkey", shifted(rep, E)("l_partkey"))
+        .withColumn("l_suppkey", shifted(rep, E)("l_suppkey"))
+    }, parts(32))
+    write("events", times(in("events")) { (t, rep) =>
+      t.withColumn("event_id", shifted(rep, O)("event_id"))
+        .withColumn("user_id", shifted(rep, E)("user_id"))
+    }, parts(16))
+    write("documents", times(in("documents")) { (t, rep) =>
+      // disjoint vocabulary per replica: every token tagged, so no
+      // shingle ever matches across replicas
+      val tag = concat(lit("r"), rep.cast("string"), lit("_"))
+      t.withColumn("doc_id", shifted(rep, E)("doc_id"))
+        .withColumn("n_chars", when(rep === 0, col("n_chars")).otherwise(
+          col("n_chars") +
+            size(split(col("text"), " ")).cast("long") * length(tag).cast("long")))
+        .withColumn("text", when(rep === 0, col("text")).otherwise(
           array_join(transform(split(col("text"), " "),
-            tk => concat(lit(s"r${i}_"), tk)), " "))
-    }, 8)
-    write("embeddings", times(in("embeddings")) { (t, i) =>
-      // distinct odd multipliers mod 101 (prime) — no two replicas
-      // share a sign pattern (the ScaleProbe decorrelation)
-      val p = (2 * i + 1) % P
-      if (i == 0) t
-      else t
-        .withColumn("vec_id", col("vec_id") + lit(i * E))
-        .withColumn("embedding",
-          expr(s"transform(embedding, (x, j) -> " +
-            s"CASE WHEN ((j + 1) * $p) % $P < ${P / 2} THEN -x ELSE x END)"))
-    }, 4)
+            tk => concat(tag, tk)), " ")))
+    }, parts(8))
+    write("embeddings", times(in("embeddings")) { (t, rep) =>
+      // per-replica sign decorrelation (see the P note above): residue
+      // patterns for k ≤ 100 (byte-compat with the sf1/sf10 artifacts,
+      // measured collision-free over 64 dims), Murmur3 hash(rep, j)
+      // signs above (residues collide past P's 64-dim window — the
+      // r9 sf100 mirror-duplicate degeneracy)
+      val signed =
+        if (k <= 100)
+          transform(col("embedding"), (x, jj) =>
+            when(pmod((jj + lit(1)) * pmod(rep * 2 + 1, lit(P)), lit(P)) < lit(P / 2),
+              -x).otherwise(x))
+        else
+          transform(col("embedding"), (x, jj) =>
+            when(pmod(hash(rep, jj), lit(2)) === 0, -x).otherwise(x))
+      t.withColumn("vec_id", shifted(rep, E)("vec_id"))
+        .withColumn("embedding", when(rep === 0, col("embedding")).otherwise(signed))
+    }, parts(4))
 
     spark.stop()
   }
