@@ -17,8 +17,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // same session profile as Bench — verify what the bench measures
+    // same session profile as Bench — verify what the bench measures,
+    // INCLUDING the shared-cores mode: the oracle compare then proves
+    // sharing is value-neutral across the whole query set
     GraftSession.configure(spark)
+    if (sys.env.getOrElse("SPARK_GRAFT_SHARED_CORES", "1") != "0")
+      spark.conf.set("graft.cores.share", "true")
     new java.io.File(outDir).mkdirs()
     // optional comma-separated allowlist for targeted re-verification
     // (the driver sets nothing and gets the full dump)

@@ -211,7 +211,7 @@ object Dedup {
     * shuffles longs, not n-gram strings. */
   private def pairCounts(docs: DataFrame, n: Int,
       maxDocFreq: Option[Long]): (DataFrame, DataFrame) = {
-    val sh = OpCaches.track(
+    val sh = OpCaches.shared("dd.hashedShingles")(
       withHashedShingles(docs, n).select(col("doc_id"), col("shingles")))
     val invAll = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     // when capped, similarity is computed IN the capped shingle space —
@@ -223,7 +223,7 @@ object Dedup {
       case Some(cap) =>
         val hot = invAll.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("shingle")
-        val filtered = OpCaches.track(
+        val filtered = OpCaches.shared("dd.cappedIndex")(
           invAll.join(broadcast(hot), Seq("shingle"), "left_anti"))
         (filtered, filtered.groupBy("doc_id").agg(count(lit(1)).as("n_sh")))
     }
@@ -247,7 +247,7 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     // reused by the signature pass and twice by candidate verification
-    val sh = OpCaches.track(
+    val sh = OpCaches.shared("dd.stringShingles")(
       withShingles(docs, n).select(col("doc_id"), col("shingles")))
     // all k minhashes in one native pass over the shingle set
     // (graft.functions.MinHashesExpr) — same values as k separate
@@ -306,7 +306,7 @@ object Dedup {
     // positional (non-distinct) native n-gram hashes: posexplode gives
     // (pos, gram) identical to the HOF transform array, minus its
     // per-element interpreted lambda cost
-    val posGrams = OpCaches.track(spread(docs).select(col("doc_id"),
+    val posGrams = OpCaches.shared("dd.posGrams")(spread(docs).select(col("doc_id"),
       posexplode(hashedNgrams(col("text"), n, distinct = false))
         .as(Seq("pos", "shingle"))))
     // "≥2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id): ONE map-side-
@@ -563,7 +563,7 @@ object Dedup {
     * same sizes-after-filter rule). */
   def deltaPairsCappedOneScan(all: DataFrame, isDelta: Column, n: Int = 3,
       cap: Long = 1000L, threshold: Double = 0.5): DataFrame = {
-    val inv0 = OpCaches.track(withHashedShingles(all, n)
+    val inv0 = OpCaches.shared("dd.oneScanInv")(withHashedShingles(all, n)
       .select(col("doc_id"), explode(col("shingles")).as("shingle")))
     val hot = inv0.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > cap).select("shingle")
@@ -573,7 +573,7 @@ object Dedup {
     // the capped index feeds three plan branches (corpus side + the
     // delta side's two uses in the probe) — cache it so the sizes
     // shuffle and the anti-join run once
-    val idx = OpCaches.track(
+    val idx = OpCaches.shared("dd.oneScanIdx")(
       inv.join(sizes, "doc_id").select("shingle", "doc_id", "n_sh"))
     deltaPairsFromIndex(idx.filter(isDelta), idx.filter(!isDelta), threshold)
   }
@@ -674,7 +674,7 @@ object Dedup {
   private[graft] def dupNgramRateRaw(docs: DataFrame, n: Int = 3): DataFrame = {
     // the shingle-set table feeds the index AND the per-doc sizes —
     // cache the tokenize+shingle pass (released by OpCaches.releaseAll)
-    val sh = OpCaches.track(
+    val sh = OpCaches.shared("dd.hashedShingles")(
       withHashedShingles(docs, n).select(col("doc_id"), col("shingles")))
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val shared = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -841,7 +841,7 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk blocking only guarantees recall for hamming <= 3")
     // the signature table joins itself — one computation, two consumers
-    val s = OpCaches.track(
+    val s = OpCaches.shared("dd.simhash")(
       withSimhash(docs).select(col("doc_id"), col("simhash")))
     val chunks = s.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c =>

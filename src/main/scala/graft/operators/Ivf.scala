@@ -85,7 +85,7 @@ object Ivf {
     // ONE prepared (vec_id, v, nrm) table shared by training and query
     // (tracked: the returned plan still reads it — OpCaches.releaseAll()
     // is the caller's post-action cleanup)
-    val prep = OpCaches.track(
+    val prep = OpCaches.shared("ivf.prep3")(
       Similarity.prepared(emb).select(col("vec_id"), col("v"), col("nrm")))
     val centroids = trainOnPrepared(prep.select("vec_id", "v"), nCentroids, iters)
     val e = prep.withColumn("cell", assign(centroids))
@@ -135,14 +135,14 @@ object Ivf {
       iters: Int = 2): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val prep = OpCaches.track(
+    val prep = OpCaches.shared("ivf.prep3")(
       Similarity.prepared(emb).select(col("vec_id"), col("v"), col("nrm")))
     val centroids = trainOnPrepared(prep.select("vec_id", "v"), nCentroids, iters)
-    val e = OpCaches.track(prep.withColumn("cell", assign(centroids)))
-    val brute = OpCaches.track(
+    val e = OpCaches.shared("ivf.assigned")(prep.withColumn("cell", assign(centroids)))
+    val brute = OpCaches.shared("ivf.brute")(
       Similarity.topkBrute(emb, queryMod, k).select("query_id", "cand_id"))
     val cellScores = array(centroids.map(c => score(col("v"), c)): _*)
-    val qAll = OpCaches.track(
+    val qAll = OpCaches.shared("ivf.queryCells")(
       e.filter(Similarity.isQuery(queryMod))
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
           posexplode(cellScores).as(Seq("cell", "cscore")))
@@ -203,11 +203,11 @@ object Ivf {
     * ss_quantize_recall's own 0.8 bound on the same data). */
   def topkIvfQuantized(emb: DataFrame, queryMod: Long = 50L, k: Int = 5,
       nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
-    val prep = OpCaches.track(
+    val prep = OpCaches.shared("ivf.prep2")(
       Similarity.prepared(emb).select(col("vec_id"), col("v")))
     val centroids = trainOnPrepared(prep, nCentroids, iters)
     // one pass attaches BOTH the cell id and the int8 codes
-    val e = OpCaches.track(
+    val e = OpCaches.shared("ivf.quantAssigned")(
       prep.crossJoin(broadcast(Similarity.quantScale(emb)))
         .withColumn("cell", assign(centroids))
         .withColumn("qv", VectorOps.toDouble(Similarity.quantCodes(col("v"))))

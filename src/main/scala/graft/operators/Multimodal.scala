@@ -440,7 +440,7 @@ object Multimodal {
     // 24 bytes/row, so the cache is negligible at any image count
     // (tracked: OpCaches.releaseAll() drops it after the caller's
     // terminal action)
-    val h = OpCaches.track(withFullHash(hashes))
+    val h = OpCaches.shared("mm.fullHash")(withFullHash(hashes))
     phashPairsCore(h, maxHamming).orderBy("doc_a", "doc_b")
   }
 
@@ -518,8 +518,8 @@ object Multimodal {
     * now sees one row per distinct hash, so clique growth (the thing
     * that DOES grow with a web-scale corpus) no longer touches it. */
   def phashSpanningEdges(hashes: DataFrame, maxHamming: Int = 8): DataFrame = {
-    val h = OpCaches.track(withFullHash(hashes))
-    val groups = OpCaches.track(
+    val h = OpCaches.shared("mm.fullHash")(withFullHash(hashes))
+    val groups = OpCaches.shared("mm.hashGroups")(
       h.groupBy("full").agg(min("doc_id").as("rep")))
     val stars = h.join(groups, Seq("full"))
       .filter(col("doc_id") =!= col("rep"))

@@ -314,7 +314,7 @@ object Similarity {
     // frame to whichever path wins — one corpus scan total, and a
     // plan-only caller (Explain) pays one cached materialization, not
     // two cold scans.
-    val prep = OpCaches.track(prepared(emb))
+    val prep = OpCaches.shared("sim.prepared")(prepared(emb))
     val n = prep.count()
     // empty corpus: no pairs, and the dims probe below would head() an
     // empty frame — answer with the typed empty relation
@@ -452,7 +452,8 @@ object Similarity {
     * join at most once — no dedup pass needed. */
   def semanticPairsCells(emb: DataFrame, threshold: Double,
       nCentroids: Int = 16, iters: Int = 2): DataFrame = {
-    val prep = OpCaches.track(prepared(emb).select("vec_id", "v", "nrm"))
+    val prep = OpCaches.shared("sim.prep3")(
+      prepared(emb).select("vec_id", "v", "nrm"))
     val cents = Ivf.trainOnPrepared(prep.select("vec_id", "v"), nCentroids, iters)
     val e = prep.withColumn("cell", Ivf.assign(cents))
     val a = e.select(col("cell"), col("vec_id").as("vec_a"),
@@ -683,7 +684,7 @@ object Similarity {
     // index" artifacts: narrow (id, tbl, bkey) / (id, v, nrm) rows,
     // each consumed by 2+ plan branches — cache instead of recomputing
     // per branch (at scale these would be persisted index tables).
-    val buckets = OpCaches.track(
+    val buckets = OpCaches.shared("sim.lshBuckets")(
       emb.select(col("vec_id"),
         posexplode(keysCol(col("embedding"), planes)).as(Seq("tbl", "bkey"))))
     val qb = buckets.filter(isQuery(queryMod))
@@ -692,7 +693,8 @@ object Similarity {
       .join(buckets.toDF("cand_id", "tbl", "bkey"), Seq("tbl", "bkey"))
       .filter(col("query_id") =!= col("cand_id"))
       .select("query_id", "cand_id").distinct()
-    val e = OpCaches.track(prepared(emb).select("vec_id", "v", "nrm"))
+    val e = OpCaches.shared("sim.prep3")(
+      prepared(emb).select("vec_id", "v", "nrm"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))
     cand
       .join(e.toDF("query_id", "qv", "qn"), "query_id")

@@ -463,10 +463,11 @@ object TextAnalysis {
     * [[graft.operators.Dedup.withHashedShingles]]). */
   private def rarityPostings(docs: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
-    val perDoc = graft.operators.OpCaches.track(graft.operators.Dedup.spread(docs)
-      .select(col("doc_id"), GraftSqlBridge.column(
-        graft.functions.HashedNgramFreqsExpr(
-          GraftSqlBridge.expression(col("text")), n)).as("tfs")))
+    val perDoc = graft.operators.OpCaches.shared("ta.ngramFreqs")(
+      graft.operators.Dedup.spread(docs)
+        .select(col("doc_id"), GraftSqlBridge.column(
+          graft.functions.HashedNgramFreqsExpr(
+            GraftSqlBridge.expression(col("text")), n)).as("tfs")))
     val postings = perDoc.select(col("doc_id"), explode(col("tfs")).as("p"))
       .select(col("doc_id"), col("p.gram_h").as("term"), col("p.tf").as("tf"))
     val dfs = perDoc.select(explode(col("tfs.gram_h")).as("term"))
@@ -571,9 +572,10 @@ object TextAnalysis {
     // when AQE re-planning defeats ReuseExchange — and the cached
     // form is one compact array row per document, not a postings row
     // per (doc, term).
-    val perDoc = graft.operators.OpCaches.track(graft.operators.Dedup.spread(docs)
-      .select(col("doc_id"), GraftSqlBridge.column(
-        graft.functions.TermFreqsExpr(GraftSqlBridge.expression(col("text")))).as("tfs")))
+    val perDoc = graft.operators.OpCaches.shared("ta.termFreqs")(
+      graft.operators.Dedup.spread(docs)
+        .select(col("doc_id"), GraftSqlBridge.column(
+          graft.functions.TermFreqsExpr(GraftSqlBridge.expression(col("text")))).as("tfs")))
     val postings = perDoc
       .select(col("doc_id"), explode(col("tfs")).as("p"))
       .select(col("doc_id"), col("p.term_h").as("term_h"),

@@ -26,6 +26,15 @@ object ExtQueries {
   private def events(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
   private def media(s: SparkSession, d: String): DataFrame =
     Multimodal.mediaTable(Tables.documents(s, d))
+  /** The decoded perceptual-hash table every mm_phash* row rides —
+    * ONE image decode per corpus snapshot when `graft.cores.share`
+    * is on (the pair join, the cluster assignment, and the keep list
+    * are all reports over the same hash core), a per-query cache
+    * otherwise. */
+  private def phashTable(s: SparkSession, d: String): DataFrame =
+    graft.operators.OpCaches.shared("mm.phashTable")(
+      Multimodal.imagePHash(s,
+        Multimodal.imageTableWithVariants(s, Tables.documents(s, d))).toDF())
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_tumbling_hourly" -> ((s, d) => Events.tumblingHourly(events(s, d))),
@@ -154,18 +163,13 @@ object ExtQueries {
     // from the pixel-generation formula, so a row matches only if the
     // PNG encode → decode → 8×8 downsample → threshold pipeline is
     // bit-exact end to end. Ordering from the pre-codec sort.
-    "mm_phash" -> ((s, d) =>
-      Multimodal.imagePHash(s,
-          Multimodal.imageTableWithVariants(s, Tables.documents(s, d)))
-        .toDF()),
+    "mm_phash" -> ((s, d) => phashTable(s, d)),
     // Near-dup image pairs at hamming ≤ 8, pigeonhole-blocked; the
     // oracle runs the same threshold over its formula-derived hashes
     // as an all-pairs join — recall of the 9-chunk blocking is exact,
     // so the two pair sets must be identical.
     "mm_phash_pairs" -> ((s, d) =>
-      Multimodal.phashPairs(
-        Multimodal.imagePHash(s,
-          Multimodal.imageTableWithVariants(s, Tables.documents(s, d))).toDF())),
+      Multimodal.phashPairs(phashTable(s, d))),
     // Production twin for the pair list above: the sf10 decade probe
     // measured mm_phash_pairs OUTPUT-bound (113M rows — pair output
     // is quadratic in clique size), so the deliverable a dedup
@@ -180,18 +184,14 @@ object ExtQueries {
     // formula-derived hashes.
     "mm_phash_clusters" -> ((s, d) =>
       graft.operators.Dedup.clusters(
-        Multimodal.phashSpanningEdges(
-          Multimodal.imagePHash(s,
-            Multimodal.imageTableWithVariants(s, Tables.documents(s, d))).toDF()))),
+        Multimodal.phashSpanningEdges(phashTable(s, d)))),
     // Keep list: every image except non-representative clique members
     // (the representative is the min-id member = the cluster label).
     // The hash table feeds both the pair join and the keep base, so it
     // is tracked once; the anti-join's right side is the (tiny,
     // linear) cluster table, broadcastable at any corpus size.
     "mm_phash_keep" -> ((s, d) => {
-      val hashes = graft.operators.OpCaches.track(
-        Multimodal.imagePHash(s,
-          Multimodal.imageTableWithVariants(s, Tables.documents(s, d))).toDF())
+      val hashes = phashTable(s, d)
       val cl = graft.operators.Dedup.clusters(
         Multimodal.phashSpanningEdges(hashes))
       hashes.select(col("doc_id"))

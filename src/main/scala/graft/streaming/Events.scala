@@ -906,7 +906,8 @@ object Events {
     * as LITERALS, so the bounds-check logic stays in the plan with no
     * join node at all. */
   def gapPercentilesApprox(events: DataFrame): DataFrame = {
-    val gaps = graft.operators.OpCaches.track(gapsOf(events).select("gap_us"))
+    val gaps = graft.operators.OpCaches.shared("ev.gaps")(
+      gapsOf(events).select("gap_us"))
     val (n, ex) = exactPercentiles(gaps, "gap_us", Seq(0.5, 0.9, 0.99))
     def exLit(o: Option[Double]): Column =
       o.map(lit).getOrElse(lit(null)).cast("double")

@@ -46,4 +46,62 @@ class OpCachesSpec extends SparkSpec {
     OpCaches.releaseAll() // second call: registry empty, nothing to do
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
+
+  private def withSharing[A](body: => A): A =
+    try {
+      spark.conf.set("graft.cores.share", "true")
+      body
+    } finally {
+      spark.conf.unset("graft.cores.share")
+      OpCaches.releaseShared()
+      OpCaches.releaseAll()
+      spark.catalog.clearCache()
+    }
+
+  test("shared cores survive releaseAll, are reused by identity, and " +
+      "releaseShared drops them") {
+    OpCaches.releaseAll(); OpCaches.releaseShared(); spark.catalog.clearCache()
+    withSharing {
+      val a = OpCaches.shared("spec.core")(docs.select("doc_id"))
+      a.count()
+      val persisted = spark.sparkContext.getPersistentRDDs.size
+      assert(persisted > 0)
+      OpCaches.releaseAll() // must NOT drop the shared core
+      assert(spark.sparkContext.getPersistentRDDs.size == persisted)
+      // semantically identical input → the SAME persisted frame object
+      val b = OpCaches.shared("spec.core")(docs.select("doc_id"))
+      assert(b eq a)
+      // semantically DIFFERENT input under the same key → a new entry,
+      // never a wrong substitution
+      val c = OpCaches.shared("spec.core")(docs.filter($"doc_id" > 1L).select("doc_id"))
+      assert(!(c eq a))
+      assert(c.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L, 4L))
+      OpCaches.releaseShared()
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    }
+  }
+
+  test("sharing is value-neutral: operator results identical with the conf on/off") {
+    OpCaches.releaseAll(); OpCaches.releaseShared(); spark.catalog.clearCache()
+    val isolated = Dedup.jaccardPairs(docs, n = 2, threshold = 0.3).collect().toSeq
+    OpCaches.releaseAll(); spark.catalog.clearCache()
+    val shared = withSharing {
+      // run twice: the second call rides the first call's shared cores
+      Dedup.jaccardPairs(docs, n = 2, threshold = 0.3).count()
+      Dedup.jaccardPairs(docs, n = 2, threshold = 0.3).collect().toSeq
+    }
+    assert(shared == isolated)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("with the conf unset, shared() is exactly track(): releaseAll drops it") {
+    OpCaches.releaseAll(); OpCaches.releaseShared(); spark.catalog.clearCache()
+    val a = OpCaches.shared("spec.iso")(docs.select("doc_id"))
+    a.count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    val b = OpCaches.shared("spec.iso")(docs.select("doc_id"))
+    assert(!(b eq a)) // no memoization outside sharing mode
+    OpCaches.releaseAll()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
 }
