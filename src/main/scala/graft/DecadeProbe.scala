@@ -29,9 +29,15 @@ object DecadeProbe {
     val dirs = if (args.nonEmpty) args.toSeq else Seq("target/sf1", "target/sf10")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
+    // shuffle partitions decoupled from the thread count: the r9 sweep
+    // measured the vocabulary-bound aggregates spill-bound at 32
+    // partitions near 10^8 distinct keys (fixed at 128 — the
+    // documented 2-3x-cores deployment rule); the next decade probes
+    // ~10^9 keys, which needs the override WITHOUT 128 local threads
+    val shufflePartitions = sys.env.getOrElse("GRAFT_PROBE_SHUFFLE", cpus)
     val spark = GraftSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -124,6 +130,25 @@ object DecadeProbe {
       // thresholds now recall-dispatch to the balanced exact join
       // (quadratic by semantics — excluded here like ss_cosine_pairs)
       run("ss_embedding_lsh")(Similarity.cosinePairsLsh(emb, threshold = 0.8))
+      // BITS=24 SATURATION, executed (r9 pinned it as math only): a
+      // shrunk graft.lsh.loadTarget pushes ceil(log2(n/load)) past 24
+      // at this corpus size, so the min(24, ...) cap ENGAGES — 24-bit
+      // keys, tables re-targeted at the cap's collision probability,
+      // super-sparse buckets (the post-saturation regime's shape).
+      // Threshold 0.9: at bits=24 the 95%-recall table count stays
+      // under LshTablesMax only for high thresholds — exactly the
+      // documented saturation frontier. Recall cross-check: the pair
+      // count must track the auto-params run at the same threshold
+      // (both are >=95% designs over the same corpus).
+      run("ss_embedding_lsh_sat") {
+        // load sized so ceil(log2(n/load)) = 26 > 24: the clamp itself
+        // must engage, not just a computed 24
+        val nEmb = emb.count()
+        spark.conf.set("graft.lsh.loadTarget", (nEmb / 6e7).toString)
+        try Similarity.cosinePairsLsh(emb, threshold = 0.9)
+        finally spark.conf.unset("graft.lsh.loadTarget")
+      }
+      run("ss_embedding_lsh_t09")(Similarity.cosinePairsLsh(emb, threshold = 0.9))
       run("ss_topk_lsh")(Similarity.topkLsh(emb, k = 5))
       // --- multimodal ---
       run("mm_phash_pairs")(Multimodal.phashPairs(
@@ -151,6 +176,46 @@ object DecadeProbe {
         Dedup.deltaPairsFromParts(Dedup.shingleIndex(delta, n = 3), Seq(idx),
           threshold = 0.5)
       }
+    }
+
+    // --- synthetic distributed-CC decade (dir-independent): the
+    // min-label + path-halving fallback forced (maxDriverEdges = 0) on
+    // a generated graph far past the 2M-edge driver budget — the r9
+    // forced runs existed only at sf10's organic edge count. Chain
+    // components are label propagation's WORST case per edge (one new
+    // label reaches one new vertex per hop without halving), so a
+    // chain graph at 10^8 edges bounds the fallback's behavior from
+    // above. Self-verifying: the probed frame is the DISTINCT cluster
+    // labels, so rows == nodes/chainLen or the labeling is wrong.
+    val ccNodes = sys.env.get("GRAFT_PROBE_CC_NODES").flatMap(_.toLongOption)
+    ccNodes.foreach { n =>
+      Seq(16L -> "dd_cc_synth_chain16", 4096L -> "dd_cc_synth_chain4096")
+        .foreach { case (chainLen, name) =>
+          graft.operators.OpCaches.releaseAll()
+          spark.catalog.clearCache()
+          System.gc()
+          val t0 = System.nanoTime()
+          val edges = spark.range(n)
+            .filter(col("id") % chainLen =!= (chainLen - 1))
+            .select(col("id").as("doc_a"), (col("id") + 1L).as("doc_b"))
+          val rows =
+            try graft.operators.Dedup.clusters(edges, maxDriverEdges = 0L)
+              .select("cluster").distinct()
+              .queryExecution.toRdd.count()
+            catch { case e: Throwable =>
+              println(s"""{"op":"$name","dir":"synthetic","nodes":$n,""" +
+                s""""sec":-1,"rows":-1,"err":${Jsons.quote(
+                  Option(e.getMessage).getOrElse(e.getClass.getName).take(300))}}""")
+              -1L
+            }
+          if (rows >= 0) {
+            val sec = (System.nanoTime() - t0) / 1e9
+            val expected = (n + chainLen - 1) / chainLen
+            println(f"""{"op":"$name","dir":"synthetic","nodes":$n,""" +
+              f""""edges":${n - n / chainLen},"sec":$sec%.3f,"rows":$rows,""" +
+              f""""expected_components":$expected,"ok":${rows == expected}}""")
+          }
+        }
     }
     spark.stop()
   }

@@ -245,9 +245,10 @@ object Similarity {
     * Small corpora (bitsEff == bits) keep the caller's exact
     * parameters — byte-identical to the pre-guard behavior. */
   private[graft] def lshParams(n: Long, threshold: Double,
-      tables: Int, bits: Int): Option[(Int, Int)] = {
+      tables: Int, bits: Int,
+      loadTarget: Double = LshLoadTarget): Option[(Int, Int)] = {
     val bitsEff = math.min(24, math.max(bits,
-      math.ceil(math.log(n.toDouble / LshLoadTarget) / math.log(2)).toInt))
+      math.ceil(math.log(n.toDouble / loadTarget) / math.log(2)).toInt))
     val p1 = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
     val tablesNeeded = 3.0 / math.pow(p1, bitsEff)
     if (bitsEff > bits && tablesNeeded > LshTablesMax) None
@@ -321,7 +322,16 @@ object Similarity {
     if (n == 0L)
       return prep.select(col("vec_id").as("vec_a"), col("vec_id").as("vec_b"),
         col("nrm").as("cosine")).limit(0)
-    val params = lshParams(n, threshold, tables, bits)
+    // `graft.lsh.loadTarget` override: a PROBE knob — shrinking the
+    // target load pushes bitsEff into the 24-bit saturation cap at
+    // corpus sizes a single box can hold, so the post-saturation code
+    // path (24-bit keys, tables at/near the cap, super-sparse buckets)
+    // is executable evidence instead of spec-pinned math. Production
+    // leaves it unset: LshLoadTarget is the derivation's design point.
+    val loadTarget = emb.sparkSession.conf
+      .getOption("graft.lsh.loadTarget").flatMap(_.toDoubleOption)
+      .getOrElse(LshLoadTarget)
+    val params = lshParams(n, threshold, tables, bits, loadTarget)
     if (params.isEmpty)
       return cosinePairsBlockedPrepared(prep, threshold).orderBy("vec_a", "vec_b")
     val (bitsEff, tablesEff) = params.get

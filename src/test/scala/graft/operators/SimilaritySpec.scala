@@ -328,6 +328,14 @@ class SimilaritySpec extends SparkSpec {
     // a caller-forced bits value is never shrunk (bitsEff >= bits),
     // and the caller's own (possibly oversized) tables are kept
     assert(Similarity.lshParams(100L, 0.9, 64, 12).contains((12, 64)))
+    // the probe knob: a shrunk loadTarget reaches the identical
+    // saturated operating point at a corpus size a single box holds —
+    // what DecadeProbe's ss_embedding_lsh_sat executes. 2M vectors at
+    // load 2M/6e7 computes ceil(log2(6e7)) = 26, clamped to 24, with
+    // the SAME (bits, tables) as a billion vectors at the design load.
+    val sat = Similarity.lshParams(2000000L, 0.9, 16, 5,
+      loadTarget = 2000000L / 6e7).get
+    assert(sat == atCap)
   }
 
   test("knnLabel: majority vote with deterministic tie-break and correctness flag") {
