@@ -96,30 +96,42 @@ object ScaleUp {
             "already-scaled output; scale from the BASE testdata only")
       }
     }
-    def write(name: String, df: => DataFrame, parts: Int): Unit = {
+    def write(name: String, df: => DataFrame): Unit = {
       if (!onlyTables.forall(_.contains(name))) return
-      df.repartition(parts)
-        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       println(s"[scaleup] $name: ${spark.read.parquet(s"$outDir/$name.parquet").count()} rows")
     }
     /** Per-replica transforms of `base`, expressed once per table as a
       * function of a replica COLUMN. Two physical strategies, same
-      * values (spec-checked):
+      * values (the probes self-verify row counts; the sf1 gate rides
+      * the union path):
       *  - small k (≤ unionMax): a union of k per-replica branches with
       *    `rep` a literal — the historical plan shape the sf1/sf10
-      *    artifacts came from;
+      *    artifacts came from — repartitioned to `parts` for file
+      *    sizing;
       *  - large k: one cross join with range(k) — a 10000-branch union
       *    quadratic-blows analysis time, while the cross join is a
-      *    single broadcast row-multiplier whose plan size is constant
-      *    in k.
+      *    broadcast row-multiplier whose plan size is constant in k.
+      *    The RANGE side drives (pre-split into `parts` partitions)
+      *    and the base table is broadcast: driving from the base —
+      *    one parquet file, ONE partition — executed the whole k×
+      *    transform in a single task (caught at k=10000: 50M tagged
+      *    docs crawled one core for 10+ minutes before this rewrite),
+      *    and a post-transform repartition would re-shuffle the full
+      *    fat output. Range-driven, the per-row work parallelizes
+      *    across `parts` tasks and the output needs no further
+      *    exchange.
       * Every transform guards with `when(rep === 0, base)` so replica
       * 0 stays the untouched base either way. */
-    def times(base: DataFrame)(one: (DataFrame, Column) => DataFrame): DataFrame =
+    def times(base: DataFrame, parts: Int)(
+        one: (DataFrame, Column) => DataFrame): DataFrame =
       if (k <= unionMax)
         (0 until k).map(i => one(base, lit(i))).reduce(_ unionByName _)
+          .repartition(parts)
       else
-        one(base.crossJoin(
-            spark.range(k.toLong).select(col("id").cast("int").as("graft_rep"))),
+        one(spark.range(0L, k.toLong, 1L, parts)
+            .select(col("id").cast("int").as("graft_rep"))
+            .crossJoin(broadcast(base)),
           col("graft_rep")).drop("graft_rep")
     /** Partition count for the written table: the per-decade counts
       * were hand-sized for k ≤ 1000; past that, scale them with k so
@@ -143,32 +155,32 @@ object ScaleUp {
       col(c) + rep.cast("long") * lit(stride)
 
     // dimensions: fixed
-    write("region", in("region"), 1)
-    write("nation", in("nation"), 1)
+    write("region", in("region").repartition(1))
+    write("nation", in("nation").repartition(1))
 
-    write("customer", times(in("customer")) { (t, rep) =>
+    write("customer", times(in("customer"), parts(4)) { (t, rep) =>
       t.withColumn("c_custkey", shifted(rep, E)("c_custkey"))
-    }, parts(4))
-    write("supplier", times(in("supplier")) { (t, rep) =>
+    })
+    write("supplier", times(in("supplier"), parts(1)) { (t, rep) =>
       t.withColumn("s_suppkey", shifted(rep, E)("s_suppkey"))
-    }, parts(1))
-    write("part", times(in("part")) { (t, rep) =>
+    })
+    write("part", times(in("part"), parts(4)) { (t, rep) =>
       t.withColumn("p_partkey", shifted(rep, E)("p_partkey"))
-    }, parts(4))
-    write("orders", times(in("orders")) { (t, rep) =>
+    })
+    write("orders", times(in("orders"), parts(8)) { (t, rep) =>
       t.withColumn("o_orderkey", shifted(rep, O)("o_orderkey"))
         .withColumn("o_custkey", shifted(rep, E)("o_custkey"))
-    }, parts(8))
-    write("lineitem", times(in("lineitem")) { (t, rep) =>
+    })
+    write("lineitem", times(in("lineitem"), parts(32)) { (t, rep) =>
       t.withColumn("l_orderkey", shifted(rep, O)("l_orderkey"))
         .withColumn("l_partkey", shifted(rep, E)("l_partkey"))
         .withColumn("l_suppkey", shifted(rep, E)("l_suppkey"))
-    }, parts(32))
-    write("events", times(in("events")) { (t, rep) =>
+    })
+    write("events", times(in("events"), parts(16)) { (t, rep) =>
       t.withColumn("event_id", shifted(rep, O)("event_id"))
         .withColumn("user_id", shifted(rep, E)("user_id"))
-    }, parts(16))
-    write("documents", times(in("documents")) { (t, rep) =>
+    })
+    write("documents", times(in("documents"), parts(8)) { (t, rep) =>
       // disjoint vocabulary per replica: every token tagged, so no
       // shingle ever matches across replicas
       val tag = concat(lit("r"), rep.cast("string"), lit("_"))
@@ -179,8 +191,8 @@ object ScaleUp {
         .withColumn("text", when(rep === 0, col("text")).otherwise(
           array_join(transform(split(col("text"), " "),
             tk => concat(tag, tk)), " ")))
-    }, parts(8))
-    write("embeddings", times(in("embeddings")) { (t, rep) =>
+    })
+    write("embeddings", times(in("embeddings"), parts(4)) { (t, rep) =>
       // per-replica sign decorrelation (see the P note above): residue
       // patterns for k ≤ 100 (byte-compat with the sf1/sf10 artifacts,
       // measured collision-free over 64 dims), Murmur3 hash(rep, j)
@@ -196,7 +208,7 @@ object ScaleUp {
             when(pmod(hash(rep, jj), lit(2)) === 0, -x).otherwise(x))
       t.withColumn("vec_id", shifted(rep, E)("vec_id"))
         .withColumn("embedding", when(rep === 0, col("embedding")).otherwise(signed))
-    }, parts(4))
+    })
 
     spark.stop()
   }
