@@ -423,10 +423,13 @@ object Dedup {
     * ~|log df| distinct dfs), both partial-combining — strictly
     * cheaper than any pair operator it tunes. */
   def shingleDfHistogram(docs: DataFrame, n: Int = 3): DataFrame =
-    withHashedShingles(docs, n)
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .groupBy("shingle").agg(count(lit(1)).as("df"))
-      .groupBy("df").agg(count(lit(1)).as("n_shingles"))
+    vocabGroupedAgg(docs, n)(inv => inv
+        .groupBy("shingle").agg(count(lit(1)).as("df"))
+        .groupBy("df").agg(count(lit(1)).as("n_shingles")))
+      // re-combine across domain groups (each folds ITS shingles into
+      // a histogram; dfs are exact per group, so summing the buckets
+      // is the full-domain histogram). Idempotent over a single group.
+      .groupBy("df").agg(sum("n_shingles").as("n_shingles"))
       .orderBy("df")
 
   /** Asymmetric CONTAINMENT pairs: |A∩B| / min(|A|, |B|) — the
@@ -518,10 +521,92 @@ object Dedup {
     * the daily probe quadratic, and dropping it trades the
     * least-discriminative evidence for a hard fan-out bound. */
   def hotShingles(docs: DataFrame, n: Int = 3, cap: Long = 1000L): DataFrame =
-    withHashedShingles(docs, n)
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    vocabGroupedAgg(docs, n)(inv => inv
       .groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") > cap).select("shingle")
+      .filter(col("df") > cap).select("shingle"))
+
+  /** Scratch-budgeted VOCABULARY aggregation (r10, caught by the
+    * sf1000 decade probe): a posting-stream `groupBy(shingle)`
+    * shuffles one row per shingle instance, and map-side combine
+    * cannot compress a corpus whose vocabulary grows with the data
+    * (df stays ~constant, so a map task's postings are mostly
+    * distinct keys) — at 50M docs the single-exchange aggregate wrote
+    * ~86 GB of shuffle scratch and died ENOSPC. Same failure class as
+    * the r9 LSH exchange (SCALE_r09 §2), same recipe: when the
+    * estimated shuffle volume exceeds the scratch budget
+    * (`graft.vocab.scratchBudgetBytes`, else 40% of usable scratch),
+    * the shingle DOMAIN is split into pmod(hash-space, G) groups
+    * processed SEQUENTIALLY — a shingle's postings land wholly in its
+    * own group, so every per-shingle aggregate is EXACT within its
+    * group and the union over groups is the full-domain result (the
+    * domain partition is a disjoint cover; nothing crosses groups).
+    * Each group's (small — df-filtered or histogram-folded) result is
+    * localCheckpoint'd and the group's shuffle files are handed to the
+    * ContextCleaner before the next group starts; peak scratch is one
+    * group's volume, wall is the same shuffle total serialized plus
+    * G-1 extra input scans (columnar, the cheap part). Callers whose
+    * per-group aggregate folds the vocabulary (histograms) re-combine
+    * AFTER the union; the combine is idempotent so the single-group
+    * plan stays correct.
+    *
+    * The grouped path is EAGER at construction (the cosinePairsLsh
+    * doctrine: a dispatch on data size cannot live inside a static
+    * plan); the single-group path — every corpus whose posting volume
+    * fits the budget, including all gate SFs — returns the untouched
+    * lazy plan. The exact instance count costs one columnar scan,
+    * gated behind the optimizer's size estimate so small corpora
+    * never pay it. */
+  private[graft] def vocabGroupedAgg(docs: DataFrame, n: Int,
+      stageFactor: Double = 1.0)(
+      aggOne: DataFrame => DataFrame): DataFrame = {
+    def inv = withHashedShingles(docs, n)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val groups = vocabGroupCount(docs, n, stageFactor)
+    if (groups == 1) return aggOne(inv)
+    (0 until groups).map { g =>
+      val out = aggOne(inv.filter(pmod(col("shingle"), lit(groups)) === g))
+        .localCheckpoint() // eager: this group's folded result only
+      // the finished group's ShuffleDependencies are garbage; enqueue
+      // them for the ContextCleaner before the next group writes
+      System.gc()
+      out
+    }.reduce(_ unionByName _)
+  }
+
+  /** The [[vocabGroupedAgg]] dispatch as its own decision: how many
+    * domain groups the posting volume needs under the scratch budget
+    * (1 = single untouched pass). `stageFactor` scales the estimate
+    * for callers whose per-group job runs MORE than one
+    * posting-volume exchange before its shuffle files can be
+    * collected (e.g. aggregate + semi-join back). */
+  private[graft] def vocabGroupCount(docs: DataFrame, n: Int,
+      stageFactor: Double = 1.0): Int = {
+    val spark = docs.sparkSession
+    val confBudget = spark.conf.getOption("graft.vocab.scratchBudgetBytes")
+      .flatMap(_.toLongOption)
+    lazy val defaultBudget = Similarity.defaultScratchBudget(spark)
+    // Stats gate, FIXED 1 GB: inputs whose optimizer size estimate is
+    // under a gigabyte never pay the exact instance count (every gate
+    // SF skips it). The gate must NOT scale with the budget: the
+    // optimizer's estimate is compressed-columnar bytes with default
+    // per-type string sizes, and the posting stream explodes ~2 orders
+    // of magnitude past it — the first cut gated at budget/4 and the
+    // sf1000 probe sailed straight through into the ungrouped ENOSPC
+    // it was built to prevent (same failing stage as the unfixed run).
+    if (confBudget.isEmpty &&
+        docs.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(1L << 30))
+      return 1
+    val budget = confBudget.getOrElse(defaultBudget)
+    val instances = Option(docs.select(
+        sum(size(hashedNgrams(col("text"), n)))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    // 8B key + 8B partial + framing, DOUBLED: a map task's sort spill
+    // and its final shuffle file coexist on scratch at stage boundary
+    val BytesPerPosting = 48L
+    math.max(1L, math.min(64L,
+      (math.ceil(instances * BytesPerPosting * stageFactor).toLong
+        + budget - 1) / budget)).toInt
+  }
 
   /** [[shingleIndex]] in a capped shingle space: the `hot` set is
     * dropped BEFORE sizes are taken, so `n_sh` (and therefore every
@@ -672,16 +757,52 @@ object Dedup {
     * consumers (the corpus-health dashboard) that aggregate the
     * per-doc rows immediately. */
   private[graft] def dupNgramRateRaw(docs: DataFrame, n: Int = 3): DataFrame = {
-    // the shingle-set table feeds the index AND the per-doc sizes —
-    // cache the tokenize+shingle pass (released by OpCaches.releaseAll)
-    val sh = OpCaches.shared("dd.hashedShingles")(
-      withHashedShingles(docs, n).select(col("doc_id"), col("shingles")))
-    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val shared = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2L).select("shingle")
-    val dup = inv.join(shared, Seq("shingle"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
-    sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
+    // Scratch dispatch (r10, sf1000 probe ENOSPC — see
+    // [[vocabGroupedAgg]]): this operator runs TWO posting-volume
+    // exchanges back to back (the df aggregate, then the semi-join of
+    // the postings against the shared list) plus the cached shingle
+    // table, so its stageFactor is 2.5. Past the budget the shingle
+    // domain is processed in sequential groups: within a group the
+    // df>=2 list and the per-doc dup-instance counts are EXACT (a
+    // shingle's postings never cross groups), and per-doc counts SUM
+    // across groups. The grouped path skips the whole-corpus shingle
+    // cache (the cache itself is posting-sized — it was part of the
+    // ENOSPC) and instead caches each group's (1/G) posting slice for
+    // its two consumers, dropping it before the next group.
+    val groups = vocabGroupCount(docs, n, stageFactor = 2.5)
+    if (groups == 1) {
+      // the shingle-set table feeds the index AND the per-doc sizes —
+      // cache the tokenize+shingle pass (released by OpCaches.releaseAll)
+      val sh = OpCaches.shared("dd.hashedShingles")(
+        withHashedShingles(docs, n).select(col("doc_id"), col("shingles")))
+      val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      val shared = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2L).select("shingle")
+      val dup = inv.join(shared, Seq("shingle"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+      return sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
+        .join(dup, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_sh"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          (coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_sh").cast("double"))
+            .as("dup_rate"))
+    }
+    def inv = withHashedShingles(docs, n)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val dup = (0 until groups).map { g =>
+      val invG = inv.filter(pmod(col("shingle"), lit(groups)) === g).cache()
+      val sharedG = invG.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2L).select("shingle")
+      val out = invG.join(sharedG, Seq("shingle"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+        .localCheckpoint() // eager: per-doc partials for THIS group
+      invG.unpersist()
+      System.gc()
+      out
+    }.reduce(_ unionByName _)
+      .groupBy("doc_id").agg(sum("n_dup").as("n_dup"))
+    withHashedShingles(docs, n)
+      .select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
       .join(dup, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_sh"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup"),

@@ -242,4 +242,34 @@ class DedupSpec extends SparkSpec {
     assert(got.exists { case (a, b, _) => (a, b) == (1L, 10L) || (a, b) == (2L, 10L) })
     assert(!got.exists { case (a, b, _) => a == 11L || b == 11L })
   }
+
+  test("vocabGroupedAgg: domain groups are value-identical to the single pass") {
+    // force the grouped path with a 1-byte budget (instances * 24 / 1
+    // caps at 64 groups), then compare against the untouched single
+    // pass — hot list AND histogram must match exactly, since each
+    // shingle's postings land wholly in one pmod group
+    val single = Dedup.hotShingles(docs, n = 2, cap = 2L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val singleHist = Dedup.shingleDfHistogram(docs, n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    spark.conf.set("graft.vocab.scratchBudgetBytes", "1")
+    try {
+      val grouped = Dedup.hotShingles(docs, n = 2, cap = 2L)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val groupedHist = Dedup.shingleDfHistogram(docs, n = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(grouped == single)
+      assert(groupedHist == singleHist)
+      assert(single.nonEmpty || singleHist.nonEmpty) // not vacuous
+      // the two-exchange caller: per-doc dup counts must SUM across
+      // domain groups back to the single-pass values
+      val groupedRate = Dedup.dupNgramRate(docs, n = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      spark.conf.unset("graft.vocab.scratchBudgetBytes")
+      val singleRate = Dedup.dupNgramRate(docs, n = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(groupedRate == singleRate)
+      assert(singleRate.exists(_._3 > 0L)) // not vacuous
+    } finally spark.conf.unset("graft.vocab.scratchBudgetBytes")
+  }
 }
