@@ -925,8 +925,18 @@ object Dedup {
         changed = if (s.compareTo(prevSum) < 0) 1L else 0L
         prevSum = s
       } else changed = if (anyChanged(labels, next)) 1L else 0L
+      // r10, caught by the 1e8-edge synthetic probe: every round
+      // checkpoints a full label frame, and the PRIOR rounds' blocks
+      // (memory-first storage) accumulated to a Java-heap OOM by
+      // ~round 10 at 1e8 nodes — GC + ContextCleaner reclaim them too
+      // slowly under an active loop. The previous round is dead the
+      // moment the convergence check above has read it: free its
+      // blocks deterministically, and hand the round's shuffle files
+      // to the cleaner.
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(labels)
       labels = next
       round += 1
+      System.gc()
     }
     labels.select(col("v").as("doc_id"), col("label").as("cluster"))
       .orderBy("doc_id")

@@ -12,6 +12,23 @@ object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Drop the storage blocks of a localCheckpoint'd frame NOW.
+    * Iterative loops (connected components) checkpoint every round;
+    * the PREVIOUS round's blocks are dead the moment the next round
+    * has materialized and been compared, but `Dataset.unpersist` only
+    * talks to the CacheManager — checkpoint blocks belong to the
+    * underlying RDD, reachable only through the LogicalRDD node. GC +
+    * ContextCleaner would reclaim them EVENTUALLY; an 1e8-node loop
+    * accumulates rounds faster than that (probe-measured: Java-heap
+    * OOM at chain-4096/1e8 before the fix). Only call on frames that
+    * will never be read again — the lineage is truncated, so the
+    * blocks are unrecoverable. No-op on non-checkpoint plans. */
+  def unpersistCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.logical match {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** Register the graft_* SQL functions on a LIVE session (the
     * `withExtensions`/`spark.sql.extensions` route in
     * [[graft.functions.GraftExtensions]] only applies at session build
