@@ -156,9 +156,15 @@ object Bench {
     val errJson = errors
       .map { case (k, v) => s"${Jsons.quote(k)}:${Jsons.quote(v)}" }
       .mkString("{", ",", "}")
+    // shared-core registry health: `degraded > 0` means the registry
+    // cap silently turned report-pass reuse back into per-query
+    // rebuilds for some cores — a bench artifact must say so
+    val (sharedLive, sharedDegraded) = graft.operators.OpCaches.sharedStats
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""overhead_floor_sec":$floor,"errors":$errJson,"sf":"$sfDir"}"""
+        s""""overhead_floor_sec":$floor,"shared_cores":$sharedLive,""" +
+        s""""shared_degraded":$sharedDegraded,""" +
+        s""""errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Exception =>

@@ -53,6 +53,15 @@ object OpCaches {
   private val sharedReg =
     scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
   private val MaxShared = 64
+  // diagnostics: how many shared() calls degraded to track() because
+  // the registry was full — a full registry silently turns the
+  // report-pass shape back into per-query rebuilds, so the bench
+  // surfaces this count instead of leaving it to archaeology
+  private var degraded = 0L
+
+  /** (live shared entries, degraded-to-track calls since start). */
+  def sharedStats: (Int, Long) =
+    sharedReg.synchronized { (sharedReg.size, degraded) }
 
   /** cache() the frame and register it for [[releaseAll]]. */
   private[graft] def track(df: DataFrame): DataFrame = {
@@ -82,7 +91,9 @@ object OpCaches {
         case Some(hit)
             if hit.queryExecution.analyzed.canonicalized.sameResult(plan) =>
           hit
-        case _ if sharedReg.size >= MaxShared => track(frame)
+        case _ if sharedReg.size >= MaxShared =>
+          degraded += 1
+          track(frame)
         case _ =>
           frame.cache()
           sharedReg += mapKey -> frame

@@ -35,6 +35,15 @@ object ExtQueries {
     graft.operators.OpCaches.shared("mm.phashTable")(
       Multimodal.imagePHash(s,
         Multimodal.imageTableWithVariants(s, Tables.documents(s, d))).toDF())
+  /** The decoded-metadata core mm_metadata and mm_resize both ride —
+    * ONE mixed-container encode+decode pass per corpus snapshot when
+    * `graft.cores.share` is on (resize planning is a narrow map over
+    * the kilobyte metadata, so re-running the codecs for it would be
+    * pure waste), a per-query cache otherwise. */
+  private def decodedMeta(s: SparkSession, d: String): DataFrame =
+    graft.operators.OpCaches.shared("mm.decodedMeta")(
+      Multimodal.decodeMetadata(s,
+        Multimodal.codecTable(s, Tables.documents(s, d))).toDF())
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_tumbling_hourly" -> ((s, d) => Events.tumblingHourly(events(s, d))),
@@ -128,10 +137,7 @@ object ExtQueries {
     // BYTES, dims/frames/rates read from IHDR / fmt / avih. The sort
     // runs on the decoded METADATA (post-codec, kilobytes) — the
     // payload bytes themselves never cross an exchange.
-    "mm_metadata" -> ((s, d) =>
-      Multimodal.decodeMetadata(s,
-          Multimodal.codecTable(s, Tables.documents(s, d)))
-        .toDF().orderBy("doc_id")),
+    "mm_metadata" -> ((s, d) => decodedMeta(s, d).orderBy("doc_id")),
     // REAL video frame sampling: walk each AVI's movi chunk list,
     // slice every 4th 00db frame, emit exact integer byte features —
     // the oracle re-derives them from the frame-byte formula.
@@ -142,12 +148,13 @@ object ExtQueries {
     // resize planning over the REAL decoded dims (visual rows only;
     // maxSide = 24 so both branches — downscale and passthrough —
     // actually occur on the 8..64-pixel corpus)
-    "mm_resize" -> ((s, d) =>
+    "mm_resize" -> ((s, d) => {
+      import s.implicits._
       Multimodal.resizeMeta(
-          Multimodal.decodeMetadata(s,
-            Multimodal.codecTable(s, Tables.documents(s, d)))
-            .filter(col("width") > 0), maxSide = 24)
-        .orderBy("doc_id")),
+          decodedMeta(s, d).filter(col("width") > 0).as[graft.operators.MediaMeta],
+          maxSide = 24)
+        .orderBy("doc_id")
+    }),
     // REAL in-JDK codec round-trip: payloads are actual PNGs, dims come
     // from javax.imageio reading the bytes — the oracle can only match
     // if encode(dimsFor(len)) → decode reproduces the formula dims.

@@ -94,6 +94,22 @@ class OpCachesSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("mm.decodedMeta share is value-neutral: mm_resize riding " +
+      "mm_metadata's decode core returns the isolated-run rows") {
+    val dir = "/root/testdata/sf0.001"
+    val meta = graft.SparkEntry.queries("mm_metadata")
+    val resize = graft.SparkEntry.queries("mm_resize")
+    OpCaches.releaseAll(); OpCaches.releaseShared(); spark.catalog.clearCache()
+    val isolated = resize(spark, dir).collect().toSeq
+    OpCaches.releaseAll(); spark.catalog.clearCache()
+    val shared = withSharing {
+      meta(spark, dir).count() // pays for the decode core
+      resize(spark, dir).collect().toSeq // must ride it, not re-decode
+    }
+    assert(shared == isolated)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("with the conf unset, shared() is exactly track(): releaseAll drops it") {
     OpCaches.releaseAll(); OpCaches.releaseShared(); spark.catalog.clearCache()
     val a = OpCaches.shared("spec.iso")(docs.select("doc_id"))
