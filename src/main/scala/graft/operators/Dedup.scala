@@ -306,22 +306,81 @@ object Dedup {
     // positional (non-distinct) native n-gram hashes: posexplode gives
     // (pos, gram) identical to the HOF transform array, minus its
     // per-element interpreted lambda cost
-    val posGrams = OpCaches.shared("dd.posGrams")(spread(docs).select(col("doc_id"),
+    def posGramsPlan = spread(docs).select(col("doc_id"),
       posexplode(hashedNgrams(col("text"), n, distinct = false))
-        .as(Seq("pos", "shingle"))))
-    // "≥2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id): ONE map-side-
-    // combining aggregate on shingle, instead of a (doc_id, shingle)
-    // distinct shuffle FOLLOWED by a df shuffle — the distinct was the
-    // single biggest exchange in this operator at sf1
-    val shared = posGrams.groupBy("shingle")
-      .agg(min(col("doc_id")).as("d_min"), max(col("doc_id")).as("d_max"))
-      .filter(col("d_min") =!= col("d_max")).select("shingle")
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val runs = posGrams.join(shared, Seq("shingle"), "left_semi")
-      .withColumn("grp", col("pos") - row_number().over(w))
-      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
-      .groupBy("doc_id").agg(max(col("run")).as("max_run"),
-        sum(col("run")).as("n_dup_grams"))
+        .as(Seq("pos", "shingle")))
+    // Scratch dispatch (r10, sf1000 probe ENOSPC — see
+    // [[vocabGroupedAgg]]): like dupNgramRate this runs the df
+    // membership aggregate AND the semi-join back over posting volume,
+    // plus the cached posting table — stageFactor 2.5. Past the budget
+    // the shingle domain is processed in sequential pmod groups: a
+    // gram's instances land wholly in one group, so the ≥2-docs
+    // membership is EXACT per group, and the flagged (doc_id, pos)
+    // sets are DISJOINT across groups (each position's gram lives in
+    // exactly one group) — their union is the single-pass flag set.
+    // Flagged positions are PACKED per doc inside each group
+    // (collect_list of 4-byte positions — the first grouped cut
+    // checkpointed raw (doc_id, pos) rows and the sf1000 probe
+    // ENOSPC'd on exactly that accumulation: flag volume is near
+    // posting scale on the scaled corpus, and 16 B/flag of raw
+    // checkpoint blocks plus the window exchange put two
+    // posting-scale artifacts on scratch at once). The per-doc runs
+    // then come from ONE hash aggregate merging each doc's ≤G packed
+    // lists and an array fold — no global window: a run can span two
+    // vocab groups (consecutive positions, grams in different
+    // groups), so runs are computed per doc AFTER the union, over
+    // arrays bounded by the doc's own gram count.
+    val groups = vocabGroupCount(docs, n, stageFactor = 2.5)
+    val runs =
+      if (groups == 1) {
+        val posGrams = OpCaches.shared("dd.posGrams")(posGramsPlan)
+        // "≥2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id): ONE map-side-
+        // combining aggregate on shingle, instead of a (doc_id, shingle)
+        // distinct shuffle FOLLOWED by a df shuffle — the distinct was the
+        // single biggest exchange in this operator at sf1
+        val shared = posGrams.groupBy("shingle")
+          .agg(min(col("doc_id")).as("d_min"), max(col("doc_id")).as("d_max"))
+          .filter(col("d_min") =!= col("d_max")).select("shingle")
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        posGrams.join(shared, Seq("shingle"), "left_semi")
+          .withColumn("grp", col("pos") - row_number().over(w))
+          .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+          .groupBy("doc_id").agg(max(col("run")).as("max_run"),
+            sum(col("run")).as("n_dup_grams"))
+      } else {
+        val packed = (0 until groups).map { g =>
+          val pgG = posGramsPlan
+            .filter(pmod(col("shingle"), lit(groups)) === g).cache()
+          val sharedG = pgG.groupBy("shingle")
+            .agg(min(col("doc_id")).as("d_min"), max(col("doc_id")).as("d_max"))
+            .filter(col("d_min") =!= col("d_max")).select("shingle")
+          val out = pgG.join(sharedG, Seq("shingle"), "left_semi")
+            .groupBy("doc_id").agg(collect_list(col("pos")).as("flag_pos"))
+            .localCheckpoint() // eager: this group's packed flags only
+          pgG.unpersist()
+          System.gc() // hand the finished group's shuffles to the cleaner
+          out
+        }.reduce(_ unionByName _)
+        // longest consecutive run over the doc's sorted flag set: a
+        // left fold carrying (prev, current run, best run). Positions
+        // are unique per doc (one gram per position, groups disjoint),
+        // so x = prev+1 is exactly the gaps-and-islands adjacency.
+        val maxRun = expr(
+          """aggregate(sort_array(flatten(ps)),
+               named_struct('prev', -2, 'run', CAST(0 AS BIGINT),
+                            'best', CAST(0 AS BIGINT)),
+               (acc, x) -> named_struct(
+                 'prev', x,
+                 'run',  IF(x = acc.prev + 1, acc.run + 1L, CAST(1 AS BIGINT)),
+                 'best', GREATEST(acc.best,
+                   IF(x = acc.prev + 1, acc.run + 1L, CAST(1 AS BIGINT)))),
+               acc -> acc.best)""")
+        packed.groupBy("doc_id")
+          .agg(collect_list(col("flag_pos")).as("ps"))
+          .select(col("doc_id"), maxRun.as("max_run"),
+            aggregate(col("ps"), lit(0L),
+              (acc, a) => acc + size(a).cast("long")).as("n_dup_grams"))
+      }
     docs.select(col("doc_id"),
         greatest(size(split(col("text"), " ")) - (n - 1), lit(1))
           .cast("long").as("n_grams"))

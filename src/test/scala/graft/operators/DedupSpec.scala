@@ -265,11 +265,19 @@ class DedupSpec extends SparkSpec {
       // domain groups back to the single-pass values
       val groupedRate = Dedup.dupNgramRate(docs, n = 2)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      // the positional caller: per-group flag sets are disjoint and
+      // must union back to the single-pass spans exactly
+      val groupedSpans = Dedup.dupSpans(docs, n = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
       spark.conf.unset("graft.vocab.scratchBudgetBytes")
       val singleRate = Dedup.dupNgramRate(docs, n = 2)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val singleSpans = Dedup.dupSpans(docs, n = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
       assert(groupedRate == singleRate)
       assert(singleRate.exists(_._3 > 0L)) // not vacuous
+      assert(groupedSpans == singleSpans)
+      assert(singleSpans.exists(_._4 > 0L)) // a real run, not all zeros
     } finally spark.conf.unset("graft.vocab.scratchBudgetBytes")
   }
 }
