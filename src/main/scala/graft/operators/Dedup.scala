@@ -246,9 +246,19 @@ object Dedup {
       bands: Int = 4, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    // reused by the signature pass and twice by candidate verification
-    val sh = OpCaches.shared("dd.stringShingles")(
-      withShingles(docs, n).select(col("doc_id"), col("shingles")))
+    // Scratch dispatch (r10, sf1000 probe ENOSPC): the corpus-wide
+    // STRING-shingle cache below (reused by the signature pass and
+    // twice by candidate verification) is itself posting-scale — at
+    // 50M docs it alone overran scratch before any join ran. Past the
+    // budget the operator goes cache-LEAN: signatures stream straight
+    // off the shingle expression, and verification recomputes shingle
+    // sets ONLY for candidate docs (semi-join — candidates are rare by
+    // construction, that's the point of LSH), trading one extra
+    // tokenize pass over the candidates for never materializing the
+    // corpus's shingle strings. Gate SFs keep the cached plan.
+    val lean = vocabGroupCount(docs, n, stageFactor = 3.0) > 1
+    def shPlan = withShingles(docs, n).select(col("doc_id"), col("shingles"))
+    val shCached = if (lean) None else Some(OpCaches.shared("dd.stringShingles")(shPlan))
     // all k minhashes in one native pass over the shingle set
     // (graft.functions.MinHashesExpr) — same values as k separate
     // array_min(transform(..., md5)) projections
@@ -257,7 +267,7 @@ object Dedup {
       GraftSqlBridge.column(graft.functions.MinHashesExpr(
         GraftSqlBridge.expression(col("shingles")), numHashes))
     }
-    val sig = sh.select(col("doc_id"), mh.as("mh"))
+    val sig = shCached.getOrElse(shPlan).select(col("doc_id"), mh.as("mh"))
       .select(col("doc_id") +: (0 until numHashes).map(i => col("mh")(i).as(s"mh$i")): _*)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -265,14 +275,23 @@ object Dedup {
     }
     val buckets = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val cand = buckets.as("a").join(buckets.as("b"),
+    val cand0 = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // lean mode: pin the (small) candidate set so the verification
+    // side's `needed` semi-join doesn't re-run the whole bucket join
+    val cand = if (lean) cand0.localCheckpoint() else cand0
+    val shVerify = shCached.getOrElse {
+      val needed = cand.select(col("doc_a").as("doc_id"))
+        .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+      withShingles(docs.join(needed, Seq("doc_id"), "left_semi"), n)
+        .select(col("doc_id"), col("shingles"))
+    }
     cand
-      .join(sh.toDF("doc_a", "sh_a"), "doc_a")
-      .join(sh.toDF("doc_b", "sh_b"), "doc_b")
+      .join(shVerify.toDF("doc_a", "sh_a"), "doc_a")
+      .join(shVerify.toDF("doc_b", "sh_b"), "doc_b")
       .withColumn("n_common",
         size(expr("filter(sh_a, x -> array_contains(sh_b, x))")).cast("long"))
       .withColumn("jaccard",

@@ -475,6 +475,21 @@ object TextAnalysis {
     postings.join(dfs, Seq("term"))
   }
 
+  /** [[rarityPostings]]' posting stream WITHOUT the per-doc frequency
+    * cache or the df join — the raw (doc_id, term, tf) rows the
+    * scratch-grouped [[bigramRarity]] path filters by term domain
+    * (the cache is posting-scale, which is exactly what that path
+    * exists to avoid materializing). */
+  private def rarityPostingsStream(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    graft.operators.Dedup.spread(docs)
+      .select(col("doc_id"), GraftSqlBridge.column(
+        graft.functions.HashedNgramFreqsExpr(
+          GraftSqlBridge.expression(col("text")), n)).as("tfs"))
+      .select(col("doc_id"), explode(col("tfs")).as("p"))
+      .select(col("doc_id"), col("p.gram_h").as("term"), col("p.tf").as("tf"))
+  }
+
   /** Bigram-level corpus rarity per document — the sibling of
     * [[rarityStats]] one n-gram order up. Unigram df saturates fast
     * (every doc shares "the"); bigram df separates formulaic
@@ -497,19 +512,54 @@ object TextAnalysis {
     * ([[graft.functions.HashedNgramFreqsExpr]] via [[rarityPostings]])
     * — no term ever leaves the operator, and the (doc, bigram)
     * aggregate's shuffle of every occurrence is gone. */
-  def bigramRarity(docs: DataFrame): DataFrame =
-    rarityPostings(docs, n = 2)
-      .groupBy("doc_id").agg(
-        sum(col("tf")).as("n_bigrams"),
-        sum(col("tf") * col("df")).as("sum_df"),
-        min(col("df")).as("min_df"),
-        sum(when(col("df") === 1L, col("tf")).otherwise(0L)).as("n_uniq"))
+  def bigramRarity(docs: DataFrame): DataFrame = {
+    // Scratch dispatch (r10 sf1000 hazard class): unlike the unigram
+    // sibling — whose df table is vocabulary-bounded, broadcasts, and
+    // never shuffles the postings — the BIGRAM vocabulary grows with
+    // the corpus, so the df join back shuffles full posting volume and
+    // the packed per-doc frequency cache is itself posting-scale. Past
+    // the budget, process the bigram domain in sequential pmod groups
+    // (df exact within a group — a bigram's postings never cross
+    // groups), fold each group to per-doc integer partials, and merge:
+    // sums ADD across groups, min_df is a min of group minima. Gate
+    // SFs keep the untouched cached single pass.
+    val groups = graft.operators.Dedup.vocabGroupCount(docs, n = 2, stageFactor = 2.5)
+    val perDoc =
+      if (groups == 1)
+        rarityPostings(docs, n = 2)
+          .groupBy("doc_id").agg(
+            sum(col("tf")).as("n_bigrams"),
+            sum(col("tf") * col("df")).as("sum_df"),
+            min(col("df")).as("min_df"),
+            sum(when(col("df") === 1L, col("tf")).otherwise(0L)).as("n_uniq"))
+      else (0 until groups).map { g =>
+        val p = rarityPostingsStream(docs, n = 2)
+          .filter(pmod(col("term"), lit(groups)) === g).cache()
+        val dfsG = p.groupBy("term").agg(count(lit(1)).as("df"))
+        val out = p.join(dfsG, Seq("term"))
+          .groupBy("doc_id").agg(
+            sum(col("tf")).as("n_bigrams"),
+            sum(col("tf") * col("df")).as("sum_df"),
+            min(col("df")).as("min_df"),
+            sum(when(col("df") === 1L, col("tf")).otherwise(0L)).as("n_uniq"))
+          .localCheckpoint() // eager: this group's per-doc partials only
+        p.unpersist()
+        System.gc() // hand the finished group's shuffles to the cleaner
+        out
+      }.reduce(_ unionByName _)
+        .groupBy("doc_id").agg(
+          sum(col("n_bigrams")).as("n_bigrams"),
+          sum(col("sum_df")).as("sum_df"),
+          min(col("min_df")).as("min_df"),
+          sum(col("n_uniq")).as("n_uniq"))
+    perDoc
       .select(col("doc_id"), col("n_bigrams"), col("sum_df"), col("min_df"),
         (col("sum_df").cast("double") / col("n_bigrams").cast("double"))
           .as("mean_df"),
         (col("n_uniq").cast("double") / col("n_bigrams").cast("double"))
           .as("uniq_frac"))
       .orderBy("doc_id")
+  }
 
   /** Per-document top-k TF-IDF keyword extraction. idf is the
     * RATIONAL Robertson surrogate (N − df + 0.5)/(df + 0.5) — the
@@ -538,13 +588,63 @@ object TextAnalysis {
     * [[tfidfTopKWindow]] for the value-identity spec. */
   def tfidfTopK(docs: DataFrame, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
-    val topk = GraftSqlBridge.column(graft.functions.TopKByScoreAgg(
+    def topk = GraftSqlBridge.column(graft.functions.TopKByScoreAgg(
         GraftSqlBridge.expression(col("score")),
         GraftSqlBridge.expression(col("term")),
         GraftSqlBridge.expression(col("tf")),
         GraftSqlBridge.expression(col("df")), k).toAggregateExpression())
-    tfidfScored(docs)
-      .groupBy("doc_id").agg(topk.as("top"))
+    // Scratch dispatch (r10 sf1000 hazard class, same as bigramRarity):
+    // the df join back carries term STRINGS at posting volume, and the
+    // per-doc tf-array cache is posting-scale. Past the budget the term
+    // domain is processed in sequential pmod groups: df is exact within
+    // a group, and groups FOLD into one running per-doc top-k heap.
+    // The fold, not a union-then-merge: the first grouped cut
+    // checkpointed every group's per-doc top-k and merged at the end —
+    // and the sf1000 probe ENOSPC'd on exactly that accumulation
+    // (docs hold only ~terms/G terms per group, so "≤ k per doc per
+    // group" cut nothing and the checkpoints re-materialized ~the full
+    // posting volume). The running merge keeps at most TWO bounded
+    // frames alive (current merge + the one being built, each ≤ k rows
+    // per doc), freeing the previous round the moment the new one is
+    // materialized — the same deterministic-release rule as the CC
+    // loop. Exact, not approximate: term domains are disjoint, and a
+    // term outside the running top-k after round g is dominated by k
+    // terms that are in it — with the heap's deterministic keep
+    // preference (score desc, term asc) the fold's fixpoint is the
+    // single-pass row set bit-for-bit. Gate SFs keep the untouched
+    // cached single pass.
+    val groups = graft.operators.Dedup.vocabGroupCount(docs, n = 1, stageFactor = 2.5)
+    val top =
+      if (groups == 1) tfidfScored(docs).groupBy("doc_id").agg(topk.as("top"))
+      else {
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        var running: DataFrame = null
+        (0 until groups).foreach { g =>
+          val p = termPostingsStream(docs)
+            .filter(pmod(col("term_h"), lit(groups)) === g).cache()
+          val dfsG = p.groupBy("term_h").agg(count(lit(1)).as("df"))
+          val scoredG = p.join(dfsG, Seq("term_h"))
+            .crossJoin(broadcast(nDocs))
+            .withColumn("score", col("tf").cast("double") *
+              ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+                (col("df").cast("double") + lit(0.5))))
+            .select(col("doc_id"), col("score"), col("term"), col("tf"), col("df"))
+          val candidates =
+            if (running == null) scoredG
+            else running.select(col("doc_id"), explode(col("top")).as("t"))
+              .select(col("doc_id"), col("t.score").as("score"),
+                col("t.term").as("term"), col("t.tf").as("tf"), col("t.df").as("df"))
+              .unionByName(scoredG)
+          val merged = candidates.groupBy("doc_id").agg(topk.as("top"))
+            .localCheckpoint() // eager: the running ≤ k-per-doc heap
+          p.unpersist()
+          if (running != null) GraftSqlBridge.unpersistCheckpoint(running)
+          running = merged
+          System.gc() // hand the finished group's shuffles to the cleaner
+        }
+        running
+      }
+    top
       .select(col("doc_id"), explode(col("top")).as("t"))
       .select(col("doc_id"), col("t.term").as("term"), col("t.tf").as("tf"),
         col("t.df").as("df"), col("t.score").as("score"))
@@ -560,6 +660,20 @@ object TextAnalysis {
     tfidfScored(docs).withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
       .orderBy(col("doc_id"), col("score").desc, col("term"))
+  }
+
+  /** The raw (doc_id, term_h, term, tf) posting stream WITHOUT the
+    * per-doc array cache — what [[tfidfTopK]]'s scratch-grouped path
+    * filters by term domain (the cache is posting-scale at the sizes
+    * that path exists for). */
+  private def termPostingsStream(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    graft.operators.Dedup.spread(docs)
+      .select(col("doc_id"), GraftSqlBridge.column(
+        graft.functions.TermFreqsExpr(GraftSqlBridge.expression(col("text")))).as("tfs"))
+      .select(col("doc_id"), explode(col("tfs")).as("p"))
+      .select(col("doc_id"), col("p.term_h").as("term_h"),
+        col("p.term").as("term"), col("p.tf").as("tf"))
   }
 
   /** Shared scoring core of the two top-k forms: in-row term

@@ -269,15 +269,23 @@ class DedupSpec extends SparkSpec {
       // must union back to the single-pass spans exactly
       val groupedSpans = Dedup.dupSpans(docs, n = 2)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      // minhashLsh's cache-LEAN dispatch (candidate-only shingle
+      // recompute) must emit the cached plan's exact pair set
+      val leanPairs = Dedup.minhashLsh(docs, n = 2, threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       spark.conf.unset("graft.vocab.scratchBudgetBytes")
       val singleRate = Dedup.dupNgramRate(docs, n = 2)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       val singleSpans = Dedup.dupSpans(docs, n = 2)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val cachedPairs = Dedup.minhashLsh(docs, n = 2, threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       assert(groupedRate == singleRate)
       assert(singleRate.exists(_._3 > 0L)) // not vacuous
       assert(groupedSpans == singleSpans)
       assert(singleSpans.exists(_._4 > 0L)) // a real run, not all zeros
+      assert(leanPairs == cachedPairs)
+      assert(cachedPairs.nonEmpty) // not vacuous
     } finally spark.conf.unset("graft.vocab.scratchBudgetBytes")
   }
 }

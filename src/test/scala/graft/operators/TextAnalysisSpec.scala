@@ -204,6 +204,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == ((1L, 1L, 1L, 1.0)))
   }
 
+  test("bigramRarity: scratch-grouped path is value-identical to the single pass") {
+    val df = mk(
+      (1L, "a b a b c", "en"),
+      (2L, "a b x", "en"),
+      (3L, "x c a b", "en"),
+      (4L, "solo", "en"))
+    val single = TextAnalysis.bigramRarity(df).collect().toSeq
+    // 1-byte budget forces the max group count; per-group df is exact
+    // (a bigram's postings never cross pmod groups) and per-doc
+    // partials must merge back to the single-pass rows bit-for-bit
+    spark.conf.set("graft.vocab.scratchBudgetBytes", "1")
+    try {
+      val grouped = TextAnalysis.bigramRarity(df).collect().toSeq
+      assert(grouped == single)
+      assert(single.nonEmpty)
+    } finally spark.conf.unset("graft.vocab.scratchBudgetBytes")
+  }
+
+  test("tfidfTopK: scratch-grouped heap-of-heaps merge is value-identical") {
+    val df = mk(
+      (1L, "shared shared rare1 rare1 rare1 zz", "en"),
+      (2L, "shared other other zz aa", "en"),
+      (3L, "shared alone bb aa", "en"))
+    val single = TextAnalysis.tfidfTopK(df, k = 2).collect().toSeq
+    // forced max groups: per-group dfs are exact (term domains are
+    // disjoint) and the merged per-doc top-k must be the single-pass
+    // rows bit-for-bit, including score ties broken by term
+    spark.conf.set("graft.vocab.scratchBudgetBytes", "1")
+    try {
+      val grouped = TextAnalysis.tfidfTopK(df, k = 2).collect().toSeq
+      assert(grouped == single)
+      assert(single.nonEmpty)
+    } finally spark.conf.unset("graft.vocab.scratchBudgetBytes")
+  }
+
   test("tfidfTopK: rare terms outrank common ones, k bound, ties by term") {
     val df = mk(
       (1L, "shared shared rare1 rare1 rare1", "en"),
