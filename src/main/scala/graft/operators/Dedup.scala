@@ -256,7 +256,13 @@ object Dedup {
     // construction, that's the point of LSH), trading one extra
     // tokenize pass over the candidates for never materializing the
     // corpus's shingle strings. Gate SFs keep the cached plan.
-    val lean = vocabGroupCount(docs, n, stageFactor = 3.0) > 1
+    // bytesPerPosting 128: the protected artifact is the STRING
+    // shingle cache — an n-word shingle is ~n·(avg word + 1) UTF-8
+    // bytes plus array/UTF8String framing, well past the 48 B hashed
+    // model (overcounting here only moves the lean cutoff earlier;
+    // lean is correct at every scale, just slower when small)
+    val lean = vocabGroupCount(docs, n, stageFactor = 3.0,
+      bytesPerPosting = 128L) > 1
     def shPlan = withShingles(docs, n).select(col("doc_id"), col("shingles"))
     val shCached = if (lean) None else Some(OpCaches.shared("dd.stringShingles")(shPlan))
     // all k minhashes in one native pass over the shingle set
@@ -282,12 +288,20 @@ object Dedup {
       .distinct()
     // lean mode: pin the (small) candidate set so the verification
     // side's `needed` semi-join doesn't re-run the whole bucket join
-    val cand = if (lean) cand0.localCheckpoint() else cand0
+    val cand =
+      if (lean) OpCaches.trackCheckpoint(cand0.localCheckpoint()) else cand0
+    // lean mode: shVerify feeds BOTH sides of the verification join —
+    // uncheckpointed, the needed-distinct, the corpus semi-join, and
+    // the candidate re-shingle would each execute twice per action.
+    // It is candidate-bounded (same rationale as checkpointing cand),
+    // so pin it once; OpCaches releases the blocks post-consumption.
     val shVerify = shCached.getOrElse {
       val needed = cand.select(col("doc_a").as("doc_id"))
         .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
-      withShingles(docs.join(needed, Seq("doc_id"), "left_semi"), n)
-        .select(col("doc_id"), col("shingles"))
+      OpCaches.trackCheckpoint(
+        withShingles(docs.join(needed, Seq("doc_id"), "left_semi"), n)
+          .select(col("doc_id"), col("shingles"))
+          .localCheckpoint())
     }
     cand
       .join(shVerify.toDF("doc_a", "sh_a"), "doc_a")
@@ -349,7 +363,11 @@ object Dedup {
     // vocab groups (consecutive positions, grams in different
     // groups), so runs are computed per doc AFTER the union, over
     // arrays bounded by the doc's own gram count.
-    val groups = vocabGroupCount(docs, n, stageFactor = 2.5)
+    // distinct = false: this operator's protected stream is the
+    // POSITIONAL posexplode above — on the self-repetitive corpora it
+    // targets, instances can far exceed the distinct-gram count the
+    // default dispatch sizes against
+    val groups = vocabGroupCount(docs, n, stageFactor = 2.5, distinct = false)
     val runs =
       if (groups == 1) {
         val posGrams = OpCaches.shared("dd.posGrams")(posGramsPlan)
@@ -367,17 +385,25 @@ object Dedup {
           .groupBy("doc_id").agg(max(col("run")).as("max_run"),
             sum(col("run")).as("n_dup_grams"))
       } else {
+        val spark = docs.sparkSession
+        val floor = ScratchGuard.usage(spark)
+        val budget = spark.conf.getOption("graft.vocab.scratchBudgetBytes")
+          .flatMap(_.toLongOption)
+          .getOrElse(Similarity.defaultScratchBudget(spark))
         val packed = (0 until groups).map { g =>
           val pgG = posGramsPlan
             .filter(pmod(col("shingle"), lit(groups)) === g).cache()
           val sharedG = pgG.groupBy("shingle")
             .agg(min(col("doc_id")).as("d_min"), max(col("doc_id")).as("d_max"))
             .filter(col("d_min") =!= col("d_max")).select("shingle")
-          val out = pgG.join(sharedG, Seq("shingle"), "left_semi")
-            .groupBy("doc_id").agg(collect_list(col("pos")).as("flag_pos"))
-            .localCheckpoint() // eager: this group's packed flags only
+          val out = OpCaches.trackCheckpoint(
+            pgG.join(sharedG, Seq("shingle"), "left_semi")
+              .groupBy("doc_id").agg(collect_list(col("pos")).as("flag_pos"))
+              .localCheckpoint()) // eager: this group's packed flags only
           pgG.unpersist()
-          System.gc() // hand the finished group's shuffles to the cleaner
+          // finished group's shuffles to the cleaner; bounded wait so
+          // the next group never overlaps undeleted files past budget
+          ScratchGuard.reclaim(spark, floor, budget)
           out
         }.reduce(_ unionByName _)
         // longest consecutive run over the doc's sorted flag set: a
@@ -641,14 +667,60 @@ object Dedup {
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val groups = vocabGroupCount(docs, n, stageFactor)
     if (groups == 1) return aggOne(inv)
+    val spark = docs.sparkSession
+    val floor = ScratchGuard.usage(spark)
+    val budget = spark.conf.getOption("graft.vocab.scratchBudgetBytes")
+      .flatMap(_.toLongOption)
+      .getOrElse(Similarity.defaultScratchBudget(spark))
     (0 until groups).map { g =>
-      val out = aggOne(inv.filter(pmod(col("shingle"), lit(groups)) === g))
-        .localCheckpoint() // eager: this group's folded result only
+      val out = OpCaches.trackCheckpoint(
+        aggOne(inv.filter(pmod(col("shingle"), lit(groups)) === g))
+          .localCheckpoint()) // eager: this group's folded result only
       // the finished group's ShuffleDependencies are garbage; enqueue
-      // them for the ContextCleaner before the next group writes
-      System.gc()
+      // them for the ContextCleaner and wait (bounded) until scratch
+      // is back under one group's budget before the next group writes
+      ScratchGuard.reclaim(spark, floor, budget)
       out
     }.reduce(_ unionByName _)
+  }
+
+  /** Memoized driver-side measurements behind the [[vocabGroupCount]]
+    * dispatch, keyed by the canonicalized input plan (+ n, distinct).
+    * Both facts are pure functions of the data: the optimizer's size
+    * estimate (~0.1 s of driver-side analysis/optimization per call —
+    * the r10 bench charged it to every dispatching operator on every
+    * run, the attributed dd_minhash_lsh regression) and the exact
+    * posting-instance count (a full columnar scan). A `semanticHash`
+    * fast path guarded by `sameResult` — the OpCaches.shared pattern —
+    * makes a repeat dispatch on the same snapshot free. Bounded LRU;
+    * a mutated corpus re-read produces a different canonical file
+    * listing, so stale hits don't survive data changes. */
+  private final class DispatchFacts(statsSmallThunk: => Boolean,
+      instancesThunk: => Long) {
+    lazy val statsSmall: Boolean = statsSmallThunk
+    lazy val instances: Long = instancesThunk
+  }
+  private val dispatchMemo = scala.collection.mutable.LinkedHashMap
+    .empty[String, (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DispatchFacts)]
+  private def dispatchFacts(docs: DataFrame, n: Int,
+      distinct: Boolean): DispatchFacts = {
+    val plan = docs.queryExecution.analyzed.canonicalized
+    val key = s"${plan.semanticHash()}:$n:$distinct"
+    dispatchMemo.synchronized {
+      dispatchMemo.get(key) match {
+        case Some((p, facts)) if p.sameResult(plan) => facts
+        case _ =>
+          val facts = new DispatchFacts(
+            docs.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(1L << 30),
+            Option(docs.select(
+                sum(size(hashedNgrams(col("text"), n, distinct)))).head().get(0))
+              .map(_.asInstanceOf[Long]).getOrElse(0L))
+          if (dispatchMemo.size >= 128)
+            dispatchMemo.remove(dispatchMemo.head._1)
+          dispatchMemo += key -> (plan, facts)
+          facts
+      }
+    }
   }
 
   /** The [[vocabGroupedAgg]] dispatch as its own decision: how many
@@ -656,13 +728,23 @@ object Dedup {
     * (1 = single untouched pass). `stageFactor` scales the estimate
     * for callers whose per-group job runs MORE than one
     * posting-volume exchange before its shuffle files can be
-    * collected (e.g. aggregate + semi-join back). */
+    * collected (e.g. aggregate + semi-join back). `distinct = false`
+    * counts POSITIONAL gram instances — callers protecting a
+    * non-distinct stream ([[dupSpans]]' posexplode) must not size
+    * against the distinct-set count, which on exactly the heavily
+    * self-repetitive corpora those callers target can undercount the
+    * real posting volume by the within-doc repetition factor.
+    * `bytesPerPosting` raises the 48 B hashed-posting model for
+    * callers whose protected artifact carries term/shingle STRINGS
+    * (tfidf's df join, minhash's shingle cache). */
   private[graft] def vocabGroupCount(docs: DataFrame, n: Int,
-      stageFactor: Double = 1.0): Int = {
+      stageFactor: Double = 1.0, distinct: Boolean = true,
+      bytesPerPosting: Long = 48L): Int = {
     val spark = docs.sparkSession
     val confBudget = spark.conf.getOption("graft.vocab.scratchBudgetBytes")
       .flatMap(_.toLongOption)
     lazy val defaultBudget = Similarity.defaultScratchBudget(spark)
+    val facts = dispatchFacts(docs, n, distinct)
     // Stats gate, FIXED 1 GB: inputs whose optimizer size estimate is
     // under a gigabyte never pay the exact instance count (every gate
     // SF skips it). The gate must NOT scale with the budget: the
@@ -671,18 +753,13 @@ object Dedup {
     // of magnitude past it — the first cut gated at budget/4 and the
     // sf1000 probe sailed straight through into the ungrouped ENOSPC
     // it was built to prevent (same failing stage as the unfixed run).
-    if (confBudget.isEmpty &&
-        docs.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(1L << 30))
-      return 1
+    if (confBudget.isEmpty && facts.statsSmall) return 1
     val budget = confBudget.getOrElse(defaultBudget)
-    val instances = Option(docs.select(
-        sum(size(hashedNgrams(col("text"), n)))).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    // 8B key + 8B partial + framing, DOUBLED: a map task's sort spill
-    // and its final shuffle file coexist on scratch at stage boundary
-    val BytesPerPosting = 48L
+    // default 48 B: 8B key + 8B partial + framing, DOUBLED — a map
+    // task's sort spill and its final shuffle file coexist on scratch
+    // at the stage boundary
     math.max(1L, math.min(64L,
-      (math.ceil(instances * BytesPerPosting * stageFactor).toLong
+      (math.ceil(facts.instances * bytesPerPosting * stageFactor).toLong
         + budget - 1) / budget)).toInt
   }
 
@@ -867,15 +944,21 @@ object Dedup {
     }
     def inv = withHashedShingles(docs, n)
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val spark = docs.sparkSession
+    val floor = ScratchGuard.usage(spark)
+    val budget = spark.conf.getOption("graft.vocab.scratchBudgetBytes")
+      .flatMap(_.toLongOption)
+      .getOrElse(Similarity.defaultScratchBudget(spark))
     val dup = (0 until groups).map { g =>
       val invG = inv.filter(pmod(col("shingle"), lit(groups)) === g).cache()
       val sharedG = invG.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2L).select("shingle")
-      val out = invG.join(sharedG, Seq("shingle"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
-        .localCheckpoint() // eager: per-doc partials for THIS group
+      val out = OpCaches.trackCheckpoint(
+        invG.join(sharedG, Seq("shingle"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+          .localCheckpoint()) // eager: per-doc partials for THIS group
       invG.unpersist()
-      System.gc()
+      ScratchGuard.reclaim(spark, floor, budget)
       out
     }.reduce(_ unionByName _)
       .groupBy("doc_id").agg(sum("n_dup").as("n_dup"))

@@ -46,6 +46,15 @@ import org.apache.spark.sql.DataFrame
   */
 object OpCaches {
   private val reg = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  // localCheckpoint'd frames the scratch-grouped operator paths leave
+  // inside their RETURNED plans (vocab/LSH group partials, the tfidf
+  // running heap): their blocks belong to the checkpoint RDD, which
+  // Dataset.unpersist cannot reach, so without a hook their release
+  // depends on driver GC + the async ContextCleaner. Registered here
+  // as thunks and drained by [[releaseAll]] — same contract as the
+  // cache registry: only drain once the returned frames are consumed
+  // (the lineage is truncated; the blocks are unrecoverable).
+  private val ckpts = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
   // site-key + canonicalized-plan hash → the persisted core. Bounded:
   // past MaxShared entries new cores degrade to per-query track() —
   // a runaway keyspace (per-batch streaming inputs) must not pin
@@ -67,6 +76,16 @@ object OpCaches {
   private[graft] def track(df: DataFrame): DataFrame = {
     df.cache()
     reg.synchronized { reg += df }
+    df
+  }
+
+  /** Register an already-localCheckpoint'd frame for deterministic
+    * block release at [[releaseAll]] — callers keep using the frame
+    * until then. No-op registration for non-checkpoint plans. */
+  private[graft] def trackCheckpoint(df: DataFrame): DataFrame = {
+    ckpts.synchronized {
+      ckpts += (() => org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(df))
+    }
     df
   }
 
@@ -105,12 +124,21 @@ object OpCaches {
   /** Unpersist every operator-internal cache registered so far.
     * Shared cores (see [[shared]]) survive — they are the
     * once-per-snapshot artifacts a report pass exists to reuse. */
-  def releaseAll(): Unit = reg.synchronized {
-    reg.foreach { df =>
-      try df.unpersist()
-      catch { case scala.util.control.NonFatal(_) => () }
+  def releaseAll(): Unit = {
+    reg.synchronized {
+      reg.foreach { df =>
+        try df.unpersist()
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      reg.clear()
     }
-    reg.clear()
+    ckpts.synchronized {
+      ckpts.foreach { release =>
+        try release()
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      ckpts.clear()
+    }
   }
 
   /** Unpersist and forget the shared cores too — end of the snapshot

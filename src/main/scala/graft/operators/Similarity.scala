@@ -416,14 +416,18 @@ object Similarity {
     val survivors =
       if (groups == 1) bucketPairs(planes)
       else {
+        val spark = prep.sparkSession
+        val floor = ScratchGuard.usage(spark)
         val perGroup = math.ceil(tablesEff.toDouble / groups).toInt
         planes.grouped(perGroup).toSeq.map { slice =>
-          val out = bucketPairs(slice).localCheckpoint() // eager: survivors only
+          val out = OpCaches.trackCheckpoint(
+            bucketPairs(slice).localCheckpoint()) // eager: survivors only
           // the finished group's ShuffleDependencies are now garbage;
-          // an explicit GC enqueues them for the ContextCleaner so the
-          // next group's writes don't stack on the last one's files
-          // (the 5min periodic cleaner is too coarse at group cadence)
-          System.gc()
+          // GC enqueues them for the ContextCleaner and the bounded
+          // wait keeps the next group's writes from stacking past one
+          // group's budget on a slow cleaner (the 5min periodic
+          // cleaner is too coarse at group cadence)
+          ScratchGuard.reclaim(spark, floor, budget)
           out
         }.reduce(_ unionByName _)
       }

@@ -532,21 +532,30 @@ object TextAnalysis {
             sum(col("tf") * col("df")).as("sum_df"),
             min(col("df")).as("min_df"),
             sum(when(col("df") === 1L, col("tf")).otherwise(0L)).as("n_uniq"))
-      else (0 until groups).map { g =>
-        val p = rarityPostingsStream(docs, n = 2)
-          .filter(pmod(col("term"), lit(groups)) === g).cache()
-        val dfsG = p.groupBy("term").agg(count(lit(1)).as("df"))
-        val out = p.join(dfsG, Seq("term"))
-          .groupBy("doc_id").agg(
-            sum(col("tf")).as("n_bigrams"),
-            sum(col("tf") * col("df")).as("sum_df"),
-            min(col("df")).as("min_df"),
-            sum(when(col("df") === 1L, col("tf")).otherwise(0L)).as("n_uniq"))
-          .localCheckpoint() // eager: this group's per-doc partials only
-        p.unpersist()
-        System.gc() // hand the finished group's shuffles to the cleaner
-        out
-      }.reduce(_ unionByName _)
+      else {
+        val spark = docs.sparkSession
+        val floor = graft.operators.ScratchGuard.usage(spark)
+        val budget = spark.conf.getOption("graft.vocab.scratchBudgetBytes")
+          .flatMap(_.toLongOption)
+          .getOrElse(graft.operators.Similarity.defaultScratchBudget(spark))
+        (0 until groups).map { g =>
+          val p = rarityPostingsStream(docs, n = 2)
+            .filter(pmod(col("term"), lit(groups)) === g).cache()
+          val dfsG = p.groupBy("term").agg(count(lit(1)).as("df"))
+          val out = graft.operators.OpCaches.trackCheckpoint(
+            p.join(dfsG, Seq("term"))
+              .groupBy("doc_id").agg(
+                sum(col("tf")).as("n_bigrams"),
+                sum(col("tf") * col("df")).as("sum_df"),
+                min(col("df")).as("min_df"),
+                sum(when(col("df") === 1L, col("tf")).otherwise(0L)).as("n_uniq"))
+              .localCheckpoint()) // eager: this group's per-doc partials only
+          p.unpersist()
+          // finished group's shuffles to the cleaner, bounded wait
+          graft.operators.ScratchGuard.reclaim(spark, floor, budget)
+          out
+        }.reduce(_ unionByName _)
+      }
         .groupBy("doc_id").agg(
           sum(col("n_bigrams")).as("n_bigrams"),
           sum(col("sum_df")).as("sum_df"),
@@ -613,10 +622,20 @@ object TextAnalysis {
     // preference (score desc, term asc) the fold's fixpoint is the
     // single-pass row set bit-for-bit. Gate SFs keep the untouched
     // cached single pass.
-    val groups = graft.operators.Dedup.vocabGroupCount(docs, n = 1, stageFactor = 2.5)
+    // bytesPerPosting 96: the protected df join back carries term
+    // STRINGS at posting volume — roughly a word plus UTF8String
+    // framing on top of the 48 B hashed model (overcounting only
+    // lowers the grouped-path threshold; the fold is exact)
+    val groups = graft.operators.Dedup.vocabGroupCount(docs, n = 1,
+      stageFactor = 2.5, bytesPerPosting = 96L)
     val top =
       if (groups == 1) tfidfScored(docs).groupBy("doc_id").agg(topk.as("top"))
       else {
+        val spark = docs.sparkSession
+        val floor = graft.operators.ScratchGuard.usage(spark)
+        val budget = spark.conf.getOption("graft.vocab.scratchBudgetBytes")
+          .flatMap(_.toLongOption)
+          .getOrElse(graft.operators.Similarity.defaultScratchBudget(spark))
         val nDocs = docs.agg(count(lit(1)).as("n_docs"))
         var running: DataFrame = null
         (0 until groups).foreach { g =>
@@ -640,9 +659,12 @@ object TextAnalysis {
           p.unpersist()
           if (running != null) GraftSqlBridge.unpersistCheckpoint(running)
           running = merged
-          System.gc() // hand the finished group's shuffles to the cleaner
+          // finished group's shuffles to the cleaner, bounded wait
+          graft.operators.ScratchGuard.reclaim(spark, floor, budget)
         }
-        running
+        // the FINAL round's checkpoint backs the returned plan: hand
+        // its deterministic release to OpCaches (post-consumption)
+        graft.operators.OpCaches.trackCheckpoint(running)
       }
     top
       .select(col("doc_id"), explode(col("top")).as("t"))

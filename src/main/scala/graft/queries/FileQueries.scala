@@ -79,6 +79,40 @@ object FileQueries {
       .orderBy(col("modification_datetime").desc, col("path"), col("filename"))
       .offset(req.offset).limit(req.limit)
 
+  /** B2 at scale — KEYSET (cursor) pagination twin of [[searchApi]]:
+    * the reference's deletion-safe cleanup cursor (indexer.py:1078-1101:
+    * `WHERE path > ? OR (path = ? AND filename > ?) ORDER BY path,
+    * filename LIMIT ?`) over the same B2 filter surface. Offset
+    * pagination re-sorts and skips the whole filtered prefix on every
+    * page — at 100× scale a deep page costs the full filtered set —
+    * and mid-walk deletions shift rows across page boundaries. The
+    * keyset predicate is a plain conjunctive range on the sort key:
+    * it pushes down to the parquet scan (min/max row-group pruning
+    * skips everything at or before the cursor), each page costs
+    * O(remaining matches) not O(offset + page), and a deleted
+    * already-paged row can never shift what page N+1 returns. */
+  def searchKeyset(files: DataFrame, req: SearchRequest,
+      after: Option[(String, String)], pageSize: Int): DataFrame = {
+    val base = searchApiFiltered(files, req)
+    val paged = after.fold(base) { case (lastPath, lastFile) =>
+      base.filter(col("path") > lastPath ||
+        (col("path") === lastPath && col("filename") > lastFile))
+    }
+    paged.orderBy(col("path"), col("filename")).limit(pageSize)
+  }
+
+  /** The cursor to resume [[searchKeyset]] after one page: the page's
+    * last (path, filename) in keyset order, None on an empty page.
+    * A bounded driver-side read (one aggregated row) — exactly the
+    * state the reference keeps in `last_path`/`last_filename`. */
+  def keysetCursor(files: DataFrame, req: SearchRequest,
+      after: Option[(String, String)], pageSize: Int): Option[(String, String)] = {
+    val last = searchKeyset(files, req, after, pageSize)
+      .agg(max(struct(col("path"), col("filename"))).as("c"))
+      .head().getStruct(0)
+    Option(last).map(r => (r.getString(0), r.getString(1)))
+  }
+
   /** B3/B4 — Go case-insensitive substring search
     * (file_indexer_go/db/database.go:116-147: filename ILIKE OR path
     * ILIKE, ORDER BY filename). filename alone is not unique in

@@ -34,6 +34,22 @@ object ParityQueries {
         modifiedAfter = Some("1996-01-01 00:00:00"),
         modifiedBefore = Some("2000-12-31 23:59:59"),
         limit = 100, offset = 50))),
+    // B2 at scale — keyset-cursor pagination (indexer.py:1078-1101):
+    // page 2 fetched through the deletion-safe (path, filename) >
+    // (cursor) predicate, where the cursor is page 1's last row (a
+    // bounded 1-row driver read, the reference's last_path/last_filename
+    // state). The oracle re-derives the cursor AND the keyset predicate
+    // independently in SQL, so the hash pins the cursor semantics, not
+    // just the row set.
+    "fi_search_keyset" -> ((s, d) => {
+      val req = SearchRequest(
+        minSize = Some(1000000L), maxSize = Some(900000000L),
+        modifiedAfter = Some("1996-01-01 00:00:00"),
+        modifiedBefore = Some("2000-12-31 23:59:59"))
+      val f = files(s, d)
+      val cursor = keysetCursor(f, req, after = None, pageSize = 50)
+      searchKeyset(f, req, cursor, pageSize = 50)
+    }),
     // B3/B4 — Go case-insensitive substring search (database.go:116-147)
     "fi_search_substring" -> ((s, d) =>
       substringSearch(files(s, d), "ORDER_11")),
@@ -314,6 +330,19 @@ object ParityQueries {
         |  AND modification_datetime <= TIMESTAMP '2000-12-31 23:59:59'
         |ORDER BY modification_datetime DESC, path, filename
         |LIMIT 100 OFFSET 50""".stripMargin),
+    "fi_search_keyset" -> w(
+      """, f AS (
+        |  SELECT * FROM files
+        |  WHERE file_size >= 1000000 AND file_size <= 900000000
+        |    AND modification_datetime >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND modification_datetime <= TIMESTAMP '2000-12-31 23:59:59'),
+        |c AS (
+        |  SELECT path, filename FROM (
+        |    SELECT path, filename FROM f ORDER BY path, filename LIMIT 50)
+        |  ORDER BY path DESC, filename DESC LIMIT 1)
+        |SELECT f.* FROM f, c
+        |WHERE f.path > c.path OR (f.path = c.path AND f.filename > c.filename)
+        |ORDER BY f.path, f.filename LIMIT 50""".stripMargin),
     "fi_search_substring" -> w(
       """SELECT * FROM files
         |WHERE filename ILIKE '%ORDER_11%' OR path ILIKE '%ORDER_11%'

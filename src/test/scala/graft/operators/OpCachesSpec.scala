@@ -104,10 +104,49 @@ class OpCachesSpec extends SparkSpec {
     OpCaches.releaseAll(); spark.catalog.clearCache()
     val shared = withSharing {
       meta(spark, dir).count() // pays for the decode core
-      resize(spark, dir).collect().toSeq // must ride it, not re-decode
+      val entriesAfterMeta = OpCaches.sharedStats
+      val rows = resize(spark, dir).collect().toSeq // must ride it, not re-decode
+      // REUSE, not just value-neutrality: if decodeMetadata's plan ever
+      // stops canonicalizing to the same core (e.g. the mapPartitions
+      // lambda starts capturing a local), every query silently gets its
+      // own registry entry — value-correct but the share is gone. The
+      // resize pass must add NO new shared entry and degrade nothing.
+      assert(OpCaches.sharedStats == entriesAfterMeta,
+        s"mm_resize did not ride mm_metadata's decode core: " +
+          s"$entriesAfterMeta -> ${OpCaches.sharedStats}")
+      rows
     }
     assert(shared == isolated)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("trackCheckpoint frames are released deterministically by releaseAll") {
+    OpCaches.releaseAll(); spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    val ck = OpCaches.trackCheckpoint(docs.select("doc_id").localCheckpoint())
+    assert(ck.count() == 4)
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty) // checkpoint blocks live
+    OpCaches.releaseAll()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"lingering checkpoint blocks: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+  }
+
+  test("scratch-grouped operators leave no checkpoint blocks after releaseAll") {
+    OpCaches.releaseAll(); spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    val prev = spark.conf.getOption("graft.vocab.scratchBudgetBytes")
+    try {
+      spark.conf.set("graft.vocab.scratchBudgetBytes", "1") // force grouping
+      Dedup.dupSpans(docs, n = 2).count()
+      graft.operators.TextAnalysis.bigramRarity(docs).count()
+      graft.operators.TextAnalysis.tfidfTopK(docs, k = 3).count()
+    } finally {
+      prev.fold(spark.conf.unset("graft.vocab.scratchBudgetBytes"))(
+        spark.conf.set("graft.vocab.scratchBudgetBytes", _))
+    }
+    OpCaches.releaseAll()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"lingering blocks: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
   }
 
   test("with the conf unset, shared() is exactly track(): releaseAll drops it") {

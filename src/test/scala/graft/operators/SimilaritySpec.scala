@@ -226,23 +226,30 @@ class SimilaritySpec extends SparkSpec {
 
   test("cosinePairsLsh scratch groups: sequential table groups == one-pass pair set") {
     val df = scratchFixture
-    def run(): Set[(Long, Long)] = {
+    // returns (pair set, did any locally-checkpointed RDD appear) —
+    // the checkpoint probe must run BEFORE releaseAll, which since r11
+    // deterministically drops the group checkpoints via trackCheckpoint
+    def run(): (Set[(Long, Long)], Boolean) = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       val r = Similarity.cosinePairsLsh(df, threshold = 0.9, tables = 6, bits = 3)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sawCheckpoint = (spark.sparkContext.getPersistentRDDs -- before)
+        .values.exists(_.isCheckpointed)
       OpCaches.releaseAll()
-      r
+      (r, sawCheckpoint)
     }
     spark.conf.set("graft.lsh.scratchBudgetBytes", Long.MaxValue.toString)
-    val onePass = run()
+    val (onePass, _) = run()
     assert(onePass.nonEmpty)
     spark.conf.set("graft.lsh.scratchBudgetBytes", "8192")
     try {
-      val before = spark.sparkContext.getPersistentRDDs.keySet
-      assert(run() == onePass)
+      val (grouped, sawCheckpoint) = run()
+      assert(grouped == onePass)
       // not vacuous: the grouped path really ran (group survivors are
       // locally-checkpointed RDDs, which the single-pass path never makes)
-      assert((spark.sparkContext.getPersistentRDDs -- before)
-        .values.exists(_.isCheckpointed))
+      assert(sawCheckpoint)
+      // and the r11 release hook reclaimed them deterministically
+      assert(!spark.sparkContext.getPersistentRDDs.values.exists(_.isCheckpointed))
     } finally spark.conf.unset("graft.lsh.scratchBudgetBytes")
   }
 

@@ -27,6 +27,41 @@ class FileQueriesSpec extends SparkSpec {
     ("/d", "empty.dat", null.asInstanceOf[String], ts("2024-05-01 00:00:00"), 0L)
   ).toDF("path", "filename", "checksum", "modification_datetime", "file_size")
 
+  test("keyset pagination: cursor walk == offset walk, and deletion-safe") {
+    val req = SearchRequest(hasChecksum = Some(true)) // 6 rows
+    val ordered = FileQueries.searchApiFiltered(files, req)
+      .orderBy($"path", $"filename").collect().toSeq
+    // walk ALL pages by cursor; concatenation must equal the total order
+    var cursor: Option[(String, String)] = None
+    var walked = Seq.empty[org.apache.spark.sql.Row]
+    var page = FileQueries.searchKeyset(files, req, cursor, pageSize = 2).collect().toSeq
+    while (page.nonEmpty) {
+      walked ++= page
+      cursor = Some((page.last.getAs[String]("path"), page.last.getAs[String]("filename")))
+      page = FileQueries.searchKeyset(files, req, cursor, pageSize = 2).collect().toSeq
+    }
+    assert(walked == ordered)
+    // keysetCursor agrees with the page's own last row
+    assert(FileQueries.keysetCursor(files, req, None, pageSize = 2) ==
+      Some((ordered(1).getAs[String]("path"), ordered(1).getAs[String]("filename"))))
+    assert(FileQueries.keysetCursor(files, req, None, pageSize = 100) ==
+      Some((ordered.last.getAs[String]("path"), ordered.last.getAs[String]("filename"))))
+    // empty filtered set → no cursor
+    assert(FileQueries.keysetCursor(files,
+      SearchRequest(checksum = Some("nope")), None, 10).isEmpty)
+    // DELETION SAFETY (the property offset pagination lacks): after
+    // page 1 ([/a one.txt], [/a two.txt]) is processed and its rows
+    // deleted, the SAME cursor still returns exactly the old page 2 —
+    // while offset page 2 over the shrunk set has shifted.
+    val afterP1 = Some((ordered(1).getAs[String]("path"), ordered(1).getAs[String]("filename")))
+    val shrunk = files.filter(!($"path" === "/a")) // page-1 rows deleted
+    val keysetP2 = FileQueries.searchKeyset(shrunk, req, afterP1, pageSize = 2).collect().toSeq
+    assert(keysetP2 == ordered.slice(2, 4))
+    val offsetP2 = FileQueries.searchApiFiltered(shrunk, req)
+      .orderBy($"path", $"filename").offset(2).limit(2).collect().toSeq
+    assert(offsetP2 != ordered.slice(2, 4)) // offset SKIPPED two live rows
+  }
+
   test("duplicates: window form returns every member of >1 groups") {
     val d = FileQueries.duplicates(files).collect()
     assert(d.length == 5) // c1×3 + c2×2
