@@ -203,6 +203,198 @@ object Multimodal {
       bb.array()
     }
 
+    /** Whether a video doc carries MJPEG (JPEG-compressed) frames
+      * instead of raw 24bpp ones. Video docs are `doc_id % 3 == 2`,
+      * so `% 6` splits them {2 → raw, 5 → MJPEG}. Within the video
+      * set, ids equal mod 256 differ by multiples of 768 (256 ≡ 1
+      * mod 3 forces the step to 3·256), and 768 ≡ 0 mod 6 — so two
+      * docs whose frame patterns coincide (same id mod 256, the
+      * [[frameByte]] congruence) ALWAYS share a codec, and the
+      * cross-doc collapse rule of [[videoDedup]] is codec-uniform. */
+    def isMjpeg(docId: Long): Boolean = docId % 6 == 5
+
+    /** One MJPEG frame as a real JPEG: the SAME [[frameByte]] pattern
+      * raw frames use, laid out as packed RGB and compressed by the
+      * JDK's ImageIO JPEG writer. Deterministic: fixed pixel input +
+      * fixed encoder settings → fixed bytes. With `comment`, a JFIF
+      * COM segment is spliced in directly after SOI — byte-DIFFERENT
+      * JPEG, bit-IDENTICAL decoded pixels (decoders skip COM): the
+      * video twin of the audio INFO-chunk variant, and the case a
+      * chunk-byte hash cannot collapse — only a true pixel decode can. */
+    def encodeJpegFrame(docId: Long, w: Int, h: Int, frame: Int,
+        comment: Boolean = false): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val i = 3 * (y * w + x)
+          img.setRGB(x, y, (frameByte(docId, frame, i) << 16) |
+            (frameByte(docId, frame, i + 1) << 8) | frameByte(docId, frame, i + 2))
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      val jpeg = out.toByteArray
+      if (!comment) jpeg
+      else {
+        // splice COM (FF FE, big-endian length incl. the 2 length
+        // bytes) right after SOI (FF D8)
+        val note = "remuxed".getBytes("US-ASCII")
+        val com = Array[Byte](0xFF.toByte, 0xFE.toByte,
+          ((note.length + 2) >> 8).toByte, ((note.length + 2) & 0xFF).toByte)
+        jpeg.take(2) ++ com ++ note ++ jpeg.drop(2)
+      }
+    }
+
+    /** General AVI writer behind the MJPEG and re-mux paths: same
+      * RIFF tree as [[encodeAvi]] but with caller-supplied frame
+      * chunks (`chunkId` 00db raw / 00dc compressed, `codec` DIB /
+      * MJPG), an optional JUNK filler chunk after hdrl, and an
+      * optional idx1 — the knobs a re-muxer turns without touching a
+      * single frame byte. */
+    def encodeAviContainer(w: Int, h: Int, usPerFrame: Int,
+        frames: IndexedSeq[Array[Byte]], codec: String, chunkId: String,
+        junk: Boolean = false, withIdx1: Boolean = true): Array[Byte] = {
+      val nFrames = frames.length
+      val maxFrame = frames.map(_.length).max
+      val pads = frames.map(_.length & 1)
+      val moviBody = 4 + frames.indices.map(f => 8 + frames(f).length + pads(f)).sum
+      val hdrlBody = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+      val junkBody = if (junk) 64 else 0
+      val idx1Body = if (withIdx1) 16 * nFrames else 0
+      val riffBody = 4 + (8 + hdrlBody) + (if (junk) 8 + junkBody else 0) +
+        (8 + moviBody) + (if (withIdx1) 8 + idx1Body else 0)
+      val bb = java.nio.ByteBuffer.allocate(8 + riffBody)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(fourcc("RIFF")).putInt(riffBody).put(fourcc("AVI "))
+      bb.put(fourcc("LIST")).putInt(hdrlBody).put(fourcc("hdrl"))
+      bb.put(fourcc("avih")).putInt(56)
+        .putInt(usPerFrame)
+        .putInt((maxFrame.toLong * 1000000L / usPerFrame).toInt)
+        .putInt(0)
+        .putInt(if (withIdx1) 0x10 else 0)  // AVIF_HASINDEX iff idx1
+        .putInt(nFrames)
+        .putInt(0)
+        .putInt(1)
+        .putInt(maxFrame)
+        .putInt(w).putInt(h)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.put(fourcc("LIST")).putInt(4 + (8 + 56) + (8 + 40)).put(fourcc("strl"))
+      bb.put(fourcc("strh")).putInt(56)
+        .put(fourcc("vids")).put(fourcc(codec))
+        .putInt(0)
+        .putShort(0).putShort(0)
+        .putInt(0)
+        .putInt(usPerFrame).putInt(1000000)
+        .putInt(0)
+        .putInt(nFrames)
+        .putInt(maxFrame)
+        .putInt(-1)
+        .putInt(0)
+        .putShort(0).putShort(0)
+        .putShort(w.toShort).putShort(h.toShort)
+      bb.put(fourcc("strf")).putInt(40)
+        .putInt(40)
+        .putInt(w).putInt(h)
+        .putShort(1).putShort(24)
+        // biCompression: 0 = BI_RGB for raw DIB frames, else the
+        // codec fourcc bytes (little-endian int = the ASCII fourcc)
+        .putInt(if (codec == "DIB ") 0
+          else java.nio.ByteBuffer.wrap(fourcc(codec))
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt)
+        .putInt(maxFrame)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      if (junk) {
+        bb.put(fourcc("JUNK")).putInt(junkBody)
+        var i = 0
+        while (i < junkBody) { bb.put('x'.toByte); i += 1 }
+      }
+      bb.put(fourcc("LIST")).putInt(moviBody).put(fourcc("movi"))
+      var off = 4
+      val offsets = new Array[Int](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        offsets(f) = off
+        bb.put(fourcc(chunkId)).putInt(frames(f).length).put(frames(f))
+        if (pads(f) == 1) bb.put(0.toByte)
+        off += 8 + frames(f).length + pads(f)
+        f += 1
+      }
+      if (withIdx1) {
+        bb.put(fourcc("idx1")).putInt(idx1Body)
+        f = 0
+        while (f < nFrames) {
+          bb.put(fourcc(chunkId)).putInt(0x10)
+            .putInt(offsets(f)).putInt(frames(f).length)
+          f += 1
+        }
+      }
+      bb.array()
+    }
+
+    /** An MJPEG AVI: real JPEG frame chunks (00dc) under the MJPG
+      * stream codec. `remux` produces the container-variant twin —
+      * COM-spliced (byte-different, pixel-identical) JPEG frames, a
+      * JUNK chunk, and no idx1. */
+    def encodeAviMjpeg(docId: Long, w: Int, h: Int, nFrames: Int,
+        usPerFrame: Int, remux: Boolean = false): Array[Byte] =
+      encodeAviContainer(w, h, usPerFrame,
+        IndexedSeq.tabulate(nFrames)(f =>
+          encodeJpegFrame(docId, w, h, f, comment = remux)),
+        codec = "MJPG", chunkId = "00dc", junk = remux, withIdx1 = !remux)
+
+    /** The raw-frame re-mux twin of [[encodeAvi]]: identical 00db
+      * frame bytes inside a byte-different container (JUNK chunk, no
+      * idx1, no HASINDEX flag). */
+    def encodeAviRemuxed(docId: Long, w: Int, h: Int, nFrames: Int,
+        usPerFrame: Int): Array[Byte] = {
+      val frameSize = w * h * 3
+      encodeAviContainer(w, h, usPerFrame,
+        IndexedSeq.tabulate(nFrames) { f =>
+          val a = new Array[Byte](frameSize)
+          var i = 0
+          while (i < frameSize) { a(i) = frameByte(docId, f, i).toByte; i += 1 }
+          a
+        },
+        codec = "DIB ", chunkId = "00db", junk = true, withIdx1 = false)
+    }
+
+    /** DECODED pixel bytes of one frame chunk: a JPEG chunk (SOI
+      * sniff — trust the bytes, not the header) is decoded through
+      * ImageIO and unpacked to packed RGB; a raw 24bpp chunk IS its
+      * pixel array. None on a chunk that claims JPEG but fails to
+      * decode. */
+    def decodeFrameChunk(payload: Array[Byte], off: Int, len: Int): Option[Array[Byte]] =
+      if (len >= 2 && payload(off) == 0xFF.toByte && payload(off + 1) == 0xD8.toByte) {
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload, off, len))
+          if (img == null) None
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val out = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val i = 3 * (y * w + x)
+                out(i) = ((rgb >> 16) & 0xFF).toByte
+                out(i + 1) = ((rgb >> 8) & 0xFF).toByte
+                out(i + 2) = (rgb & 0xFF).toByte
+                x += 1
+              }
+              y += 1
+            }
+            Some(out)
+          }
+        } catch { case _: Exception => None }
+      } else Some(java.util.Arrays.copyOfRange(payload, off, off + len))
+
     /** Parsed AVI: the avih fields plus the (offset, length) of every
       * frame chunk found by walking the movi list — frame BYTES are
       * sliced lazily by the caller so sampling never materializes the
@@ -745,6 +937,104 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "payload")
+  }
+
+  /** [[videoTable]] in MIXED codecs plus CONTAINER variants — the
+    * input of [[videoDedup]]. Half the videos ([[VideoCodec.isMjpeg]])
+    * carry real JPEG frame chunks instead of raw 24bpp; every
+    * `doc_id % 15 == 2` video also ships under doc_id |
+    * [[VariantIdTag]] as a RE-MUX: identical frame pixels in a
+    * byte-different container (JUNK chunk, no idx1 — and for MJPEG,
+    * COM-spliced frame chunks, so even the frame chunk BYTES differ
+    * while the decoded pixels are bit-identical). Payload-hash dedup
+    * sees none of these as copies; only a true frame-pixel decode
+    * collapses them. Same sort-first spread, partition-local encode. */
+  def videoTableWithContainerVariants(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val base = docs.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), length(col("text")).cast("int").as("text_len"),
+        lit(false).as("remux"))
+    val rows = base.unionByName(
+      docs.filter(col("doc_id") % 15 === 2)
+        .select(col("doc_id").bitwiseOR(VariantIdTag).as("doc_id"),
+          length(col("text")).cast("int").as("text_len"), lit(true).as("remux")))
+    graft.operators.Dedup.orderedSpread(rows, "doc_id")
+      .as[(Long, Int, Boolean)]
+      .mapPartitions { batch =>
+        batch.map { case (docId, textLen, remux) =>
+          val patternId = if (remux) docId & ~VariantIdTag else docId
+          val (w, h, n, us) = VideoCodec.paramsFor(patternId, textLen)
+          val payload =
+            if (VideoCodec.isMjpeg(patternId))
+              VideoCodec.encodeAviMjpeg(patternId, w, h, n, us, remux = remux)
+            else if (remux) VideoCodec.encodeAviRemuxed(patternId, w, h, n, us)
+            else VideoCodec.encodeAvi(patternId, w, h, n, us)
+          (docId, payload)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** DECODE-level video dedup — the frame-pixel twin of
+    * [[audioDedup]]: containers group by an exact integer signature
+    * of their DECODED frame pixels (dims, frame count, Σb,
+    * Σ(i+1)·b, Σ(f+1)·Σb — position- and frame-weighted, so neither
+    * frame reordering nor pixel shuffling collapses), never by
+    * payload or chunk bytes. A re-muxed container — different idx1,
+    * JUNK chunks, even COM-respliced JPEG frames — decodes to the
+    * same pixels and collapses; a chunk-byte hash would MISS the
+    * COM-spliced MJPEG variants, which is exactly what makes this
+    * decode-level. Output is (dims, keep_doc_id, n_copies): the
+    * dedup decisions plus the decoded dims the oracle re-derives
+    * from the generator formulas (the pixel sums of a JPEG decode
+    * are not SQL-re-derivable, so the oracle pins the DECISIONS —
+    * a broken codec surfaces as dropped rows, un-collapsed variants,
+    * or over-collapsed distinct docs).
+    *
+    * Scale shape: decode is partition-local (payload bytes never
+    * shuffle); only the 6-long signature row enters the group-by,
+    * which partial-combines map-side like any exact-dedup aggregate. */
+  def videoDedup(spark: SparkSession, video: DataFrame): DataFrame = {
+    import spark.implicits._
+    video.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (docId, payload) =>
+          VideoCodec.decode(payload).flatMap { info =>
+            var sumPix = 0L; var posW = 0L; var frameW = 0L
+            var nBytes = 0L; var ok = true
+            var f = 0
+            while (ok && f < info.frameChunks.length) {
+              val (off, len) = info.frameChunks(f)
+              VideoCodec.decodeFrameChunk(payload, off, len) match {
+                case Some(px) =>
+                  var fSum = 0L
+                  var i = 0
+                  while (i < px.length) {
+                    val b = px(i) & 0xFF
+                    fSum += b; posW += (i + 1).toLong * b
+                    i += 1
+                  }
+                  sumPix += fSum; frameW += (f + 1).toLong * fSum
+                  nBytes += px.length
+                case None => ok = false
+              }
+              f += 1
+            }
+            if (ok && info.frameChunks.nonEmpty)
+              Some((docId, info.width, info.height,
+                info.frameChunks.length.toLong, sumPix, posW, frameW, nBytes))
+            else None
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_frames",
+        "sum_pix", "pos_weighted", "frame_weighted", "n_bytes")
+      .groupBy("width", "height", "n_frames",
+        "sum_pix", "pos_weighted", "frame_weighted", "n_bytes")
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("width"), col("height"), col("n_frames"),
+        col("keep_doc_id"), col("n_copies"))
+      .orderBy("keep_doc_id")
   }
 
   /** The REAL multimodal corpus: every document carries an actual

@@ -222,6 +222,18 @@ object ExtQueries {
     "mm_audio_dedup" -> ((s, d) =>
       Multimodal.audioDedup(s,
         Multimodal.audioTableWithContainerVariants(s, Tables.documents(s, d)))),
+    // Decode-level VIDEO dedup over mixed raw/MJPEG containers with
+    // re-mux variants (JUNK chunk, dropped idx1, COM-respliced JPEG
+    // frames): byte-different containers — for MJPEG even
+    // byte-different frame CHUNKS — with identical decoded pixels
+    // must collapse. The oracle re-derives the collapse rule (same
+    // frame pattern ⟺ same doc_id mod 256 + same dims/frame count,
+    // codec-uniform within a congruence class) from the generator
+    // arithmetic: JPEG pixel sums aren't SQL-re-derivable, so the
+    // oracle pins the dedup DECISIONS and the decoded dims.
+    "mm_video_dedup" -> ((s, d) =>
+      Multimodal.videoDedup(s,
+        Multimodal.videoTableWithContainerVariants(s, Tables.documents(s, d)))),
     // Percent-of-total via an unbounded window: event-type share of
     // all events (double division of exact integer counts — bit-
     // identical across engines, unlike decimal/decimal division).
@@ -738,6 +750,17 @@ object ExtQueries {
         |SELECT n_samples, sum_abs, peak_amp, weighted,
         |  MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
         |FROM sig GROUP BY 1, 2, 3, 4
+        |ORDER BY keep_doc_id""".stripMargin,
+    "mm_video_dedup" ->
+      """WITH v AS (SELECT doc_id, length(text) AS tl FROM documents
+        |  WHERE doc_id % 3 = 2),
+        |p AS (SELECT doc_id, 8 + tl % 25 AS w, 6 + (tl * 7) % 19 AS h,
+        |    4 + tl % 13 AS nf FROM v)
+        |SELECT CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(nf AS BIGINT) AS n_frames, MIN(doc_id) AS keep_doc_id,
+        |  CAST(COUNT(*) + SUM(CASE WHEN doc_id % 15 = 2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_copies
+        |FROM p GROUP BY doc_id % 256, w, h, nf
         |ORDER BY keep_doc_id""".stripMargin,
     // frame features re-derived from the frame-byte formula
     // b(doc, f, i) = (doc·31 + f·17 + i·7) mod 256; bytes[j] is

@@ -311,6 +311,52 @@ class MultimodalSpec extends SparkSpec {
     assert(r1.getAs[Boolean]("valid"))
   }
 
+  test("videoDedup groups re-muxed containers with identical decoded frames") {
+    import spark.implicits._
+    // video docs (%3==2): 2 raw with variant (%15==2), 17 MJPEG with
+    // variant (17%6==5, 17%15==2), 5 MJPEG no variant, 8 raw no variant
+    val docs = Seq(
+      (2L, "a" * 40, "en", "s", 40L),
+      (17L, "b" * 40, "en", "s", 40L),
+      (5L, "c" * 55, "en", "s", 55L),
+      (8L, "d" * 70, "en", "s", 70L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val table = Multimodal.videoTableWithContainerVariants(spark, docs)
+    val payloads = table.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(payloads.keySet == Set(2L, 17L, 5L, 8L,
+      Multimodal.VariantIdTag | 2L, Multimodal.VariantIdTag | 17L))
+    // the re-muxed variants are genuinely byte-different containers...
+    assert(!java.util.Arrays.equals(payloads(2L), payloads(Multimodal.VariantIdTag | 2L)))
+    assert(!java.util.Arrays.equals(payloads(17L), payloads(Multimodal.VariantIdTag | 17L)))
+    // ...and for MJPEG even the frame CHUNK bytes differ (COM splice),
+    // so a chunk-byte hash could NOT collapse them — only pixel decode
+    val Some(iBase) = Multimodal.VideoCodec.decode(payloads(17L))
+    val Some(iVar) = Multimodal.VideoCodec.decode(payloads(Multimodal.VariantIdTag | 17L))
+    assert(iBase.frameChunks.length == iVar.frameChunks.length)
+    val (ob, lb) = iBase.frameChunks.head
+    val (ov, lv) = iVar.frameChunks.head
+    assert(!java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(payloads(17L), ob, ob + lb),
+      java.util.Arrays.copyOfRange(payloads(Multimodal.VariantIdTag | 17L), ov, ov + lv)))
+    // the DECODED pixels are bit-identical through both containers
+    val pxBase = Multimodal.VideoCodec.decodeFrameChunk(payloads(17L), ob, lb).get
+    val pxVar = Multimodal.VideoCodec
+      .decodeFrameChunk(payloads(Multimodal.VariantIdTag | 17L), ov, lv).get
+    assert(pxBase.toSeq == pxVar.toSeq)
+    // dedup: each base with a variant collapses to n_copies = 2
+    val groups = Multimodal.videoDedup(spark, table).collect()
+      .map(r => r.getAs[Long]("keep_doc_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(groups == Map(2L -> 2L, 17L -> 2L, 5L -> 1L, 8L -> 1L))
+    // raw and MJPEG frames decode to the expected pixel layout: raw
+    // chunks ARE the pixel bytes, JPEG chunks decode to w*h*3
+    val Some(iRaw) = Multimodal.VideoCodec.decode(payloads(2L))
+    val (or2, lr2) = iRaw.frameChunks.head
+    assert(Multimodal.VideoCodec.decodeFrameChunk(payloads(2L), or2, lr2).get.length ==
+      iRaw.width * iRaw.height * 3)
+    assert(pxBase.length == iBase.width * iBase.height * 3)
+  }
+
   test("audioDedup groups byte-different containers with identical PCM") {
     import spark.implicits._
     // doc 1 gets a container variant (1 % 30 == 1): extra LIST/INFO
