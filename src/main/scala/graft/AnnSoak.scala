@@ -1,0 +1,174 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.IvfIndex
+
+/** ANN SERVING soak: the persisted IVF index under its production
+  * write/read mix — a writer appending vector batches and compacting
+  * on cadence, while CONCURRENT prober threads run [[IvfIndex.topk]]
+  * against whatever snapshot the pointer resolves, all under a
+  * bounded driver heap. The crash-injection specs prove single
+  * transitions; this proves the long run: RSS bounded across many
+  * append/compact generations, no snapshot leak on disk, probes
+  * succeeding throughout (a bounded number of loud in-flight-reader
+  * failures across compaction pointer flips is the documented
+  * contract — silent wrong answers are not), and the recall contract
+  * green at every quiescent checkpoint.
+  *
+  * One JSON line per round (disk, RSS, live deltas, probe counters);
+  * `recall` lines at each quiescent check; a final `summary` line.
+  *
+  * Usage: runMain graft.AnnSoak [nRounds] [sfDir] [workDir]
+  */
+object AnnSoak {
+  private def rssMb(): Long =
+    try Files.readAllLines(Paths.get("/proc/self/status")).toArray(Array.empty[String])
+      .find(_.startsWith("VmRSS")).map(_.split("\\s+")(1).toLong >> 10).getOrElse(-1L)
+    catch { case _: Exception => -1L }
+
+  private def duBytes(p: String): Long = {
+    val f = new java.io.File(p)
+    if (!f.exists()) 0L
+    else if (f.isFile) f.length()
+    else Option(f.listFiles())
+      .map(_.map(x => duBytes(x.getPath)).sum).getOrElse(0L)
+  }
+  private def duMb(p: String): Long = duBytes(p) >> 20
+
+  /** Deterministic append batch r: `perBatch` 64-dim vectors in the
+    * same value range as the shipped embeddings (pseudo-random residue
+    * pattern keyed by (round, vec, dim) — no RNG, replayable). */
+  private def batch(spark: SparkSession, round: Int, baseId: Long,
+      perBatch: Int): DataFrame = {
+    import spark.implicits._
+    (0 until perBatch).map { i =>
+      val id = baseId + round.toLong * perBatch + i
+      (id, Array.tabulate(64) { d =>
+        (((id * 2654435761L + d * 40503L + round * 97L) % 1000) / 500.0f - 1.0f)
+      })
+    }.toDF("vec_id", "embedding")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nRounds = args.headOption.map(_.toInt).getOrElse(120)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val workDir = new java.io.File(
+      if (args.length > 2) args(2) else "target/streams/annsoak").getAbsolutePath
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = GraftSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    graft.fs.SnapshotDir.deleteRecursively(Paths.get(workDir))
+    val root = s"$workDir/ivf"
+    def emit(s: String): Unit = { println(s); System.out.flush() }
+    def r2(v: Double): String = (math.rint(v * 100) / 100).toString
+
+    val seed = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val seedMax = seed.agg(max(col("vec_id"))).head().getLong(0)
+    val perBatch = 1000
+    val appendBase = seedMax + 1L
+    IvfIndex.build(seed, root, nCentroids = 16, iters = 2, numBuckets = 16)
+
+    // fixed query set: 24 held-out vectors from the same generator
+    val queries = batch(spark, round = 999999, appendBase + 100000000L, 24)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .localCheckpoint()
+
+    // ---- concurrent probers --------------------------------------
+    val stop = new AtomicBoolean(false)
+    val okProbes = new AtomicLong(0)
+    val failedProbes = new AtomicLong(0)
+    val emptyProbes = new AtomicLong(0)
+    val probers = (0 until 2).map { pi =>
+      val t = new Thread(() => {
+        while (!stop.get()) {
+          try {
+            val n = IvfIndex.topk(spark, root, queries, k = 10, nProbe = 4).count()
+            if (n > 0) okProbes.incrementAndGet() else emptyProbes.incrementAndGet()
+          } catch {
+            case _: Exception => failedProbes.incrementAndGet()
+          }
+          Thread.sleep(100)
+        }
+      }, s"ann-prober-$pi")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+
+    // ---- ground truth for the recall contract ---------------------
+    // the corpus is regenerable: seed ∪ appended batches so far
+    def corpus(throughRound: Int): DataFrame =
+      (0 to throughRound).foldLeft(seed)((acc, r) =>
+        acc.unionByName(batch(spark, r, appendBase, perBatch)))
+    def recallAt(throughRound: Int): Double = {
+      val c = graft.operators.Similarity.prepared(corpus(throughRound))
+        .select(col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn"))
+      val q = graft.operators.Similarity.prepared(
+          queries.select(col("query_id").as("vec_id"), col("embedding")))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))
+      val brute = q.crossJoin(c)
+        .select(col("query_id"), col("cand_id"),
+          (graft.functions.VectorOps.dot(col("qv"), col("cv")) /
+            (col("qn") * col("cn"))).as("cosine"))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+        .select("query_id", "cand_id")
+      val ivf = IvfIndex.topk(spark, root, queries, k = 10, nProbe = 4)
+        .select("query_id", "cand_id")
+      val hit = brute.join(ivf, Seq("query_id", "cand_id"), "left_semi").count()
+      hit.toDouble / (24 * 10).toDouble
+    }
+
+    var rssMax = 0L
+    var diskMax = 0L
+    var recallMin = 1.0
+    val t0 = System.nanoTime()
+    (0 until nRounds).foreach { r =>
+      val tr = System.nanoTime()
+      IvfIndex.append(batch(spark, r, appendBase, perBatch), root)
+      if (r % 10 == 9) IvfIndex.compact(spark, root)
+      val liveDeltas = graft.fs.DeltaDirs.list(s"$root/cells").size
+      val rss = rssMb(); val disk = duMb(root)
+      rssMax = math.max(rssMax, rss); diskMax = math.max(diskMax, disk)
+      emit(s"""{"round":$r,"wall_sec":${r2((System.nanoTime() - tr) / 1e9)},""" +
+        s""""rss_mb":$rss,"index_mb":$disk,"deltas":$liveDeltas,""" +
+        s""""probes_ok":${okProbes.get()},"probes_failed":${failedProbes.get()},""" +
+        s""""probes_empty":${emptyProbes.get()}}""")
+      if (r % 30 == 29) {
+        // quiescent recall checkpoint (no append/compact in flight)
+        val rec = recallAt(r)
+        recallMin = math.min(recallMin, rec)
+        emit(s"""{"round":$r,"recall_at_10":${r2(rec)},"corpus":${2000 + (r + 1) * perBatch}}""")
+        graft.operators.OpCaches.releaseAll()
+      }
+    }
+    stop.set(true)
+    probers.foreach(_.join(5000))
+    val rec = recallAt(nRounds - 1)
+    recallMin = math.min(recallMin, rec)
+    emit(s"""{"summary":true,"rounds":$nRounds,""" +
+      s""""wall_sec":${r2((System.nanoTime() - t0) / 1e9)},""" +
+      s""""rss_max_mb":$rssMax,"index_max_mb":$diskMax,""" +
+      s""""probes_ok":${okProbes.get()},"probes_failed":${failedProbes.get()},""" +
+      s""""probes_empty":${emptyProbes.get()},""" +
+      s""""recall_min":${r2(recallMin)},"recall_final":${r2(rec)}}""")
+    require(recallMin >= 0.7, s"recall contract broken: $recallMin")
+    require(okProbes.get() > failedProbes.get() * 10,
+      s"probe failure rate too high: ${failedProbes.get()}/${okProbes.get()}")
+    spark.stop()
+  }
+}

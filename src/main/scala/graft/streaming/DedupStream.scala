@@ -279,6 +279,33 @@ object DedupStream {
     * corpus side (on a cluster, size numBuckets to executors × cores;
     * re-bucketing happens only at compaction, which already rewrites
     * the base). */
+  /** Production COLD START: publish the compacted bucketed base
+    * directly from a raw already-kept corpus, so the very first
+    * streaming batch probes a bucketed snapshot instead of paying the
+    * one-scan bootstrap cache per batch ([[Dedup
+    * .deltaPairsCappedOneScan]]'s shape is for the ad-hoc batch job;
+    * a STREAM against a big corpus derives the index once, here).
+    * The base carries watermark -1 (no deltas folded) and the cap
+    * fingerprint of `hotShingles`, so [[continuousDedup]]'s
+    * compatibility guard accepts exactly the same capped space it
+    * was built in. One posting-volume shuffle (the bucket write);
+    * afterwards every batch bucket-joins the base without shuffling
+    * the corpus side — the O(delta) per-batch contract. */
+  def bootstrapBase(spark: SparkSession, keptDocs: DataFrame, stateRoot: String,
+      n: Int = 3, numBuckets: Int = 16,
+      hotShingles: Option[DataFrame] = None): Unit = {
+    Files.createDirectories(Paths.get(stateRoot))
+    val idx = hotShingles match {
+      case Some(hot) => Dedup.shingleIndexCapped(keptDocs, n, hot)
+      case None => Dedup.shingleIndex(keptDocs, n)
+    }
+    SnapshotDir.publishBucketed(
+      idx.dropDuplicates("shingle", "doc_id"), s"$stateRoot/base",
+      bucketCol = "shingle", numBuckets = numBuckets,
+      meta = Map("compacted_through" -> "-1",
+        "cap" -> capFingerprint(hotShingles)))
+  }
+
   def continuousDedup(spark: SparkSession, stagingDir: String, stateRoot: String,
       outDir: String, checkpointDir: String, n: Int = 3, threshold: Double = 0.5,
       trigger: Trigger = Trigger.AvailableNow(), compactEvery: Long = 16L,

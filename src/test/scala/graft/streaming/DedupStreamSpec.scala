@@ -45,6 +45,42 @@ class DedupStreamSpec extends SparkSpec {
       == Set(1L, 2L, 4L))
   }
 
+  test("bootstrapBase: cold-start base accepted by the stream, dedups against it") {
+    val staging = Files.createTempDirectory("graft-ddboot-in")
+    val state = Files.createTempDirectory("graft-ddboot-state").toString
+    val out = Files.createTempDirectory("graft-ddboot-out").toString
+    val ckpt = Files.createTempDirectory("graft-ddboot-ckpt").toString
+    val kept = Seq((1L, "aa bb cc dd ee ff"), (2L, "zz yy xx ww vv uu"))
+      .toDF("doc_id", "text")
+    DedupStream.bootstrapBase(spark, kept, state, n = 3, numBuckets = 4)
+    // the bootstrap publishes a watermark -1 bucketed base
+    assert(DedupStream.compactedThrough(state) == -1L)
+    val idx = DedupStream.loadIndex(spark, state)
+    assert(idx.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L))
+    // the very first streamed batch dedups against the bootstrap base
+    Seq((3L, "aa bb cc dd ee ff"), (4L, "mm nn oo pp qq rr"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(staging.toString)
+    DedupStream.continuousDedup(spark, staging.toString, state, out, ckpt,
+      n = 3, threshold = 0.5, trigger = Trigger.AvailableNow())
+      .awaitTermination(120000)
+    val decisions = spark.read.parquet(out)
+      .select("doc_id", "kept").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(!decisions(3L)) // near-dup of bootstrap corpus doc 1
+    assert(decisions(4L))
+    // capped bootstrap + mismatched stream cap must fail loudly
+    val state2 = Files.createTempDirectory("graft-ddboot-state2").toString
+    val hot = Seq(123456789L).toDF("shingle")
+    DedupStream.bootstrapBase(spark, kept, state2, n = 3, numBuckets = 4,
+      hotShingles = Some(hot))
+    val e = intercept[IllegalStateException] {
+      DedupStream.continuousDedup(spark, staging.toString, state2, out,
+        Files.createTempDirectory("graft-ddboot-ckpt2").toString,
+        n = 3, threshold = 0.5, trigger = Trigger.AvailableNow())
+    }
+    assert(e.getMessage.toLowerCase.contains("cap"))
+  }
+
   test("compaction folds deltas into the base and loads see one copy") {
     val staging = Files.createTempDirectory("graft-ddcomp-in")
     val state = Files.createTempDirectory("graft-ddcomp-state").toString
