@@ -74,12 +74,18 @@ object AnnSoak {
     def emit(s: String): Unit = { println(s); System.out.flush() }
     def r2(v: Double): String = (math.rint(v * 100) / 100).toString
 
+    // decade knobs: a 10^7-vector seed wants more cells (bounded cell
+    // size for the probe join) and bigger appends than the sf0.1 soak
+    val perBatch = sys.env.getOrElse("GRAFT_ANN_PER_BATCH", "1000").toInt
+    val nCentroids = sys.env.getOrElse("GRAFT_ANN_CENTROIDS", "16").toInt
+    val numBuckets = sys.env.getOrElse("GRAFT_ANN_BUCKETS", "16").toInt
     val seed = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")
     val seedMax = seed.agg(max(col("vec_id"))).head().getLong(0)
-    val perBatch = 1000
+    val nSeed = seed.count()
     val appendBase = seedMax + 1L
-    IvfIndex.build(seed, root, nCentroids = 16, iters = 2, numBuckets = 16)
+    IvfIndex.build(seed, root, nCentroids = nCentroids, iters = 2,
+      numBuckets = numBuckets)
 
     // fixed query set: 24 held-out vectors from the same generator
     val queries = batch(spark, round = 999999, appendBase + 100000000L, 24)
@@ -152,7 +158,7 @@ object AnnSoak {
         // quiescent recall checkpoint (no append/compact in flight)
         val rec = recallAt(r)
         recallMin = math.min(recallMin, rec)
-        emit(s"""{"round":$r,"recall_at_10":${r2(rec)},"corpus":${2000 + (r + 1) * perBatch}}""")
+        emit(s"""{"round":$r,"recall_at_10":${r2(rec)},"corpus":${nSeed + (r + 1).toLong * perBatch}}""")
         graft.operators.OpCaches.releaseAll()
       }
     }

@@ -43,6 +43,14 @@ object DecadeProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional session-conf overrides, e.g. forcing the scratch-group
+    // dispatch or the group-count ceiling:
+    // GRAFT_PROBE_CONF="graft.vocab.scratchBudgetBytes=2000000,graft.vocab.maxGroups=64"
+    sys.env.get("GRAFT_PROBE_CONF").foreach(_.split(',').foreach { kv =>
+      val i = kv.indexOf('=')
+      if (i > 0) spark.conf.set(kv.take(i).trim, kv.drop(i + 1).trim)
+    })
+
     // warm-up
     spark.range(1000000L).selectExpr("sum(id)").collect()
 

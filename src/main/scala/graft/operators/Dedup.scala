@@ -758,9 +758,28 @@ object Dedup {
     // default 48 B: 8B key + 8B partial + framing, DOUBLED — a map
     // task's sort spill and its final shuffle file coexist on scratch
     // at the stage boundary
-    math.max(1L, math.min(64L,
+    val needed = math.max(1L,
       (math.ceil(facts.instances * bytesPerPosting * stageFactor).toLong
-        + budget - 1) / budget)).toInt
+        + budget - 1) / budget)
+    // group-count ceiling (`graft.vocab.maxGroups`, default 64): each
+    // group costs one extra input scan, so an unbounded count turns a
+    // degenerate budget into an O(G·corpus) crawl. But a SILENT clamp
+    // re-opens the ENOSPC this dispatch exists to prevent — past the
+    // ceiling each group's volume exceeds the budget again — so the
+    // clamp warns loudly with the sizing it would have needed: the
+    // operator still runs (each group is ceiling-fold smaller than the
+    // single pass), and the operator of a corpus that big raises the
+    // ceiling or the budget explicitly.
+    val maxGroups = spark.conf.getOption("graft.vocab.maxGroups")
+      .flatMap(_.toLongOption).getOrElse(64L)
+    if (needed > maxGroups)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"vocabGroupCount: posting volume (${facts.instances} instances, " +
+          s"~${needed}x the ${budget}B scratch budget) needs $needed domain " +
+          s"groups but graft.vocab.maxGroups caps it at $maxGroups — each " +
+          s"group may still exceed the budget; raise graft.vocab.maxGroups " +
+          s"or graft.vocab.scratchBudgetBytes for this corpus")
+    math.min(maxGroups, needed).toInt
   }
 
   /** [[shingleIndex]] in a capped shingle space: the `hot` set is

@@ -288,4 +288,34 @@ class DedupSpec extends SparkSpec {
       assert(cachedPairs.nonEmpty) // not vacuous
     } finally spark.conf.unset("graft.vocab.scratchBudgetBytes")
   }
+
+  test("vocabGroupCount: ceiling clamps, is conf-raisable, and sizing " +
+      "honors the positional/string posting models") {
+    try {
+      spark.conf.set("graft.vocab.scratchBudgetBytes", "1")
+      // a 1-byte budget needs instances*48 groups — far past the
+      // default ceiling of 64: the clamp must engage (and warn), never
+      // return an unbounded group count
+      assert(Dedup.vocabGroupCount(docs, n = 2) == 64)
+      // the ceiling is an explicit operator decision, not a constant
+      spark.conf.set("graft.vocab.maxGroups", "128")
+      assert(Dedup.vocabGroupCount(docs, n = 2) == 128)
+      spark.conf.set("graft.vocab.maxGroups", s"${Long.MaxValue}")
+      val unclamped = Dedup.vocabGroupCount(docs, n = 2)
+      assert(unclamped > 128)
+      // positional (non-distinct) streams count every gram INSTANCE —
+      // on repetitive text that exceeds the distinct-set model
+      val repetitive = spark.createDataFrame(Seq(
+        (1L, Seq.fill(30)("aa bb").mkString(" ")))).toDF("doc_id", "text")
+      val distinctGroups = Dedup.vocabGroupCount(repetitive, n = 2)
+      val positionalGroups = Dedup.vocabGroupCount(repetitive, n = 2, distinct = false)
+      assert(positionalGroups > distinctGroups)
+      // string-carrying callers size with a larger bytes-per-posting
+      assert(Dedup.vocabGroupCount(docs, n = 2, bytesPerPosting = 96L) >
+        Dedup.vocabGroupCount(docs, n = 2))
+    } finally {
+      spark.conf.unset("graft.vocab.scratchBudgetBytes")
+      spark.conf.unset("graft.vocab.maxGroups")
+    }
+  }
 }
