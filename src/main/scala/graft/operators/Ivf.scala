@@ -53,12 +53,34 @@ object Ivf {
   /** Training core over an already-prepared (vec_id, v) table — lets
     * [[topkIvf]] (and Similarity.semanticPairsCells) share one cached
     * preparation between training and querying instead of
-    * scanning+normalizing the corpus twice. */
+    * scanning+normalizing the corpus twice.
+    *
+    * SAMPLED past `graft.ivf.maxTrainRows` (default 2^18, the r11
+    * decade catch): Lloyd rounds cost iters full-corpus assigns plus
+    * iters posexplode aggregates over rows×dims — at 10⁷ vectors ×
+    * 64 dims × 64 cells the 10M-row build spent ~an hour in training
+    * alone while the assignment+publish it exists for takes minutes.
+    * Standard IVF practice trains on a bounded sample and assigns
+    * everything; the sample here is deterministic (xxhash64(vec_id)
+    * residue stride — no RNG, replayable, order-free) and the switch
+    * is count-based, so corpora under the threshold — every gate
+    * SF — train EXACTLY as before and the oracle rows are untouched.
+    * Recall quality is covered by the ss_topk_ivf_* contract rows and
+    * the AnnSoak recall floor, not by centroid identity. */
   private[operators] def trainOnPrepared(e: DataFrame, nCentroids: Int, iters: Int): Seq[Array[Double]] = {
-    var centroids: Seq[Array[Double]] = e.orderBy("vec_id").limit(nCentroids)
+    val maxTrain = e.sparkSession.conf.getOption("graft.ivf.maxTrainRows")
+      .flatMap(_.toLongOption).getOrElse(1L << 18)
+    val n = e.count()
+    val train =
+      if (n <= maxTrain) e
+      else {
+        val stride = (n + maxTrain - 1) / maxTrain
+        e.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
+      }
+    var centroids: Seq[Array[Double]] = train.orderBy("vec_id").limit(nCentroids)
       .collect().map(_.getSeq[Double](1).toArray).toSeq
     for (_ <- 1 to iters) {
-      val assigned = e.withColumn("cell", assign(centroids))
+      val assigned = train.withColumn("cell", assign(centroids))
       // decimal-exact per-dimension mean → centroids independent of
       // partition order → deterministic index
       val means = assigned

@@ -28,6 +28,30 @@ class IvfSpec extends SparkSpec {
     assert(c1.map(_.toSeq) == c2.map(_.toSeq))
   }
 
+  test("sampled training: deterministic, count-gated, and recall holds") {
+    // under the threshold the sample is the identity — centroids are
+    // byte-equal to an explicitly unbounded run (gate-SF stability)
+    val full = Ivf.trainCentroids(emb, nCentroids = 6, iters = 2)
+    try {
+      spark.conf.set("graft.ivf.maxTrainRows", s"${Long.MaxValue}")
+      assert(Ivf.trainCentroids(emb, nCentroids = 6, iters = 2)
+        .map(_.toSeq) == full.map(_.toSeq))
+      // forced sampling: deterministic across runs, and the sampled
+      // centroids still separate the clusters (full recall on the
+      // well-separated fixture — quality, not centroid identity)
+      spark.conf.set("graft.ivf.maxTrainRows", "24")
+      val s1 = Ivf.trainCentroids(emb, nCentroids = 6, iters = 2)
+      val s2 = Ivf.trainCentroids(emb, nCentroids = 6, iters = 2)
+      assert(s1.map(_.toSeq) == s2.map(_.toSeq))
+      assert(s1.map(_.toSeq) != full.map(_.toSeq)) // the sample really engaged
+      val got = Ivf.topkIvf(emb, queryMod = 50L, k = 5, nCentroids = 6, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = Similarity.topkBrute(emb, queryMod = 50L, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute)
+    } finally spark.conf.unset("graft.ivf.maxTrainRows")
+  }
+
   test("topkIvf achieves full recall vs brute force on separated clusters") {
     val ivf = Ivf.topkIvf(emb, queryMod = 50L, k = 5, nCentroids = 6, nProbe = 3)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
