@@ -78,3 +78,82 @@ case class DotProductExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): DotProductExpr =
     copy(left = newLeft, right = newRight)
 }
+
+/** Nearest-centroid assignment as ONE native expression: cell id =
+  * argmax over a centroid MATRIX of (v·cᵢ − |cᵢ|²/2) — the exact
+  * argmin-squared-euclidean ranking [[graft.operators.Ivf.score]]
+  * uses, with ties to the LOWER cell id (matching `array_position` of
+  * the first max in the composed form).
+  *
+  * Why a custom expression (the r11 10⁷-vector decade catch): the
+  * composed form — `array(64 × (DotProductExpr − lit))` followed by
+  * `array_max` + `array_position` — plants 64 independent sub-trees
+  * in one projection. At that width the generated method blows past
+  * JIT/codegen size limits and the whole projection degrades to
+  * interpreted per-sub-tree evaluation with per-row array
+  * construction and boxed max/position scans; the 10M-row build's
+  * assignment ran for over an hour. This expression holds the
+  * centroids as one transient double matrix and scans it in a tight
+  * nested loop — one method, no per-row allocation, O(cells × dims)
+  * multiplies and nothing else.
+  *
+  * Null semantics: NULL input array, any NULL element, or a
+  * dimension mismatch against the matrix → NULL (malformed
+  * embeddings surface, never a plausible-but-wrong cell). */
+case class NearestCentroidExpr(child: Expression,
+    centroids: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) if centroids.nonEmpty =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires ≥1 centroid")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got $t")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_nearest_centroid"
+  override def nullable: Boolean = true
+
+  // flattened row-major matrix + per-cell −|c|²/2 bias, built once per
+  // executor deserialization, not per row
+  @transient private lazy val dims = centroids.head.length
+  @transient private lazy val flat: Array[Double] = {
+    val a = new Array[Double](centroids.length * dims)
+    var c = 0
+    while (c < centroids.length) {
+      val row = centroids(c)
+      var d = 0
+      while (d < dims) { a(c * dims + d) = row(d); d += 1 }
+      c += 1
+    }
+    a
+  }
+  @transient private lazy val bias: Array[Double] =
+    centroids.map(c => -c.map(x => x * x).sum / 2.0).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dims) return null
+    var i = 0
+    while (i < dims) { if (v.isNullAt(i)) return null; i += 1 }
+    val x = v.toDoubleArray()
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      var acc = bias(c)
+      val off = c * dims
+      var d = 0
+      while (d < dims) { acc += x(d) * flat(off + d); d += 1 }
+      if (acc > bestScore) { bestScore = acc; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidExpr =
+    copy(child = newChild)
+}

@@ -35,9 +35,28 @@ object Ivf {
     VectorOps.dot(v, typedLit(centroid.toSeq)) - lit(c2)
   }
 
-  /** Cell id (0-based argmax of [[score]]) for each row's `v`. */
+  /** Cell id (0-based argmax of [[score]]) for each row's `v` — ONE
+    * native expression over the centroid matrix
+    * ([[graft.functions.NearestCentroidExpr]]). The composed form it
+    * replaces ([[assignComposed]], kept as the value-identity spec
+    * twin) planted `cells` independent dot sub-trees plus a boxed
+    * max/position scan in one projection; past a few dozen centroids
+    * the generated method outgrows codegen limits and the whole
+    * projection falls back to interpreted evaluation — the r11
+    * 10⁷-vector probe measured the 10M-row assignment at over an
+    * hour; the matrix loop does it in seconds. */
   private[operators] def assign(centroids: Seq[Array[Double]]): Column =
     if (centroids.isEmpty) lit(null).cast("int") // empty corpus → no cells
+    else org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.NearestCentroidExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("v")),
+        centroids.map(_.toSeq)))
+
+  /** The pre-r11 composed assignment (argmax over an expression array
+    * of per-centroid scores) — value-identical to [[assign]] including
+    * the lowest-cell tie-break; kept for the identity spec. */
+  private[operators] def assignComposed(centroids: Seq[Array[Double]]): Column =
+    if (centroids.isEmpty) lit(null).cast("int")
     else {
       val scores = array(centroids.map(c => score(col("v"), c)): _*)
       (array_position(scores, array_max(scores)) - 1).cast("int")

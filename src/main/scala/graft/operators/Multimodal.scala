@@ -976,11 +976,12 @@ object Multimodal {
   }
 
   /** DECODE-level video dedup — the frame-pixel twin of
-    * [[audioDedup]]: containers group by an exact integer signature
-    * of their DECODED frame pixels (dims, frame count, Σb,
-    * Σ(i+1)·b, Σ(f+1)·Σb — position- and frame-weighted, so neither
-    * frame reordering nor pixel shuffling collapses), never by
-    * payload or chunk bytes. A re-muxed container — different idx1,
+    * [[audioDedup]]: containers group by an exact signature of their
+    * DECODED frame pixels (dims, frame count, byte count, and a
+    * position-sensitive 64-bit polynomial hash of the full pixel
+    * stream — equality ⟺ pixel identity up to ~2⁻⁶⁴; see the inline
+    * note for why integer SUMS were not enough), never by payload or
+    * chunk bytes. A re-muxed container — different idx1,
     * JUNK chunks, even COM-respliced JPEG frames — decodes to the
     * same pixels and collapses; a chunk-byte hash would MISS the
     * COM-spliced MJPEG variants, which is exactly what makes this
@@ -1000,21 +1001,28 @@ object Multimodal {
       .mapPartitions { batch =>
         batch.flatMap { case (docId, payload) =>
           VideoCodec.decode(payload).flatMap { info =>
-            var sumPix = 0L; var posW = 0L; var frameW = 0L
+            // position-sensitive 64-bit polynomial hash over the full
+            // decoded pixel stream (frame boundaries folded in). The
+            // first cut used integer SUMS — and the sf1 gate caught 5
+            // cross-doc collisions: the generator's pixel pattern is
+            // LINEAR mod 256, and over full 256-byte cycles
+            // Σ((c + 7i) mod 256) is independent of c, so sums are
+            // systematically shift-invariant, not content-invariant.
+            // A polynomial hash keys on every byte AND its position;
+            // equality ⟺ pixel-stream identity up to ~2^-64.
+            var h = 1469598103934665603L // FNV offset basis
             var nBytes = 0L; var ok = true
             var f = 0
             while (ok && f < info.frameChunks.length) {
               val (off, len) = info.frameChunks(f)
               VideoCodec.decodeFrameChunk(payload, off, len) match {
                 case Some(px) =>
-                  var fSum = 0L
+                  h = h * 1099511628211L + px.length // frame boundary
                   var i = 0
                   while (i < px.length) {
-                    val b = px(i) & 0xFF
-                    fSum += b; posW += (i + 1).toLong * b
+                    h = (h ^ (px(i) & 0xFF).toLong) * 1099511628211L
                     i += 1
                   }
-                  sumPix += fSum; frameW += (f + 1).toLong * fSum
                   nBytes += px.length
                 case None => ok = false
               }
@@ -1022,15 +1030,13 @@ object Multimodal {
             }
             if (ok && info.frameChunks.nonEmpty)
               Some((docId, info.width, info.height,
-                info.frameChunks.length.toLong, sumPix, posW, frameW, nBytes))
+                info.frameChunks.length.toLong, h, nBytes))
             else None
           }
         }
       }
-      .toDF("doc_id", "width", "height", "n_frames",
-        "sum_pix", "pos_weighted", "frame_weighted", "n_bytes")
-      .groupBy("width", "height", "n_frames",
-        "sum_pix", "pos_weighted", "frame_weighted", "n_bytes")
+      .toDF("doc_id", "width", "height", "n_frames", "pix_hash", "n_bytes")
+      .groupBy("width", "height", "n_frames", "pix_hash", "n_bytes")
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .select(col("width"), col("height"), col("n_frames"),
         col("keep_doc_id"), col("n_copies"))

@@ -28,6 +28,23 @@ class IvfSpec extends SparkSpec {
     assert(c1.map(_.toSeq) == c2.map(_.toSeq))
   }
 
+  test("native nearest-centroid assignment == composed argmax form") {
+    import org.apache.spark.sql.functions.col
+    val prep = Similarity.prepared(emb).select(col("vec_id"), col("v"))
+    // 80 centroids — past the width where the composed form's codegen
+    // degrades (the r11 10M-row catch); value identity must hold at
+    // exactly the widths the native expression exists for. Derived
+    // from corpus rows so ties between equal vectors are exercised.
+    val cents = prep.orderBy("vec_id").limit(80)
+      .collect().map(_.getSeq[Double](1).toArray).toSeq
+    val a = prep.select(col("vec_id"), Ivf.assign(cents).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = prep.select(col("vec_id"), Ivf.assignComposed(cents).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)
+    assert(a.values.toSet.size > 1) // not vacuous: multiple cells in play
+  }
+
   test("sampled training: deterministic, count-gated, and recall holds") {
     // under the threshold the sample is the identity — centroids are
     // byte-equal to an explicitly unbounded run (gate-SF stability)
