@@ -202,12 +202,41 @@ final class ApiServer(spark: SparkSession, files: () => DataFrame,
         limit = int(p, "limit", default = 100, min = 1, max = 10000),
         offset = int(p, "offset", default = 0, min = 0, max = Int.MaxValue))
       val f = files()
-      val total = FileQueries.searchApiFiltered(f, req).count()
-      val page = FileQueries.searchApi(f, req)
-      val pageJson = rowsJson(page)
-      val inPage = math.min(req.limit.toLong, math.max(0L, total - req.offset))
-      s"""{"files": $pageJson, "total_count": $total,
-         | "has_more": ${req.offset + inPage < total}}""".stripMargin
+      // KEYSET mode (extension beyond the reference's offset API — the
+      // reference keeps this cursor for its own cleanup walk,
+      // indexer.py:1078-1101): `keyset=true` or a (cursor_path,
+      // cursor_filename) pair switches to deletion-safe (path,
+      // filename) > (cursor) pagination. No total_count — counting the
+      // filtered set per page is exactly the O(corpus) work the cursor
+      // exists to avoid; has_more is the standard full-page convention
+      // and next_cursor resumes the walk.
+      val cursorKeys = Seq("cursor_path", "cursor_filename").filter(p.contains)
+      if (bool(p, "keyset").getOrElse(false) || cursorKeys.nonEmpty) {
+        val after = cursorKeys match {
+          case Seq("cursor_path", "cursor_filename") =>
+            Some((p("cursor_path"), p("cursor_filename")))
+          case Seq() => None
+          case _ => throw new IllegalArgumentException(
+            "cursor_path and cursor_filename must be provided together")
+        }
+        val rows = FileQueries.searchKeyset(f, req, after, req.limit)
+          .select(to_json(struct(col("*")), new java.util.HashMap[String, String] {
+            put("ignoreNullFields", "false")
+          }).as("j"), col("path"), col("filename")).collect()
+        val filesJson = rows.map(_.getString(0)).mkString("[", ",", "]")
+        val next = rows.lastOption.map(r =>
+          s"""{"path": ${jstr(r.getString(1))}, "filename": ${jstr(r.getString(2))}}""")
+          .getOrElse("null")
+        s"""{"files": $filesJson, "next_cursor": $next,
+           | "has_more": ${rows.length == req.limit}}""".stripMargin
+      } else {
+        val total = FileQueries.searchApiFiltered(f, req).count()
+        val page = FileQueries.searchApi(f, req)
+        val pageJson = rowsJson(page)
+        val inPage = math.min(req.limit.toLong, math.max(0L, total - req.offset))
+        s"""{"files": $pageJson, "total_count": $total,
+           | "has_more": ${req.offset + inPage < total}}""".stripMargin
+      }
     }
 
     // GET+POST /duplicates/ (routers.py:120-186; group page + totals =

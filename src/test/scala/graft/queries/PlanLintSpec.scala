@@ -145,6 +145,27 @@ class PlanLintSpec extends SparkSpec {
     assert(offenders.isEmpty, s"\nun-reviewed global windows:\n  ${offenders.mkString("\n  ")}")
   }
 
+  test("keyset cursor predicate reaches the parquet scan as a pushed filter") {
+    // over a table with NATIVE path/filename columns (the production
+    // index layout — the synthesized files VIEW derives them, which
+    // legitimately blocks pushdown there), the deletion-safe cursor
+    // disjunction must land in PushedFilters so deep pagination prunes
+    // row groups at the scan instead of re-filtering the whole set
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-keyset-push").toString
+    Seq(("/a", "f1", "c1", new java.sql.Timestamp(0L), 1L),
+        ("/b", "f2", "c2", new java.sql.Timestamp(0L), 2L))
+      .toDF("path", "filename", "checksum", "modification_datetime", "file_size")
+      .write.mode("overwrite").parquet(dir)
+    val page = FileQueries.searchKeyset(spark.read.parquet(dir),
+      SearchRequest(), after = Some(("/a", "f1")), pageSize = 10)
+    val scan = page.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PushedFilters"), scan)
+    // the Or((path > a), And(path = a, filename > f)) cursor shape
+    assert(scan.contains("Or(GreaterThan(path,/a)"), scan)
+  }
+
   test("allow-lists only name registered queries (no stale entries)") {
     val known = SparkEntry.queries.keySet
     val stale = (allowPairBlowup.keySet ++ allowGlobalWindow.keySet).diff(known)

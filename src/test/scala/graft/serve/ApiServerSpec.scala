@@ -57,6 +57,50 @@ class ApiServerSpec extends SparkSpec {
     assert(c2 == 200 && b2.contains("\"files\": []") && b2.contains("\"has_more\": false"))
   }
 
+  test("keyset /search/: cursor walk covers the offset order, deletion-safe shape") {
+    import graft.queries.{FileQueries, SearchRequest}
+    // ground truth: the full filtered set in keyset order
+    val all = FileQueries.searchApiFiltered(
+        Tables.files(spark, sfDir), SearchRequest(filenamePattern = Some("%5.txt")))
+      .orderBy(org.apache.spark.sql.functions.col("path"),
+        org.apache.spark.sql.functions.col("filename"))
+      .select("path", "filename").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(all.size > 6) // multi-page walk, not vacuous
+    // walk by cursor; concatenated filenames must equal the total order
+    var walked = Seq.empty[String]
+    var cursor: Option[(String, String)] = None
+    var more = true
+    while (more) {
+      val q = cursor.map { case (cp, cf) =>
+        s"&cursor_path=${java.net.URLEncoder.encode(cp, "UTF-8")}" +
+          s"&cursor_filename=${java.net.URLEncoder.encode(cf, "UTF-8")}"
+      }.getOrElse("")
+      val (code, body) = get(s"/search/?filename_pattern=%255.txt&limit=3&keyset=true$q")
+      assert(code == 200)
+      assert(!body.contains("total_count")) // no O(corpus) count in keyset mode
+      // next_cursor is the page's last row (or null on the empty tail)
+      if (body.contains("\"next_cursor\": null")) more = false
+      else {
+        // files array only — the cursor repeats the last filename
+        val filesPart = body.substring(0, body.indexOf("\"next_cursor\""))
+        walked ++= """"filename": ?"([^"]+\.txt)"""".r
+          .findAllMatchIn(filesPart).map(_.group(1)).toSeq
+        val curPath = """"next_cursor": \{"path": "([^"]*)"""".r
+          .findFirstMatchIn(body).map(_.group(1)).get
+        val curFile = """"next_cursor": \{"path": "[^"]*", "filename": "([^"]*)"""".r
+          .findFirstMatchIn(body).map(_.group(1)).get
+        cursor = Some((curPath, curFile))
+        more = body.contains("\"has_more\": true")
+      }
+    }
+    // page-by-page filenames in order == the total keyset order
+    assert(walked == all.map(_._2))
+    // one-sided cursor → 400
+    val (c400, b400) = get("/search/?keyset=true&cursor_path=/data")
+    assert(c400 == 400 && b400.contains("together"))
+  }
+
   test("POST /search/ accepts the reference's flat JSON request model") {
     val (code, body) = post("/search/",
       """{"filename_pattern": "%5.txt", "has_checksum": true, "limit": 2, "offset": 1}""")
