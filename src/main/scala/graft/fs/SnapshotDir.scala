@@ -12,7 +12,10 @@ import org.apache.spark.sql.types.StructType
   * `<root>/CURRENT` pointer file is replaced with one ATOMIC_MOVE.
   * Readers resolve CURRENT → directory, so they always see either the
   * old or the new complete snapshot. Single-WRITER by contract;
-  * readers are always safe. Crash-orphaned snapshots that existed
+  * readers are always safe. The superseded snapshot is RETIRED into a
+  * grace-window ledger rather than deleted at the flip, so a reader
+  * that resolved the old pointer finishes against intact files (see
+  * the retention block below); crash-orphaned snapshots that existed
   * before a publish began are swept after its pointer flip (anything
   * created later belongs to an overlapping publish and is never
   * touched).
@@ -20,6 +23,102 @@ import org.apache.spark.sql.types.StructType
 object SnapshotDir {
 
   private def pointerFile(root: String) = Paths.get(s"$root/CURRENT")
+
+  // ------------------------------------------- retired-snapshot grace
+  // A publish RETIRES the previous snapshot instead of deleting it: the
+  // name goes into the `<root>/.retired` ledger with its retirement
+  // time, and the files stay on disk until EITHER the grace window
+  // elapses OR more than `maxRetained` snapshots are pending (oldest
+  // deleted first — the disk cap beats the reader grace). An in-flight
+  // reader that resolved the old pointer moments before a flip (the ANN
+  // serving soak's compaction race) finishes against intact files
+  // instead of erroring; debris is bounded by maxRetained per root and
+  // is swept by each subsequent publish's GC. Knobs are JVM system
+  // properties (SnapshotDir is session-free code; suites run
+  // sequentially in the test JVM).
+
+  private[fs] def retainGraceMs: Long =
+    sys.props.get("graft.snap.retainGraceMs").flatMap(_.toLongOption).getOrElse(120000L)
+  private[fs] def maxRetained: Int =
+    sys.props.get("graft.snap.maxRetained").flatMap(_.toIntOption).getOrElse(2)
+
+  private def ledgerFile(root: String) = Paths.get(s"$root/.retired")
+
+  /** The retired-snapshot ledger: (snapName, retiredAtMillis), oldest
+    * first. Junk lines are skipped per-entry (a corrupt ledger must
+    * degrade to "retire sooner", never to a crash or a leak). */
+  private[fs] def retiredLedger(root: String): Seq[(String, Long)] = {
+    val p = ledgerFile(root)
+    if (!Files.exists(p)) Seq.empty
+    else Files.readAllLines(p).toArray(Array.empty[String]).toSeq
+      .flatMap { line =>
+        val i = line.lastIndexOf('=')
+        if (i <= 0) None
+        else line.substring(i + 1).toLongOption.map(t => line.substring(0, i) -> t)
+      }.sortBy(_._2)
+  }
+
+  private def writeLedger(root: String, entries: Seq[(String, Long)]): Unit = {
+    val tmp = Paths.get(s"$root/.retired-tmp-${System.nanoTime()}")
+    Files.writeString(tmp,
+      entries.map { case (n, t) => s"$n=$t" }.mkString("\n"))
+    Files.move(tmp, ledgerFile(root),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Delete retired snapshots past the grace window or beyond the
+    * retained-count cap (oldest first), and self-heal ledger entries
+    * whose directory is already gone. Runs inside every publish;
+    * callable directly for explicit maintenance. */
+  private[graft] def gcRetired(root: String,
+      now: Long = System.currentTimeMillis()): Unit = {
+    val entries = retiredLedger(root)
+    if (entries.isEmpty) return
+    val cut = entries.length - maxRetained
+    val (drop, keep) = entries.zipWithIndex.partition { case ((name, t), i) =>
+      (now - t) > retainGraceMs || i < cut || !Files.exists(Paths.get(s"$root/$name"))
+    }
+    drop.foreach { case ((name, _), _) =>
+      // per-entry guard: an undeletable dir is dropped from the ledger
+      // anyway — the next publish's orphan sweep retries it
+      try deleteRecursively(Paths.get(s"$root/$name"))
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    writeLedger(root, keep.map(_._1))
+  }
+
+  /** True iff `t`'s cause chain is a missing-file error — the signature
+    * of a read whose resolved snapshot was retired past its grace
+    * window (or of a resolve that straddled a GC). */
+  def isStaleSnapshotRead(t: Throwable): Boolean = {
+    var c: Throwable = t
+    var depth = 0
+    while (c != null && depth < 16) {
+      c match {
+        case _: java.io.FileNotFoundException => return true
+        case _: java.nio.file.NoSuchFileException => return true
+        case _ =>
+          // Spark wraps scan-time file loss in SparkException / analysis
+          // errors whose message names the missing path
+          val m = c.getMessage
+          if (m != null && (m.contains("FileNotFoundException") ||
+              m.contains("PATH_NOT_FOUND") || m.contains("does not exist")))
+            return true
+      }
+      c = c.getCause; depth += 1
+    }
+    false
+  }
+
+  /** Run `body` — which must RE-RESOLVE the snapshot pointer on each
+    * attempt — retrying ONCE iff the failure looks like a retired-
+    * snapshot read. The one-retry bound keeps a genuinely missing root
+    * loud (the second failure propagates). */
+  def retryingStaleRead[T](body: => T): T =
+    try body
+    catch {
+      case scala.util.control.NonFatal(e) if isStaleSnapshotRead(e) => body
+    }
 
   /** Resolve the published snapshot directory, if any. */
   def currentDir(root: String): Option[String] = {
@@ -75,9 +174,10 @@ object SnapshotDir {
   private[fs] val BucketNKey = "bucket_n"
 
   /** Publish `df` as the new snapshot: parquet to snap-<nonce>, atomic
-    * pointer flip, then best-effort retirement of the previous
-    * snapshot and pre-existing crash orphans. `meta` is written inside
-    * the snap dir BEFORE the flip (see [[loadMeta]]). */
+    * pointer flip, then grace-ledger retirement of the previous
+    * snapshot and best-effort sweep of pre-existing crash orphans.
+    * `meta` is written inside the snap dir BEFORE the flip (see
+    * [[loadMeta]]). */
   def publish(df: DataFrame, root: String, meta: Map[String, String] = Map.empty): Unit =
     publishWith(root, meta) { dir => df.write.mode("overwrite").parquet(dir) }
 
@@ -195,10 +295,19 @@ object SnapshotDir {
     Files.move(tmpPtr, pointerFile(root),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     try {
-      prev.foreach(d => if (Files.exists(Paths.get(d))) deleteRecursively(Paths.get(d)))
+      // RETIRE the previous snapshot into the grace ledger (files stay
+      // for in-flight readers); GC deletes it once the grace window or
+      // the retained-count cap says so — see the retention block above
+      val prevName = prev.map(d => Paths.get(d).getFileName.toString)
+        .filter(n => Files.exists(Paths.get(s"$root/$n")))
+      prevName.foreach { n =>
+        writeLedger(root,
+          retiredLedger(root).filterNot(_._1 == n) :+ (n -> System.currentTimeMillis()))
+      }
+      gcRetired(root)
       val nowCurrent = currentDir(root).map(d => Paths.get(d).getFileName.toString)
-      val keep = Set(snapName) ++ nowCurrent ++
-        prev.map(d => Paths.get(d).getFileName.toString)
+      val keep = Set(snapName) ++ nowCurrent ++ prevName ++
+        retiredLedger(root).map(_._1)
       preExisting.filterNot(keep).foreach { n =>
         deleteRecursively(Paths.get(s"$root/$n"))
       }

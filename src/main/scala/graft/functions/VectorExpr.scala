@@ -144,10 +144,15 @@ case class NearestCentroidExpr(child: Expression,
     var bestScore = Double.NegativeInfinity
     var c = 0
     while (c < centroids.length) {
-      var acc = bias(c)
+      // dot in its own accumulator from 0, bias added LAST — the exact
+      // operation order of the composed twin (VectorOps.dot's left fold
+      // then `- |c|²/2`), so near-tie scores round identically and the
+      // value-identity contract holds in general, not just on fixtures
+      var acc = 0.0
       val off = c * dims
       var d = 0
       while (d < dims) { acc += x(d) * flat(off + d); d += 1 }
+      acc += bias(c)
       if (acc > bestScore) { bestScore = acc; best = c }
       c += 1
     }

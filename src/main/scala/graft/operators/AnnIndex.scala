@@ -83,7 +83,14 @@ object AnnIndex {
     * vectors snapshot both come from that snapshot's atomic meta (a
     * re-resolution could pair one build's planes with another's data —
     * the divergence class SnapshotDir.loadMeta documents). */
-  def topk(spark: SparkSession, root: String, queries: DataFrame, k: Int = 5): DataFrame = {
+  def topk(spark: SparkSession, root: String, queries: DataFrame, k: Int = 5): DataFrame =
+    // one stale-pointer retry across a concurrent rebuild's flip; see
+    // IvfIndex.topk — within the grace window retired snapshots stay
+    // readable and no retry fires.
+    SnapshotDir.retryingStaleRead { topkOnce(spark, root, queries, k) }
+
+  private def topkOnce(spark: SparkSession, root: String, queries: DataFrame,
+      k: Int): DataFrame = {
     // resolve through the IndexManifest row (the same record an
     // operator `--manifest` listing shows): a missing or torn-publish
     // buckets snapshot (pointer present, dir gone) is refused here as

@@ -702,10 +702,36 @@ object Dedup {
   }
   private val dispatchMemo = scala.collection.mutable.LinkedHashMap
     .empty[String, (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DispatchFacts)]
+
+  /** Listing fingerprint of every file-source leaf under `plan`: file
+    * count, total bytes, max modification time, and a hash of the file
+    * paths. Plan canonicalization alone is NOT a staleness defense for
+    * file sources — `InMemoryFileIndex.equals` compares only
+    * rootPaths, so a corpus OVERWRITTEN at the same path is
+    * `sameResult` with its predecessor and would return the old
+    * (possibly groups=1) facts for a grown corpus, re-opening the
+    * ENOSPC this dispatch prevents. The listing is already cached on
+    * the relation (computed when the DataFrame was created), so this
+    * is a driver-side walk, not filesystem IO. */
+  private def listingFingerprint(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String =
+    plan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            val files = fs.location.listFiles(Nil, Nil).flatMap(_.files)
+            s"${files.length}:${files.map(_.getLen).sum}:" +
+              s"${if (files.isEmpty) 0L else files.map(_.getModificationTime).max}:" +
+              s"${scala.util.hashing.MurmurHash3.arrayHash(fs.location.inputFiles)}"
+          case _ => "" // non-file relation: nothing to fingerprint
+        }
+    }.mkString("|")
+
   private def dispatchFacts(docs: DataFrame, n: Int,
       distinct: Boolean): DispatchFacts = {
     val plan = docs.queryExecution.analyzed.canonicalized
-    val key = s"${plan.semanticHash()}:$n:$distinct"
+    val key = s"${plan.semanticHash()}:$n:$distinct:" +
+      listingFingerprint(docs.queryExecution.analyzed)
     dispatchMemo.synchronized {
       dispatchMemo.get(key) match {
         case Some((p, facts)) if p.sameResult(plan) => facts
@@ -779,7 +805,11 @@ object Dedup {
           s"groups but graft.vocab.maxGroups caps it at $maxGroups — each " +
           s"group may still exceed the budget; raise graft.vocab.maxGroups " +
           s"or graft.vocab.scratchBudgetBytes for this corpus")
-    math.min(maxGroups, needed).toInt
+    // Int clamp too: with the conf ceiling raised past Int.MaxValue
+    // (the spec sets Long.MaxValue) and needed > 2^31, a bare .toInt
+    // wraps to garbage/negative — empty-range crash or silent
+    // undersizing
+    math.min(Int.MaxValue.toLong, math.min(maxGroups, needed)).toInt
   }
 
   /** [[shingleIndex]] in a capped shingle space: the `hot` set is

@@ -237,7 +237,16 @@ object IvfIndex {
     * pair an old base with a newer watermark across a concurrent
     * compaction's pointer flip. */
   def topk(spark: SparkSession, root: String, queries: DataFrame,
-      k: Int = 5, nProbe: Int = 4): DataFrame = {
+      k: Int = 5, nProbe: Int = 4): DataFrame =
+    // one stale-pointer retry: the resolve + file-listing phase below
+    // can straddle a compaction flip whose GC already reaped the old
+    // base (past its grace window); re-resolving once lands on the new
+    // snapshot. Within the grace window no retry is needed — retired
+    // files stay readable (SnapshotDir retention).
+    SnapshotDir.retryingStaleRead { topkOnce(spark, root, queries, k, nProbe) }
+
+  private def topkOnce(spark: SparkSession, root: String, queries: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
     val cellsDir = SnapshotDir.currentDir(s"$root/cells")
       .getOrElse(sys.error(s"no IVF snapshot at $root"))
     val meta = SnapshotDir.metaAt(cellsDir)

@@ -51,10 +51,19 @@ object OpCaches {
   // running heap): their blocks belong to the checkpoint RDD, which
   // Dataset.unpersist cannot reach, so without a hook their release
   // depends on driver GC + the async ContextCleaner. Registered here
-  // as thunks and drained by [[releaseAll]] — same contract as the
-  // cache registry: only drain once the returned frames are consumed
-  // (the lineage is truncated; the blocks are unrecoverable).
-  private val ckpts = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+  // and drained by [[releaseAll]] — same contract as the cache
+  // registry: only drain once the returned frames are consumed (the
+  // lineage is truncated; the blocks are unrecoverable).
+  //
+  // WEAK references, unlike the cache registry above: checkpoint
+  // blocks ARE reclaimed by GC + the ContextCleaner once the frame
+  // becomes unreachable, so a strong registry in a session that never
+  // drains (ApiServer, embedded library use) would pin blocks the
+  // runtime could otherwise free. The weak ref keeps [[releaseAll]]
+  // deterministic for frames still reachable and lets dead ones go
+  // back to the cleaner.
+  private val ckpts = scala.collection.mutable.ArrayBuffer
+    .empty[java.lang.ref.WeakReference[DataFrame]]
   // site-key + canonicalized-plan hash → the persisted core. Bounded:
   // past MaxShared entries new cores degrade to per-query track() —
   // a runaway keyspace (per-batch streaming inputs) must not pin
@@ -84,7 +93,13 @@ object OpCaches {
     * until then. No-op registration for non-checkpoint plans. */
   private[graft] def trackCheckpoint(df: DataFrame): DataFrame = {
     ckpts.synchronized {
-      ckpts += (() => org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(df))
+      ckpts += new java.lang.ref.WeakReference(df)
+      // opportunistic compaction: an undrained long-lived session's
+      // registry stays O(reachable frames), not O(frames ever tracked)
+      if (ckpts.length > 256) {
+        val live = ckpts.filter(_.get != null)
+        ckpts.clear(); ckpts ++= live
+      }
     }
     df
   }
@@ -133,9 +148,11 @@ object OpCaches {
       reg.clear()
     }
     ckpts.synchronized {
-      ckpts.foreach { release =>
-        try release()
-        catch { case scala.util.control.NonFatal(_) => () }
+      ckpts.foreach { ref =>
+        val df = ref.get // already-collected frames: the cleaner owns them
+        if (df != null)
+          try org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(df)
+          catch { case scala.util.control.NonFatal(_) => () }
       }
       ckpts.clear()
     }

@@ -25,13 +25,35 @@ object ScratchGuard {
   /** Total on-disk bytes under the session's `spark.local.dir` trees
     * (block manager + shuffle scratch in local mode). Concurrently
     * disappearing files are expected — the cleaner is deleting while
-    * we walk — and are counted as zero. */
+    * we walk — and are counted as zero.
+    *
+    * With `spark.local.dir` UNSET the fallback is `java.io.tmpdir`,
+    * which is a SHARED directory: walking all of it would let any
+    * concurrent writer (a parallel query, unrelated /tmp traffic) hold
+    * usage above the reclaim target and stall every group boundary for
+    * the full timeout. In that case only Spark's own scratch subtrees
+    * (`blockmgr-*`, `spark-*` — the names local mode creates there)
+    * are counted; an explicitly configured local dir is Spark-owned by
+    * contract and is walked whole. */
   def usage(spark: SparkSession): Long = {
-    val dirs = spark.conf.getOption("spark.local.dir")
+    val conf = spark.conf.getOption("spark.local.dir")
       .orElse(Option(spark.sparkContext.getConf.get("spark.local.dir", null)))
-      .map(_.split(','))
-      .getOrElse(Array(System.getProperty("java.io.tmpdir")))
-    dirs.map(d => treeBytes(java.nio.file.Paths.get(d.trim))).sum
+    conf match {
+      case Some(dirs) =>
+        dirs.split(',').map(d => treeBytes(java.nio.file.Paths.get(d.trim))).sum
+      case None =>
+        val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+        var total = 0L
+        try {
+          val ds = java.nio.file.Files.newDirectoryStream(tmp)
+          try ds.forEach { p =>
+            val n = p.getFileName.toString
+            if (n.startsWith("blockmgr-") || n.startsWith("spark-"))
+              total += treeBytes(p)
+          } finally ds.close()
+        } catch { case scala.util.control.NonFatal(_) => () }
+        total
+    }
   }
 
   private def treeBytes(root: java.nio.file.Path): Long = {

@@ -53,13 +53,18 @@ class SnapshotCrashSpec extends SparkSpec {
     assert(SnapshotDir.loadMeta(root) == Map("era" -> "1"))
 
     // retry with good data converges; the failed attempt's partial snap
-    // dir (created before our retry began) is swept by the retry
+    // dir (created before our retry began) is swept by the retry. The
+    // OLD snapshot is grace-retained (not an orphan), so exactly two
+    // snap dirs remain: the new current and the retired predecessor.
     SnapshotDir.publish(df("new", 4), root, meta = Map("era" -> "2"))
     assert(loadedTags(root) == Set("new"))
     assert(SnapshotDir.loadMeta(root) == Map("era" -> "2"))
     val leftover = Files.list(Paths.get(root)).toArray.map(_.toString)
-      .filter(_.contains("snap-"))
-    assert(leftover.length == 1, s"orphans not swept: ${leftover.toSeq}")
+      .filter(_.contains("snap-")).map(p => Paths.get(p).getFileName.toString).toSet
+    val retained = SnapshotDir.retiredLedger(root).map(_._1).toSet
+    val current = Paths.get(SnapshotDir.currentDir(root).get).getFileName.toString
+    assert(leftover == retained + current, s"orphans not swept: $leftover")
+    assert(retained == Set(Paths.get(oldDir).getFileName.toString))
   }
 
   test("torn publish: complete snap dir but no pointer flip → invisible until retried") {

@@ -318,4 +318,32 @@ class DedupSpec extends SparkSpec {
       spark.conf.unset("graft.vocab.maxGroups")
     }
   }
+
+  test("dispatch memo: a corpus OVERWRITTEN at the same path re-measures " +
+      "(InMemoryFileIndex.equals compares only rootPaths)") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-memostale").toString
+    try {
+      spark.conf.set("graft.vocab.scratchBudgetBytes", "1")
+      // uncapped so the group count is the raw sizing (both corpora
+      // would otherwise clamp to the same ceiling)
+      spark.conf.set("graft.vocab.maxGroups", s"${Long.MaxValue}")
+      docs.limit(2).write.mode("overwrite").parquet(dir)
+      val smallGroups =
+        Dedup.vocabGroupCount(spark.read.parquet(dir), n = 2)
+      // grow the corpus IN PLACE — same rootPath, so the re-read's
+      // canonicalized plan is sameResult with the old one; only the
+      // listing fingerprint in the memo key separates them
+      docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000L))
+        .write.mode("overwrite").parquet(dir)
+      val grownGroups =
+        Dedup.vocabGroupCount(spark.read.parquet(dir), n = 2)
+      assert(grownGroups > smallGroups,
+        s"stale memo: grown corpus sized at $grownGroups vs small $smallGroups")
+    } finally {
+      spark.conf.unset("graft.vocab.scratchBudgetBytes")
+      spark.conf.unset("graft.vocab.maxGroups")
+      graft.fs.SnapshotDir.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
 }
