@@ -285,6 +285,63 @@ object FileQueries {
       .withColumn("wasted_space", col("file_size") * (col("file_count") - 1))
       .orderBy(col("file_count").desc, col("file_size").desc, col("checksum"))
 
+  /** C2 keyset variant — duplicate-group pages resumed by CURSOR
+    * instead of OFFSET. An offset page re-ranks O(offset + page)
+    * groups per request (the reference caps at 1,000 groups,
+    * models.py:83-85, so it never feels it; a production index will);
+    * the cursor predicate prunes straight to the remaining tail of
+    * the group total order (file_count DESC, file_size DESC,
+    * checksum ASC — the same order every group view uses). The
+    * predicate is deletion-safe: a group that vanished between pages
+    * (its copies cleaned up) simply stops matching, the walk resumes
+    * at the next surviving key and never skips or repeats one — the
+    * reference's own cleanup-walk guarantee (indexer.py:1078-1101).
+    * Summary rows only; [[duplicateGroupsNestedKeyset]] assembles the
+    * member arrays onto a page. */
+  def duplicateGroupSummariesKeyset(files: DataFrame, minGroupSize: Int = 2,
+      after: Option[(Long, Long, String)] = None,
+      pageSize: Int = 100): DataFrame = {
+    val sums = duplicateGroupSummaries(files, minGroupSize)
+    val paged = after.fold(sums) { case (cnt, sz, ck) =>
+      sums.filter(col("file_count") < cnt ||
+        (col("file_count") === cnt && (col("file_size") < sz ||
+          (col("file_size") === sz && col("checksum") > ck))))
+    }
+    paged.orderBy(col("file_count").desc, col("file_size").desc, col("checksum"))
+      .limit(pageSize)
+  }
+
+  /** The cursor resuming [[duplicateGroupSummariesKeyset]] after one
+    * page: the page's LAST (file_count, file_size, checksum) in group
+    * order; None on an empty page. Bounded driver-side read — the
+    * page is ≤ pageSize group rows by construction. */
+  def duplicateGroupsCursor(files: DataFrame, minGroupSize: Int = 2,
+      after: Option[(Long, Long, String)] = None,
+      pageSize: Int = 100): Option[(Long, Long, String)] =
+    duplicateGroupSummariesKeyset(files, minGroupSize, after, pageSize)
+      // last-in-page = first under the REVERSED group order
+      .orderBy(col("file_count").asc, col("file_size").asc, col("checksum").desc)
+      .limit(1).collect().headOption
+      .map(r => (r.getAs[Long]("file_count"), r.getAs[Long]("file_size"),
+        r.getAs[String]("checksum")))
+
+  /** [[duplicateGroupsNested]]'s response shape over a keyset page:
+    * members join back against ONLY the bounded page (broadcast), so a
+    * deep walk's per-page cost is O(page + one summaries pass), never
+    * O(offset). */
+  def duplicateGroupsNestedKeyset(files: DataFrame, minGroupSize: Int = 2,
+      after: Option[(Long, Long, String)] = None,
+      pageSize: Int = 100): DataFrame = {
+    val page = duplicateGroupSummariesKeyset(files, minGroupSize, after, pageSize)
+    files.filter(col("checksum").isNotNull)
+      .join(broadcast(page), Seq("checksum", "file_size"))
+      .groupBy(col("checksum"), col("file_size"), col("file_count"),
+        col("wasted_space"))
+      .agg(sort_array(collect_list(struct(
+        col("path"), col("filename"), col("modification_datetime")))).as("files"))
+      .orderBy(col("file_count").desc, col("file_size").desc, col("checksum"))
+  }
+
   /** C3 — pattern → checksum expansion (database.py:225-292):
     * "duplicates of files matching the pattern, database-wide".
     * Distinct matching checksums (small) → broadcast semi join. */

@@ -80,6 +80,15 @@ object ParityQueries {
     // C2 group summaries only
     "fi_duplicate_group_summaries" -> ((s, d) =>
       duplicateGroupSummaries(files(s, d), minGroupSize = 3)),
+    // C2 keyset — group page 2 resumed by the page-1 cursor (count
+    // DESC, size DESC, checksum): the deep-walk shape that stays
+    // O(page) per request where OFFSET re-ranks O(offset + page)
+    "fi_dup_keyset" -> ((s, d) => {
+      val f = files(s, d)
+      val cursor = duplicateGroupsCursor(f, minGroupSize = 2,
+        after = None, pageSize = 40)
+      duplicateGroupSummariesKeyset(f, minGroupSize = 2, cursor, pageSize = 40)
+    }),
     // C3 — pattern → checksum expansion (database.py:225-292)
     "fi_pattern_duplicates" -> ((s, d) =>
       patternDuplicates(files(s, d), Some("%.txt"), None)),
@@ -388,6 +397,27 @@ object ParityQueries {
         |GROUP BY checksum, file_size
         |HAVING COUNT(*) >= 3
         |ORDER BY file_count DESC, file_size DESC, checksum""".stripMargin),
+    // page-1 cursor (last key under the group order) feeds the keyset
+    // predicate for page 2 — same two-step walk the Spark side runs
+    "fi_dup_keyset" -> w(
+      """, g AS (
+        |  SELECT checksum, file_size, COUNT(*) AS file_count,
+        |         file_size * (COUNT(*) - 1) AS wasted_space
+        |  FROM files WHERE checksum IS NOT NULL
+        |  GROUP BY checksum, file_size
+        |  HAVING COUNT(*) >= 2),
+        |c AS (
+        |  SELECT checksum, file_size, file_count FROM (
+        |    SELECT checksum, file_size, file_count FROM g
+        |    ORDER BY file_count DESC, file_size DESC, checksum LIMIT 40)
+        |  ORDER BY file_count ASC, file_size ASC, checksum DESC LIMIT 1)
+        |SELECT g.checksum, g.file_size, g.file_count, g.wasted_space
+        |FROM g, c
+        |WHERE g.file_count < c.file_count
+        |   OR (g.file_count = c.file_count AND (g.file_size < c.file_size
+        |       OR (g.file_size = c.file_size AND g.checksum > c.checksum)))
+        |ORDER BY g.file_count DESC, g.file_size DESC, g.checksum
+        |LIMIT 40""".stripMargin),
     "fi_pattern_duplicates" -> w(
       """, e AS (
         |  SELECT f.* FROM files f

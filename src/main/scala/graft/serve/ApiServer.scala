@@ -265,6 +265,43 @@ final class ApiServer(spark: SparkSession, files: () => DataFrame,
             (df, c) => df.filter(c)).select("checksum").distinct()
           f.join(broadcast(keys), Seq("checksum"), "left_semi")
         }
+      // KEYSET mode (same contract as /search's cursor mode): a
+      // (cursor_count, cursor_size, cursor_checksum) triple — or
+      // keyset=true for page 1 — switches to deletion-safe cursor
+      // pagination over the group total order. No total_groups:
+      // counting the group set per page is the O(corpus) work the
+      // cursor avoids; next_cursor resumes the walk and the totals are
+      // page sums, as in offset mode.
+      val dupCursorKeys =
+        Seq("cursor_count", "cursor_size", "cursor_checksum").filter(p.contains)
+      if (bool(p, "keyset").getOrElse(false) || dupCursorKeys.nonEmpty) {
+        val after = dupCursorKeys match {
+          case Seq("cursor_count", "cursor_size", "cursor_checksum") =>
+            Some((p("cursor_count").toLong, p("cursor_size").toLong,
+              p("cursor_checksum")))
+          case Seq() => None
+          case _ => throw new IllegalArgumentException(
+            "cursor_count, cursor_size and cursor_checksum must be provided together")
+        }
+        val rows = FileQueries
+          .duplicateGroupsNestedKeyset(base, minGroup, after, limit)
+          .select(to_json(struct(col("checksum"), col("file_size"),
+            col("file_count"), col("wasted_space"), col("files")),
+            new java.util.HashMap[String, String] {
+              put("ignoreNullFields", "false")
+            }).as("j"), col("file_count"), col("wasted_space"),
+            col("file_size"), col("checksum"))
+          .collect()
+        val next = rows.lastOption.map(r =>
+          s"""{"file_count": ${r.getLong(1)}, "file_size": ${r.getLong(3)},
+             | "checksum": ${jstr(r.getString(4))}}""".stripMargin)
+          .getOrElse("null")
+        s"""{"duplicate_groups": ${rows.map(_.getString(0)).mkString("[", ",", "]")},
+           | "next_cursor": $next,
+           | "total_duplicate_files": ${rows.map(_.getLong(1)).sum},
+           | "total_wasted_space": ${rows.map(_.getLong(2)).sum},
+           | "has_more": ${rows.length == limit}}""".stripMargin
+      } else {
       // ONE grouping pass: the page rows ride total_groups from the
       // window over group summaries (fi_dup_page_meta's math), the
       // JSON row collects next to its numeric columns, and the
@@ -286,6 +323,7 @@ final class ApiServer(spark: SparkSession, files: () => DataFrame,
          | "total_duplicate_files": $tdf,
          | "total_wasted_space": $tws,
          | "has_more": ${offset + pageRows.length < totalGroups}}""".stripMargin
+      }
     }
 
     // GET /stats/visualization (routers.py:203-212, database.py:459-520)

@@ -119,6 +119,42 @@ class ApiServerSpec extends SparkSpec {
     assert(body.contains("\"total_duplicate_files\":"))
   }
 
+  test("keyset /duplicates/: cursor walk covers the group order, deletion-safe shape") {
+    import graft.queries.FileQueries
+    // ground truth: every group summary in the group total order
+    val all = FileQueries.duplicateGroupSummaries(
+        Tables.files(spark, sfDir), minGroupSize = 2)
+      .select("checksum").collect().map(_.getString(0)).toSeq
+    assert(all.size > 6) // multi-page walk, not vacuous
+    var walked = Seq.empty[String]
+    var cursor: Option[(Long, Long, String)] = None
+    var more = true
+    while (more) {
+      val q = cursor.map { case (cc, cs, ck) =>
+        s"&cursor_count=$cc&cursor_size=$cs" +
+          s"&cursor_checksum=${java.net.URLEncoder.encode(ck, "UTF-8")}"
+      }.getOrElse("")
+      val (code, body) = get(s"/duplicates/?limit=3&keyset=true$q")
+      assert(code == 200)
+      assert(!body.contains("total_groups")) // no O(corpus) count in keyset mode
+      if (body.contains("\"next_cursor\": null")) more = false
+      else {
+        val groupsPart = body.substring(0, body.indexOf("\"next_cursor\""))
+        walked ++= """"checksum":"([0-9a-f]{32})"""".r
+          .findAllMatchIn(groupsPart).map(_.group(1)).toSeq
+        val m = ("""\"next_cursor\": \{\"file_count\": (\d+), \"file_size\": (\d+),\s*""" +
+          """\"checksum\": \"([^\"]+)\"""").r.findFirstMatchIn(body)
+        assert(m.isDefined, body.takeRight(400))
+        cursor = m.map(g => (g.group(1).toLong, g.group(2).toLong, g.group(3)))
+        more = body.contains("\"has_more\": true")
+      }
+    }
+    assert(walked == all)
+    // partial cursor triple → 400
+    val (c400, b400) = get("/duplicates/?keyset=true&cursor_count=3")
+    assert(c400 == 400 && b400.contains("together"))
+  }
+
   test("POST /duplicates/ with a pattern expands to all copies database-wide") {
     val (code, body) = post("/duplicates/",
       """{"filename_pattern": "%5.txt", "min_group_size": 2, "limit": 3}""")
