@@ -57,8 +57,30 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val sharedCores = sys.env.getOrElse("SPARK_GRAFT_SHARED_CORES", "1") != "0"
     if (sharedCores) spark.conf.set("graft.cores.share", "true")
+
+    // CPU-steal telemetry: hypervisor steal sampled from /proc/stat
+    // around every timed region, so environment noise (a co-tenant
+    // grabbing the box mid-bench — the r11 sf0.1 inflation) is
+    // separable from code regressions IN the artifact instead of by
+    // after-the-fact hand sampling. (steal, total) jiffies; a missing
+    // /proc/stat (non-Linux) degrades to 0/0 → steal reported as -1.
+    def cpuJiffies(): (Long, Long) =
+      try {
+        val line = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/stat")).get(0)
+        val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+        (if (f.length > 7) f(7) else 0L, f.sum)
+      } catch { case _: Exception => (0L, 0L) }
+    def stealPct(before: (Long, Long), after: (Long, Long)): Double = {
+      val dTotal = after._2 - before._2
+      if (dTotal <= 0) -1.0
+      else math.rint(10000.0 * (after._1 - before._1) / dTotal) / 100
+    }
+    val benchJiffies0 = cpuJiffies()
+
     var sinceGc = 0
-    def run(name: String): Double = {
+    // returns (seconds, steal% during the timed window); -1 s on error
+    def run(name: String): (Double, Double) = {
       // operators cache their reusable artifacts (signature/bucket
       // tables); drop them between queries so no query is timed
       // against another query's warm cache. Shared cores survive (see
@@ -83,13 +105,14 @@ object Bench {
         System.gc()
         Thread.sleep(300)
       }
+      val j0 = cpuJiffies()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
       catch { case e: Throwable =>
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
         errors.getOrElseUpdate(name, msg.linesIterator.take(3).mkString(" | ").take(400))
-        System.err.println(s"[bench] $name failed: $msg"); return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+        System.err.println(s"[bench] $name failed: $msg"); return (-1.0, -1.0) }
+      ((System.nanoTime() - t0) / 1e9, stealPct(j0, cpuJiffies()))
     }
 
     // global warmup: JVM + codegen once, then every table's parquet
@@ -132,9 +155,15 @@ object Bench {
     // and read ~2× their solo cost.
     val passA = names.map(n => n -> run(n))
     val passB = names.reverse.map(n => n -> run(n)).reverse
-    val results = passA.zip(passB).map { case ((n, a), (_, b)) =>
-      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    // min time per query, paired with the steal% OF THE KEPT RUN — the
+    // number a reader needs to judge whether the kept sample was clean
+    val picked = passA.zip(passB).map { case ((n, (a, sa)), (_, (b, sb))) =>
+      if (a < 0 || b < 0) n -> (-1.0, -1.0)
+      else if (a <= b) n -> (a, sa)
+      else n -> (b, sb)
     }
+    val results = picked.map { case (n, (t, _)) => n -> t }
+    val steals = picked.map { case (n, (_, s)) => n -> s }
     // measure the per-query fixed cost (job scheduling, plan analysis,
     // parquet footer re-read) on a trivial scan-count — at toy SFs this
     // floor × |queries| dominates the total, and separating it lets a
@@ -172,11 +201,21 @@ object Bench {
     // cap silently turned report-pass reuse back into per-query
     // rebuilds for some cores — a bench artifact must say so
     val (sharedLive, sharedDegraded) = graft.operators.OpCaches.sharedStats
+    val stealOverall = stealPct(benchJiffies0, cpuJiffies())
+    val stealMax = steals.map(_._2).foldLeft(-1.0)(math.max)
+    val loadAvg =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).trim.split("\\s+")(0).toDouble
+      catch { case _: Exception => -1.0 }
+    val qsSteal = steals.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""total_floored":$totalFloored,"queries_floored":$qsFloored,""" +
         s""""overhead_floor_sec":$floor,"shared_cores":$sharedLive,""" +
         s""""shared_degraded":$sharedDegraded,""" +
+        s""""steal_pct":$qsSteal,"steal_pct_overall":$stealOverall,""" +
+        s""""steal_pct_max":$stealMax,"load_avg_end":$loadAvg,""" +
         s""""errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
@@ -209,6 +248,7 @@ object Bench {
       s""""queries":$headQs,"n_queries":${results.size},""" +
       s""""n_errors":${errors.size},"overhead_floor_sec":${r3(floor)},""" +
       s""""total_floored":${r3(totalFloored)},""" +
+      s""""steal_pct_overall":$stealOverall,"steal_pct_max":$stealMax,""" +
       s""""full":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
