@@ -50,6 +50,12 @@ object Bench {
     // the library's own tuned defaults (AQE coalesce/skew, aggregate
     // pushdown, UTC) — the bench measures the engine as shipped
     GraftSession.configure(spark)
+    // optional session-conf overrides for attribution experiments
+    // (same syntax as DecadeProbe's GRAFT_PROBE_CONF)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').foreach { kv =>
+      val i = kv.indexOf('=')
+      if (i > 0) spark.conf.set(kv.take(i).trim, kv.drop(i + 1).trim)
+    })
 
     // per-query failure messages, embedded in the JSON artifact so the
     // bench is self-contained evidence (a stderr tail truncates away

@@ -63,11 +63,32 @@ object DecadeProbe {
       // optional comma-separated op allowlist for targeted re-measures
       val only = sys.env.get("GRAFT_PROBE_OPS")
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      // DISK-PEAK sampler: the scratch-grouped operators' whole point
+      // is a bounded disk high-water; record it IN the artifact (the
+      // r11 85% peak was hand-sampled from df). One daemon thread, 2 s
+      // cadence, per-op max of the root filesystem's used fraction.
+      val opPeakPct = new java.util.concurrent.atomic.AtomicLong(0L)
+      def usedPct(): Long = {
+        val f = new java.io.File("/")
+        val tot = f.getTotalSpace
+        if (tot <= 0) -1L else 100L - f.getUsableSpace * 100L / tot
+      }
+      locally {
+        val t = new Thread(() => while (true) {
+          val p = usedPct()
+          var cur = opPeakPct.get()
+          while (p > cur && !opPeakPct.compareAndSet(cur, p)) cur = opPeakPct.get()
+          Thread.sleep(2000)
+        }, "disk-peak-sampler")
+        t.setDaemon(true); t.start()
+      }
       def run(name: String)(df: => DataFrame): Unit = {
         if (!only.forall(_.contains(name))) return
         graft.operators.OpCaches.releaseAll()
         spark.catalog.clearCache()
         System.gc() // untimed: keep prior ops' dead shuffles out of the window
+        opPeakPct.set(usedPct())
+        val diskStart = usedPct()
         val t0 = System.nanoTime()
         val rows =
           try df.queryExecution.toRdd.count()
@@ -78,7 +99,8 @@ object DecadeProbe {
             return
           }
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"""{"op":"$name","dir":"$dir","docs":$nDocs,"sec":$sec%.3f,"rows":$rows}""")
+        println(f"""{"op":"$name","dir":"$dir","docs":$nDocs,"sec":$sec%.3f,"rows":$rows,""" +
+          s""""disk_start_pct":$diskStart,"disk_peak_pct":${math.max(opPeakPct.get(), diskStart)}}""")
       }
 
       import graft.operators._
@@ -174,6 +196,15 @@ object DecadeProbe {
       run("mm_phash_spanning_edges")(Multimodal.phashSpanningEdges(
         Multimodal.imagePHash(spark,
           Multimodal.imageTableWithVariants(spark, docs)).toDF()))
+      // --- multimodal REAL-codec decades: payload synthesis + decode
+      // are partition-local by design (only signature rows shuffle) —
+      // these rows verify the wall is decode CPU scaling linearly, not
+      // a payload-bytes exchange appearing at media scale
+      run("mm_dedup")(Multimodal.dedupPayloads(Multimodal.mediaTable(docs)))
+      run("mm_audio_dedup")(Multimodal.audioDedup(spark,
+        Multimodal.audioTableWithContainerVariants(spark, docs)))
+      run("mm_video_dedup")(Multimodal.videoDedup(spark,
+        Multimodal.videoTableWithContainerVariants(spark, docs)))
       // --- streaming dedup batch core: one incremental batch decided
       // against a loaded index (the foreachBatch body minus the sink
       // IO), at the 10%-delta split the oracle rows use ---

@@ -1,0 +1,165 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Delta-varint codec for PACKED FLAG POSITIONS — the scratch format
+  * behind [[graft.operators.Dedup.dupSpans]]' grouped path.
+  *
+  * The grouped dispatch accumulates one localCheckpoint'd artifact PER
+  * VOCAB GROUP holding each doc's flagged gram positions, and every
+  * group's artifact stays on scratch until the final per-doc merge —
+  * at sf1000 (50M docs) the raw `array<int>` form put the r11 decade
+  * probe at an 85% disk peak, one data doubling from ENOSPC. Flagged
+  * positions are (a) sorted once per doc and (b) DENSE — duplicated
+  * text flags consecutive positions, so deltas are overwhelmingly 1 —
+  * which makes sorted delta-varint the natural format: ~1 byte per
+  * position against 4 raw, shrinking both the retained checkpoints
+  * and the final merge shuffle ~4×.
+  *
+  * Layout: LEB128 varints — the first position, then strictly
+  * positive gaps. Positions are unique per (doc, group) by
+  * construction (one gram per position; vocab groups partition the
+  * gram domain), so gaps are never 0.
+  */
+object PackedPos {
+
+  /** Sort + delta-varint encode. The input array must be non-null
+    * with unique non-negative ints (flag positions). */
+  def encode(a: ArrayData): Array[Byte] = {
+    val n = a.numElements()
+    val v = a.toIntArray()
+    java.util.Arrays.sort(v)
+    // worst case 5 bytes per varint
+    val out = new Array[Byte](5 * math.max(n, 1))
+    var w = 0
+    var prev = 0
+    var i = 0
+    while (i < n) {
+      var x = v(i) - prev // first value, then strictly positive gaps
+      prev = v(i)
+      while ((x & ~0x7F) != 0) {
+        out(w) = ((x & 0x7F) | 0x80).toByte; w += 1; x >>>= 7
+      }
+      out(w) = x.toByte; w += 1
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, w)
+  }
+
+  /** K-way merge over sorted packed streams → (max consecutive run,
+    * total position count). Streams are disjoint and each internally
+    * sorted, so the merge yields the doc's full sorted flag set; the
+    * gaps-and-islands fold over it is exactly the single-pass window
+    * computation. G is the vocab group count (≤ low hundreds), so a
+    * selection merge is O(total · G) with zero allocation beyond the
+    * head arrays. */
+  def runStats(packs: ArrayData): (Long, Long) = {
+    val g = packs.numElements()
+    val bufs = new Array[Array[Byte]](g)
+    val offs = new Array[Int](g)
+    val heads = new Array[Int](g) // current decoded value per stream
+    val live = new Array[Boolean](g)
+    var i = 0
+    while (i < g) {
+      bufs(i) = if (packs.isNullAt(i)) Array.emptyByteArray else packs.getBinary(i)
+      offs(i) = 0
+      live(i) = bufs(i).nonEmpty
+      if (live(i)) {
+        val (v, o) = readVarint(bufs(i), 0)
+        heads(i) = v; offs(i) = o
+      }
+      i += 1
+    }
+    var total = 0L
+    var run = 0L
+    var best = 0L
+    var prev = -2
+    var anyLive = true
+    while (anyLive) {
+      // pick the min head among live streams
+      var min = Int.MaxValue
+      var mi = -1
+      var j = 0
+      while (j < g) {
+        if (live(j) && heads(j) < min) { min = heads(j); mi = j }
+        j += 1
+      }
+      if (mi < 0) anyLive = false
+      else {
+        total += 1
+        run = if (min == prev + 1) run + 1 else 1L
+        if (run > best) best = run
+        prev = min
+        // advance the winning stream (delta from its own last value)
+        if (offs(mi) >= bufs(mi).length) live(mi) = false
+        else {
+          val (d, o) = readVarint(bufs(mi), offs(mi))
+          heads(mi) = heads(mi) + d; offs(mi) = o
+        }
+      }
+    }
+    (best, total)
+  }
+
+  private def readVarint(b: Array[Byte], off: Int): (Int, Int) = {
+    var x = 0
+    var shift = 0
+    var o = off
+    var more = true
+    while (more) {
+      val byte = b(o); o += 1
+      x |= (byte & 0x7F) << shift
+      shift += 7
+      more = (byte & 0x80) != 0
+    }
+    (x, o)
+  }
+}
+
+/** `graft_packed_pos(array<int>)` → binary: sorted delta-varint
+  * encoding of a doc's flagged positions within one vocab group (see
+  * [[PackedPos]]). NULL array → NULL. */
+case class PackedPosExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, false) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(IntegerType, true) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<int> positions, got $t")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_packed_pos"
+  override def nullSafeEval(input: Any): Any =
+    PackedPos.encode(input.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(newChild: Expression): PackedPosExpr =
+    copy(child = newChild)
+}
+
+/** `graft_packed_run_stats(array<binary>)` → struct(max_run,
+  * n_dup_grams): the per-doc gaps-and-islands fold over the k-way
+  * merge of the doc's per-group packed streams (see
+  * [[PackedPos.runStats]]) — value-identical to sorting the flattened
+  * raw positions and folding, without ever materializing them. NULL
+  * array → NULL; NULL elements are treated as empty streams. */
+case class PackedRunStatsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(BinaryType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<binary> packed streams, got $t")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("max_run", LongType, nullable = false),
+    StructField("n_dup_grams", LongType, nullable = false)))
+  override def prettyName: String = "graft_packed_run_stats"
+  override def nullSafeEval(input: Any): Any = {
+    val (best, total) = PackedPos.runStats(input.asInstanceOf[ArrayData])
+    new GenericInternalRow(Array[Any](best, total))
+  }
+  override protected def withNewChildInternal(newChild: Expression): PackedRunStatsExpr =
+    copy(child = newChild)
+}

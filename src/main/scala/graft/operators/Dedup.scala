@@ -396,9 +396,20 @@ object Dedup {
           val sharedG = pgG.groupBy("shingle")
             .agg(min(col("doc_id")).as("d_min"), max(col("doc_id")).as("d_max"))
             .filter(col("d_min") =!= col("d_max")).select("shingle")
+          // flags pack as sorted DELTA-VARINT binaries
+          // (graft.functions.PackedPos): every group's artifact stays
+          // on scratch until the final merge, and flagged positions
+          // are dense (duplicated text flags consecutive positions →
+          // gaps of 1), so ~1 byte/position against the raw array's 4
+          // — the r11 sf1000 probe peaked at 85% disk on exactly this
+          // accumulation
           val out = OpCaches.trackCheckpoint(
             pgG.join(sharedG, Seq("shingle"), "left_semi")
-              .groupBy("doc_id").agg(collect_list(col("pos")).as("flag_pos"))
+              .groupBy("doc_id").agg(collect_list(col("pos")).as("raw_pos"))
+              .select(col("doc_id"), org.apache.spark.sql.GraftSqlBridge.column(
+                graft.functions.PackedPosExpr(
+                  org.apache.spark.sql.GraftSqlBridge.expression(col("raw_pos"))))
+                .as("flag_pos"))
               .localCheckpoint()) // eager: this group's packed flags only
           pgG.unpersist()
           // finished group's shuffles to the cleaner; bounded wait so
@@ -406,25 +417,19 @@ object Dedup {
           ScratchGuard.reclaim(spark, floor, budget)
           out
         }.reduce(_ unionByName _)
-        // longest consecutive run over the doc's sorted flag set: a
-        // left fold carrying (prev, current run, best run). Positions
-        // are unique per doc (one gram per position, groups disjoint),
-        // so x = prev+1 is exactly the gaps-and-islands adjacency.
-        val maxRun = expr(
-          """aggregate(sort_array(flatten(ps)),
-               named_struct('prev', -2, 'run', CAST(0 AS BIGINT),
-                            'best', CAST(0 AS BIGINT)),
-               (acc, x) -> named_struct(
-                 'prev', x,
-                 'run',  IF(x = acc.prev + 1, acc.run + 1L, CAST(1 AS BIGINT)),
-                 'best', GREATEST(acc.best,
-                   IF(x = acc.prev + 1, acc.run + 1L, CAST(1 AS BIGINT)))),
-               acc -> acc.best)""")
+        // longest consecutive run over the doc's full flag set: a
+        // K-WAY MERGE of the per-group packed streams (each sorted;
+        // positions unique per doc — one gram per position, groups
+        // disjoint) with the gaps-and-islands fold inline
+        // (PackedRunStats) — value-identical to flattening, sorting
+        // and folding the raw positions, without materializing them.
         packed.groupBy("doc_id")
           .agg(collect_list(col("flag_pos")).as("ps"))
-          .select(col("doc_id"), maxRun.as("max_run"),
-            aggregate(col("ps"), lit(0L),
-              (acc, a) => acc + size(a).cast("long")).as("n_dup_grams"))
+          .select(col("doc_id"), org.apache.spark.sql.GraftSqlBridge.column(
+            graft.functions.PackedRunStatsExpr(
+              org.apache.spark.sql.GraftSqlBridge.expression(col("ps")))).as("st"))
+          .select(col("doc_id"), col("st.max_run").as("max_run"),
+            col("st.n_dup_grams").as("n_dup_grams"))
       }
     docs.select(col("doc_id"),
         greatest(size(split(col("text"), " ")) - (n - 1), lit(1))
