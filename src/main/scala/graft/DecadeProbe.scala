@@ -68,10 +68,15 @@ object DecadeProbe {
       // r11 85% peak was hand-sampled from df). One daemon thread, 2 s
       // cadence, per-op max of the root filesystem's used fraction.
       val opPeakPct = new java.util.concurrent.atomic.AtomicLong(0L)
+      // df-style Use% = used/(used+avail), NOT usable/total: this box's
+      // root fs is thin-provisioned (total 252G, used+avail ≈ 97G), so
+      // usable/total overstates by ~45 points and is incomparable with
+      // the df figures earlier rounds hand-sampled
       def usedPct(): Long = {
         val f = new java.io.File("/")
-        val tot = f.getTotalSpace
-        if (tot <= 0) -1L else 100L - f.getUsableSpace * 100L / tot
+        val used = f.getTotalSpace - f.getFreeSpace
+        val denom = used + f.getUsableSpace
+        if (denom <= 0) -1L else used * 100L / denom
       }
       locally {
         val t = new Thread(() => while (true) {
