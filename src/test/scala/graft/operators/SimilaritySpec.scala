@@ -248,8 +248,16 @@ class SimilaritySpec extends SparkSpec {
       // not vacuous: the grouped path really ran (group survivors are
       // locally-checkpointed RDDs, which the single-pass path never makes)
       assert(sawCheckpoint)
-      // and the r11 release hook reclaimed them deterministically
-      assert(!spark.sparkContext.getPersistentRDDs.values.exists(_.isCheckpointed))
+      // and the release hook reclaims them: releaseAll drops frames the
+      // (r12: WEAK) registry still reaches; any already collected drain
+      // via GC + ContextCleaner — poll bounded for the combined effect
+      val deadline = System.nanoTime() + 15000000000L
+      def anyCkpt() =
+        spark.sparkContext.getPersistentRDDs.values.exists(_.isCheckpointed)
+      while (anyCkpt() && System.nanoTime() < deadline) {
+        System.gc(); Thread.sleep(250)
+      }
+      assert(!anyCkpt(), "group checkpoints not reclaimed within 15s of releaseAll")
     } finally spark.conf.unset("graft.lsh.scratchBudgetBytes")
   }
 
