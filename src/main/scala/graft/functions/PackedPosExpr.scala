@@ -105,6 +105,55 @@ object PackedPos {
     (best, total)
   }
 
+  /** Merge two sorted packed streams into one sorted packed stream.
+    * The associative op behind the grouped dupSpans FOLD: finished
+    * vocab groups merge pairwise into a single running per-doc stream,
+    * so the retained checkpoint between groups is O(docs) rows — one
+    * binary per doc — instead of the O(docs·G) per-(doc,group) rows
+    * that killed the sf2000 budget-halving probe (r12: retained rows
+    * grow linearly in G; disk hit 78% and climbing at 50M docs / 64
+    * groups). Streams are disjoint across vocab groups by
+    * construction; equal heads (defensive only) emit once, making the
+    * merge idempotent. Output size ≤ |a| + |b|: every element's delta
+    * in the merged stream is ≤ its delta in its source stream (the
+    * merged predecessor is the largest smaller flag, ≥ the source
+    * predecessor), so varints never grow. */
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val out = new Array[Byte](a.length + b.length)
+    var w = 0
+    var prev = 0
+    var ia = 0; var ib = 0
+    var ha = 0; var hb = 0
+    var la = true; var lb = true
+    locally { val (v, o) = readVarint(a, 0); ha = v; ia = o }
+    locally { val (v, o) = readVarint(b, 0); hb = v; ib = o }
+    def emit(v: Int): Unit = {
+      var x = v - prev
+      prev = v
+      while ((x & ~0x7F) != 0) {
+        out(w) = ((x & 0x7F) | 0x80).toByte; w += 1; x >>>= 7
+      }
+      out(w) = x.toByte; w += 1
+    }
+    while (la || lb) {
+      val takeA = la && (!lb || ha <= hb)
+      val takeB = lb && (!la || hb <= ha)
+      val v = if (takeA) ha else hb
+      emit(v)
+      if (takeA) {
+        if (ia >= a.length) la = false
+        else { val (d, o) = readVarint(a, ia); ha += d; ia = o }
+      }
+      if (takeB) {
+        if (ib >= b.length) lb = false
+        else { val (d, o) = readVarint(b, ib); hb += d; ib = o }
+      }
+    }
+    if (w == out.length) out else java.util.Arrays.copyOf(out, w)
+  }
+
   private def readVarint(b: Array[Byte], off: Int): (Int, Int) = {
     var x = 0
     var shift = 0
@@ -125,11 +174,16 @@ object PackedPos {
   * [[PackedPos]]). NULL array → NULL. */
 case class PackedPosExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
+  // containsNull = true is REJECTED, not tolerated: encode() goes
+  // through ArrayData.toIntArray, which for UnsafeArrayData silently
+  // reads null slots as 0 — a null element would become flag position
+  // 0 and corrupt run stats instead of failing loudly. Internal
+  // callers (collect_list) declare containsNull = false.
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(IntegerType, false) => TypeCheckResult.TypeCheckSuccess
-    case ArrayType(IntegerType, true) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<int> positions, got $t")
+      s"$prettyName requires array<int> with containsNull=false " +
+        s"(null positions would silently decode as 0), got $t")
   }
   override def dataType: DataType = BinaryType
   override def prettyName: String = "graft_packed_pos"
@@ -162,4 +216,33 @@ case class PackedRunStatsExpr(child: Expression)
   }
   override protected def withNewChildInternal(newChild: Expression): PackedRunStatsExpr =
     copy(child = newChild)
+}
+
+/** `graft_packed_merge(binary, binary)` → binary: merge two sorted
+  * packed streams into one (see [[PackedPos.merge]]). NULL-tolerant by
+  * design — the grouped dupSpans fold full-outer-joins the running
+  * stream with each finished group's stream, so either side may be
+  * absent for a given doc: NULL ⊔ x = x, NULL ⊔ NULL = NULL. */
+case class PackedMergeExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, binary) packed streams, got ($l, $r)")
+    }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = left.nullable && right.nullable
+  override def prettyName: String = "graft_packed_merge"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val l = left.eval(input)
+    val r = right.eval(input)
+    if (l == null) r
+    else if (r == null) l
+    else PackedPos.merge(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PackedMergeExpr =
+    copy(left = newLeft, right = newRight)
 }

@@ -390,44 +390,60 @@ object Dedup {
         val budget = spark.conf.getOption("graft.vocab.scratchBudgetBytes")
           .flatMap(_.toLongOption)
           .getOrElse(Similarity.defaultScratchBudget(spark))
-        val packed = (0 until groups).map { g =>
+        // flags pack as sorted DELTA-VARINT binaries
+        // (graft.functions.PackedPos): flagged positions are dense
+        // (duplicated text flags consecutive positions → gaps of 1),
+        // so ~1 byte/position against the raw array's 4 — the r11
+        // sf1000 probe peaked at 85% disk on the raw accumulation.
+        // Finished groups FOLD PAIRWISE into one running per-doc
+        // packed stream (PackedPos.merge is associative): the
+        // retained checkpoint between groups is O(docs) rows — one
+        // binary per doc — not the O(docs·G) per-(doc,group) rows of
+        // the r12 union-at-the-end shape, whose per-row overhead grew
+        // linearly in G and killed the sf2000 budget-halving probe at
+        // 78% disk. Both fold sides are hash-partitioned by doc_id
+        // (the groupBy / the checkpointed previous fold), so the
+        // full-outer merge joins without re-shuffling the
+        // accumulator.
+        val bridge = org.apache.spark.sql.GraftSqlBridge
+        var acc: DataFrame = null
+        (0 until groups).foreach { g =>
           val pgG = posGramsPlan
             .filter(pmod(col("shingle"), lit(groups)) === g).cache()
           val sharedG = pgG.groupBy("shingle")
             .agg(min(col("doc_id")).as("d_min"), max(col("doc_id")).as("d_max"))
             .filter(col("d_min") =!= col("d_max")).select("shingle")
-          // flags pack as sorted DELTA-VARINT binaries
-          // (graft.functions.PackedPos): every group's artifact stays
-          // on scratch until the final merge, and flagged positions
-          // are dense (duplicated text flags consecutive positions →
-          // gaps of 1), so ~1 byte/position against the raw array's 4
-          // — the r11 sf1000 probe peaked at 85% disk on exactly this
-          // accumulation
-          val out = OpCaches.trackCheckpoint(
-            pgG.join(sharedG, Seq("shingle"), "left_semi")
-              .groupBy("doc_id").agg(collect_list(col("pos")).as("raw_pos"))
-              .select(col("doc_id"), org.apache.spark.sql.GraftSqlBridge.column(
-                graft.functions.PackedPosExpr(
-                  org.apache.spark.sql.GraftSqlBridge.expression(col("raw_pos"))))
-                .as("flag_pos"))
-              .localCheckpoint()) // eager: this group's packed flags only
+          val grpPacked = pgG.join(sharedG, Seq("shingle"), "left_semi")
+            .groupBy("doc_id").agg(collect_list(col("pos")).as("raw_pos"))
+            .select(col("doc_id"), bridge.column(
+              graft.functions.PackedPosExpr(
+                bridge.expression(col("raw_pos")))).as("g_pos"))
+          val next =
+            if (acc == null) grpPacked.withColumnRenamed("g_pos", "flag_pos")
+            else acc.join(grpPacked, Seq("doc_id"), "full_outer")
+              .select(col("doc_id"), bridge.column(
+                graft.functions.PackedMergeExpr(
+                  bridge.expression(col("flag_pos")),
+                  bridge.expression(col("g_pos")))).as("flag_pos"))
+          val ck = OpCaches.trackCheckpoint(next.localCheckpoint()) // eager
+          // the superseded accumulator is dead the moment the new one
+          // has materialized — release NOW, not at releaseAll: holding
+          // it would put two O(docs) artifacts on scratch per fold
+          if (acc != null)
+            org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(acc)
+          acc = ck
           pgG.unpersist()
           // finished group's shuffles to the cleaner; bounded wait so
           // the next group never overlaps undeleted files past budget
           ScratchGuard.reclaim(spark, floor, budget)
-          out
-        }.reduce(_ unionByName _)
-        // longest consecutive run over the doc's full flag set: a
-        // K-WAY MERGE of the per-group packed streams (each sorted;
-        // positions unique per doc — one gram per position, groups
-        // disjoint) with the gaps-and-islands fold inline
-        // (PackedRunStats) — value-identical to flattening, sorting
-        // and folding the raw positions, without materializing them.
-        packed.groupBy("doc_id")
-          .agg(collect_list(col("flag_pos")).as("ps"))
-          .select(col("doc_id"), org.apache.spark.sql.GraftSqlBridge.column(
+        }
+        // gaps-and-islands fold over the doc's full flag stream
+        // (PackedRunStats over the single folded binary) —
+        // value-identical to flattening, sorting and folding the raw
+        // positions, without materializing them.
+        acc.select(col("doc_id"), bridge.column(
             graft.functions.PackedRunStatsExpr(
-              org.apache.spark.sql.GraftSqlBridge.expression(col("ps")))).as("st"))
+              bridge.expression(array(col("flag_pos"))))).as("st"))
           .select(col("doc_id"), col("st.max_run").as("max_run"),
             col("st.n_dup_grams").as("n_dup_grams"))
       }

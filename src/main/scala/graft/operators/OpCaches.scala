@@ -55,15 +55,18 @@ object OpCaches {
   // registry: only drain once the returned frames are consumed (the
   // lineage is truncated; the blocks are unrecoverable).
   //
-  // WEAK references, unlike the cache registry above: checkpoint
-  // blocks ARE reclaimed by GC + the ContextCleaner once the frame
-  // becomes unreachable, so a strong registry in a session that never
-  // drains (ApiServer, embedded library use) would pin blocks the
-  // runtime could otherwise free. The weak ref keeps [[releaseAll]]
-  // deterministic for frames still reachable and lets dead ones go
-  // back to the cleaner.
-  private val ckpts = scala.collection.mutable.ArrayBuffer
-    .empty[java.lang.ref.WeakReference[DataFrame]]
+  // The registry records the checkpoint RDD's ID (an Int — pins
+  // nothing), not the DataFrame: release goes through
+  // sparkContext.getPersistentRDDs(id), so it stays DETERMINISTIC
+  // even after the wrapper DataFrame becomes unreachable (in the
+  // dupSpans fold only the logical plans survive the union — a GC
+  // mid-query must not let checkpoint blocks escape releaseAll), while
+  // a long-lived session that never drains pins nothing: once GC +
+  // the ContextCleaner reclaim a dead frame's blocks, the ID simply
+  // misses in getPersistentRDDs. The SparkContext reference is the
+  // process-wide singleton Spark itself pins while active.
+  private final case class Ckpt(rddId: Int, sc: org.apache.spark.SparkContext)
+  private val ckpts = scala.collection.mutable.ArrayBuffer.empty[Ckpt]
   // site-key + canonicalized-plan hash → the persisted core. Bounded:
   // past MaxShared entries new cores degrade to per-query track() —
   // a runaway keyspace (per-batch streaming inputs) must not pin
@@ -92,14 +95,19 @@ object OpCaches {
     * block release at [[releaseAll]] — callers keep using the frame
     * until then. No-op registration for non-checkpoint plans. */
   private[graft] def trackCheckpoint(df: DataFrame): DataFrame = {
-    ckpts.synchronized {
-      ckpts += new java.lang.ref.WeakReference(df)
-      // opportunistic compaction: an undrained long-lived session's
-      // registry stays O(reachable frames), not O(frames ever tracked)
-      if (ckpts.length > 256) {
-        val live = ckpts.filter(_.get != null)
-        ckpts.clear(); ckpts ++= live
-      }
+    df.queryExecution.logical match {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        ckpts.synchronized {
+          ckpts += Ckpt(r.rdd.id, df.sparkSession.sparkContext)
+          // opportunistic compaction: an undrained long-lived session's
+          // registry stays O(still-persisted RDDs), not O(frames ever
+          // tracked) — already-reclaimed IDs miss in getPersistentRDDs
+          if (ckpts.length > 256) {
+            val live = ckpts.filter(c => c.sc.getPersistentRDDs.contains(c.rddId))
+            ckpts.clear(); ckpts ++= live
+          }
+        }
+      case _ => () // non-checkpoint plan: nothing releasable to record
     }
     df
   }
@@ -148,11 +156,11 @@ object OpCaches {
       reg.clear()
     }
     ckpts.synchronized {
-      ckpts.foreach { ref =>
-        val df = ref.get // already-collected frames: the cleaner owns them
-        if (df != null)
-          try org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(df)
-          catch { case scala.util.control.NonFatal(_) => () }
+      ckpts.foreach { c =>
+        // IDs already reclaimed (eager release in the fold loops, GC +
+        // ContextCleaner in long sessions) miss the map: no-op
+        try c.sc.getPersistentRDDs.get(c.rddId).foreach(_.unpersist(false))
+        catch { case scala.util.control.NonFatal(_) => () }
       }
       ckpts.clear()
     }

@@ -57,6 +57,42 @@ class PackedPosSpec extends AnyFunSuite {
     assert(flatStats(big) == (3L, 5L))
   }
 
+  test("pairwise merge fold == k-way runStats == flat fold (the G-independent retained-artifact lever)") {
+    // the sf2000 lever: finished groups fold pairwise via
+    // PackedPos.merge into ONE running stream; runStats over the folded
+    // stream must equal both the k-way merge over all group streams and
+    // the flat sort-and-fold — for every seed, group count and fold order
+    def posSet(seed: Int, n: Int, span: Int): Seq[Int] =
+      (0 until span).filter(p => ((p * 2654435761L + seed * 40503L) % span) < n).distinct
+    for (seed <- 1 to 8; g <- Seq(1, 2, 3, 7, 64)) {
+      val all = posSet(seed, n = 40 + seed * 13, span = 200 + seed * 37)
+      val groups = (0 until g).map(i => all.filter(p => math.floorMod(p * 31 + 7, g) == i))
+      val packs = groups.map(gr => PackedPos.encode(ArrayData.toArrayData(gr.toArray)))
+      val foldedLtR = packs.reduce(PackedPos.merge)
+      val foldedRtL = packs.reverse.reduce(PackedPos.merge)
+      // merged size never exceeds the sum (deltas only shrink on interleave)
+      assert(foldedLtR.length <= packs.map(_.length).sum, s"seed=$seed g=$g")
+      val viaFold = PackedPos.runStats(ArrayData.toArrayData(Array(foldedLtR)))
+      assert(viaFold == flatStats(all), s"seed=$seed g=$g")
+      assert(viaFold == stats(groups), s"seed=$seed g=$g (k-way twin)")
+      // associative op: fold order is irrelevant
+      assert(java.util.Arrays.equals(foldedLtR, foldedRtL), s"seed=$seed g=$g order")
+    }
+  }
+
+  test("merge edge cases: empty sides, idempotence on equal heads, multi-byte varint interleave") {
+    def enc(s: Seq[Int]) = PackedPos.encode(ArrayData.toArrayData(s.toArray))
+    val x = enc(Seq(3, 4, 5))
+    assert(PackedPos.merge(Array.emptyByteArray, x) sameElements x)
+    assert(PackedPos.merge(x, Array.emptyByteArray) sameElements x)
+    // defensive idempotence: merging a stream with itself dedups
+    assert(PackedPos.runStats(ArrayData.toArrayData(
+      Array(PackedPos.merge(x, x)))) == (3L, 3L))
+    // interleave across a multi-byte-varint gap
+    val m = PackedPos.merge(enc(Seq(0, 3000000)), enc(Seq(1500000, 3000001)))
+    assert(PackedPos.runStats(ArrayData.toArrayData(Array(m))) == (2L, 4L))
+  }
+
   test("runs SPANNING groups merge correctly (the no-global-window guarantee)") {
     // consecutive positions alternating between two groups — the case
     // the single-pass window handles trivially and the grouped path

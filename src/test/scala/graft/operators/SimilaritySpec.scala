@@ -248,16 +248,14 @@ class SimilaritySpec extends SparkSpec {
       // not vacuous: the grouped path really ran (group survivors are
       // locally-checkpointed RDDs, which the single-pass path never makes)
       assert(sawCheckpoint)
-      // and the release hook reclaims them: releaseAll drops frames the
-      // (r12: WEAK) registry still reaches; any already collected drain
-      // via GC + ContextCleaner — poll bounded for the combined effect
-      val deadline = System.nanoTime() + 15000000000L
+      // and the release hook reclaims them DETERMINISTICALLY: the r13
+      // registry records checkpoint RDD IDs (pins nothing) and
+      // releaseAll unpersists via getPersistentRDDs — no GC race, so
+      // this asserts immediately (r12's WeakReference registry needed
+      // a 15s GC-polling loop here)
       def anyCkpt() =
         spark.sparkContext.getPersistentRDDs.values.exists(_.isCheckpointed)
-      while (anyCkpt() && System.nanoTime() < deadline) {
-        System.gc(); Thread.sleep(250)
-      }
-      assert(!anyCkpt(), "group checkpoints not reclaimed within 15s of releaseAll")
+      assert(!anyCkpt(), "group checkpoints not reclaimed by releaseAll")
     } finally spark.conf.unset("graft.lsh.scratchBudgetBytes")
   }
 
