@@ -97,11 +97,23 @@ object AnnSoak {
     val okProbes = new AtomicLong(0)
     val failedProbes = new AtomicLong(0)
     val emptyProbes = new AtomicLong(0)
+    // per-probe latency, split steady-state vs compaction-in-flight:
+    // availability (probes_failed) was fixed in r12; a retry that
+    // silently doubled p99 during flips would be invisible without
+    // this. A probe overlapping a compaction at its start OR end
+    // counts as compaction-window.
+    val compacting = new AtomicBoolean(false)
+    val latSteadyMs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val latCompactMs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
     val probers = (0 until 2).map { pi =>
       val t = new Thread(() => {
         while (!stop.get()) {
+          val inCompact0 = compacting.get()
+          val tp = System.nanoTime()
           try {
             val n = IvfIndex.topk(spark, root, queries, k = 10, nProbe = 4).count()
+            val ms = (System.nanoTime() - tp) / 1000000L
+            (if (inCompact0 || compacting.get()) latCompactMs else latSteadyMs).add(ms)
             if (n > 0) okProbes.incrementAndGet() else emptyProbes.incrementAndGet()
           } catch {
             case _: Exception => failedProbes.incrementAndGet()
@@ -112,6 +124,14 @@ object AnnSoak {
       t.setDaemon(true)
       t.start()
       t
+    }
+    def pctl(sorted: Array[Long], p: Double): Long =
+      if (sorted.isEmpty) -1L
+      else sorted(math.min(sorted.length - 1, math.ceil(p * sorted.length).toInt - 1).max(0))
+    def latStats(q: java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long])
+        : (Int, Long, Long) = {
+      val a = q.toArray(Array.empty[java.lang.Long]).map(_.longValue).sorted
+      (a.length, pctl(a, 0.5), pctl(a, 0.99))
     }
 
     // ---- ground truth for the recall contract ---------------------
@@ -146,14 +166,22 @@ object AnnSoak {
     (0 until nRounds).foreach { r =>
       val tr = System.nanoTime()
       IvfIndex.append(batch(spark, r, appendBase, perBatch), root)
-      if (r % 10 == 9) IvfIndex.compact(spark, root)
+      if (r % 10 == 9) {
+        compacting.set(true)
+        try IvfIndex.compact(spark, root) finally compacting.set(false)
+      }
       val liveDeltas = graft.fs.DeltaDirs.list(s"$root/cells").size
       val rss = rssMb(); val disk = duMb(root)
       rssMax = math.max(rssMax, rss); diskMax = math.max(diskMax, disk)
+      val (nS, p50S, p99S) = latStats(latSteadyMs)
+      val (nC, p50C, p99C) = latStats(latCompactMs)
       emit(s"""{"round":$r,"wall_sec":${r2((System.nanoTime() - tr) / 1e9)},""" +
         s""""rss_mb":$rss,"index_mb":$disk,"deltas":$liveDeltas,""" +
         s""""probes_ok":${okProbes.get()},"probes_failed":${failedProbes.get()},""" +
-        s""""probes_empty":${emptyProbes.get()}}""")
+        s""""probes_empty":${emptyProbes.get()},""" +
+        s""""lat_steady":{"n":$nS,"p50_ms":$p50S,"p99_ms":$p99S},""" +
+        s""""lat_compact":{"n":$nC,"p50_ms":$p50C,"p99_ms":$p99C},""" +
+        s""""stale_retries":${graft.fs.SnapshotDir.staleRetryCount}}""")
       if (r % 30 == 29) {
         // quiescent recall checkpoint (no append/compact in flight)
         val rec = recallAt(r)
@@ -166,11 +194,16 @@ object AnnSoak {
     probers.foreach(_.join(5000))
     val rec = recallAt(nRounds - 1)
     recallMin = math.min(recallMin, rec)
+    val (nS, p50S, p99S) = latStats(latSteadyMs)
+    val (nC, p50C, p99C) = latStats(latCompactMs)
     emit(s"""{"summary":true,"rounds":$nRounds,""" +
       s""""wall_sec":${r2((System.nanoTime() - t0) / 1e9)},""" +
       s""""rss_max_mb":$rssMax,"index_max_mb":$diskMax,""" +
       s""""probes_ok":${okProbes.get()},"probes_failed":${failedProbes.get()},""" +
       s""""probes_empty":${emptyProbes.get()},""" +
+      s""""lat_steady":{"n":$nS,"p50_ms":$p50S,"p99_ms":$p99S},""" +
+      s""""lat_compact":{"n":$nC,"p50_ms":$p50C,"p99_ms":$p99C},""" +
+      s""""stale_retries":${graft.fs.SnapshotDir.staleRetryCount},""" +
       s""""recall_min":${r2(recallMin)},"recall_final":${r2(rec)}}""")
     require(recallMin >= 0.7, s"recall contract broken: $recallMin")
     require(okProbes.get() > failedProbes.get() * 10,

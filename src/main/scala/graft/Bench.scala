@@ -215,6 +215,11 @@ object Bench {
       catch { case _: Exception => -1.0 }
     val qsSteal = steals.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // the applied SPARK_GRAFT_CONF overrides, embedded so an artifact
+    // produced under an attribution experiment is distinguishable from
+    // a stock run by the artifact alone (empty string = stock)
+    val confEcho = sys.env.getOrElse("SPARK_GRAFT_CONF", "")
+      .replace("\\", "\\\\").replace("\"", "\\\"")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""total_floored":$totalFloored,"queries_floored":$qsFloored,""" +
@@ -222,6 +227,7 @@ object Bench {
         s""""shared_degraded":$sharedDegraded,""" +
         s""""steal_pct":$qsSteal,"steal_pct_overall":$stealOverall,""" +
         s""""steal_pct_max":$stealMax,"load_avg_end":$loadAvg,""" +
+        s""""conf_overrides":"$confEcho",""" +
         s""""errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")

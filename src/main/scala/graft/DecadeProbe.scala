@@ -67,7 +67,16 @@ object DecadeProbe {
       // is a bounded disk high-water; record it IN the artifact (the
       // r11 85% peak was hand-sampled from df). One daemon thread, 2 s
       // cadence, per-op max of the root filesystem's used fraction.
+      // Generation-tagged: peak and generation pack into one long
+      // (gen << 32 | pct), and the sampler re-reads the generation
+      // AFTER reading the disk — a sample read during op N must not
+      // CAS into op N+1's freshly-reset window (the sampler could
+      // otherwise read df during the old op, lose the race with run()'s
+      // reset, and attribute the old op's high-water to the new op).
+      // Sub-2s peaks still slip the sampler entirely — the field is a
+      // 2s-cadence floor, not an exact high-water.
       val opPeakPct = new java.util.concurrent.atomic.AtomicLong(0L)
+      val opGen = new java.util.concurrent.atomic.AtomicLong(0L)
       // df-style Use% = used/(used+avail), NOT usable/total: this box's
       // root fs is thin-provisioned (total 252G, used+avail ≈ 97G), so
       // usable/total overstates by ~45 points and is incomparable with
@@ -80,9 +89,16 @@ object DecadeProbe {
       }
       locally {
         val t = new Thread(() => while (true) {
+          val gen = opGen.get()
           val p = usedPct()
-          var cur = opPeakPct.get()
-          while (p > cur && !opPeakPct.compareAndSet(cur, p)) cur = opPeakPct.get()
+          // discard the sample if run() flipped the generation while we
+          // were reading the disk: it belongs to the previous op
+          if (opGen.get() == gen) {
+            val tagged = (gen << 32) | (p & 0xFFFFFFFFL)
+            var cur = opPeakPct.get()
+            while (((cur >>> 32) < gen || ((cur >>> 32) == gen && (cur & 0xFFFFFFFFL) < p)) &&
+                !opPeakPct.compareAndSet(cur, tagged)) cur = opPeakPct.get()
+          }
           Thread.sleep(2000)
         }, "disk-peak-sampler")
         t.setDaemon(true); t.start()
@@ -92,8 +108,12 @@ object DecadeProbe {
         graft.operators.OpCaches.releaseAll()
         spark.catalog.clearCache()
         System.gc() // untimed: keep prior ops' dead shuffles out of the window
-        opPeakPct.set(usedPct())
+        // increment the generation BEFORE resetting the peak: a stale
+        // sampler CAS (sample read under the old generation) then loses
+        // against the new-generation value instead of leaking in
+        val gen = opGen.incrementAndGet()
         val diskStart = usedPct()
+        opPeakPct.set((gen << 32) | (diskStart & 0xFFFFFFFFL))
         val t0 = System.nanoTime()
         val rows =
           try df.queryExecution.toRdd.count()
@@ -104,8 +124,41 @@ object DecadeProbe {
             return
           }
         val sec = (System.nanoTime() - t0) / 1e9
+        // unpack this op's generation-tagged peak; a stale generation
+        // (sampler never fired inside the window) degrades to diskStart.
+        // Field is a 2s-cadence sample floor, not an exact high-water.
+        val peakTagged = opPeakPct.get()
+        val peak =
+          if ((peakTagged >>> 32) == gen) peakTagged & 0xFFFFFFFFL else diskStart
         println(f"""{"op":"$name","dir":"$dir","docs":$nDocs,"sec":$sec%.3f,"rows":$rows,""" +
-          s""""disk_start_pct":$diskStart,"disk_peak_pct":${math.max(opPeakPct.get(), diskStart)}}""")
+          s""""disk_start_pct":$diskStart,"disk_peak_pct":${math.max(peak, diskStart)}}""")
+      }
+      /** [[run]] for single-row aggregates whose VALUE is the evidence
+        * (cross-decade fingerprints): emits `"value"` instead of a row
+        * count, same telemetry otherwise. */
+      def runVal(name: String)(df: => DataFrame): Unit = {
+        if (!only.forall(_.contains(name))) return
+        graft.operators.OpCaches.releaseAll()
+        spark.catalog.clearCache()
+        System.gc()
+        val gen = opGen.incrementAndGet()
+        val diskStart = usedPct()
+        opPeakPct.set((gen << 32) | (diskStart & 0xFFFFFFFFL))
+        val t0 = System.nanoTime()
+        val value =
+          try df.head().getLong(0)
+          catch { case e: Throwable =>
+            println(s"""{"op":"$name","dir":"$dir","docs":$nDocs,""" +
+              s""""sec":-1,"value":null,"err":${Jsons.quote(
+                Option(e.getMessage).getOrElse(e.getClass.getName).take(300))}}""")
+            return
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val peakTagged = opPeakPct.get()
+        val peak =
+          if ((peakTagged >>> 32) == gen) peakTagged & 0xFFFFFFFFL else diskStart
+        println(f"""{"op":"$name","dir":"$dir","docs":$nDocs,"sec":$sec%.3f,"value":$value,""" +
+          s""""disk_start_pct":$diskStart,"disk_peak_pct":${math.max(peak, diskStart)}}""")
       }
 
       import graft.operators._
@@ -145,6 +198,21 @@ object DecadeProbe {
       run("dd_jaccard_pairs")(Dedup.jaccardPairs(docs))
       run("dd_dup_ngram_rate")(Dedup.dupNgramRate(docs))
       run("dd_dup_spans")(Dedup.dupSpans(docs))
+      // value-stability fingerprint across decades: replica vocabularies
+      // are disjoint (ScaleUp tags every token), so each doc's span
+      // stats depend only on its OWN replica — the per-doc rows for ids
+      // under any smaller decade's ceiling must be identical between
+      // that decade's run and this one. One order-independent aggregate
+      // over a fixed id window makes that comparable from the artifact
+      // alone ("value" is constant across decades iff the window's
+      // values are identical).
+      runVal("dd_dup_spans_fpr") {
+        val capDocs = sys.env.get("GRAFT_PROBE_FPR_DOCS")
+          .flatMap(_.toLongOption).getOrElse(5000000L)
+        Dedup.dupSpans(docs.filter(col("doc_id") < capDocs))
+          .agg(sum(hash(col("doc_id"), col("n_grams"),
+            col("n_dup_grams"), col("max_run")).cast("long")).as("fpr"))
+      }
       run("dd_shingle_df_hist")(Dedup.shingleDfHistogram(docs))
       run("dd_clusters_e2e")(Dedup.clusters(
         Dedup.jaccardPairsRaw(docs).select("doc_a", "doc_b")))

@@ -57,7 +57,10 @@ object ScaleUp {
     // Id strides are 1M, so the INPUT's ids must stay under 1M — scale
     // from the base testdata, never from an already-scaled output
     // (whose ids reach k·1M and would collide across replicas).
-    require(k >= 1 && k <= 10000, s"k must be in [1, 10000], got $k")
+    // 20000 (100M docs) is the r13 sf2000 decade; ids reach k·10^6 ≪
+    // Long.Max, token tags stay disjoint, and parts() caps at 4096 —
+    // the bound is a sanity guard, raise it decade by decade
+    require(k >= 1 && k <= 20000, s"k must be in [1, 20000], got $k")
     val P = if (k <= 50) 101 else 211
     // physical-path switchover (union vs cross join) — env-overridable
     // so the value-identity of the two paths is spec-testable at tiny k

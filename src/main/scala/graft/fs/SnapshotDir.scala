@@ -29,18 +29,44 @@ object SnapshotDir {
   // name goes into the `<root>/.retired` ledger with its retirement
   // time, and the files stay on disk until EITHER the grace window
   // elapses OR more than `maxRetained` snapshots are pending (oldest
-  // deleted first — the disk cap beats the reader grace). An in-flight
-  // reader that resolved the old pointer moments before a flip (the ANN
-  // serving soak's compaction race) finishes against intact files
-  // instead of erroring; debris is bounded by maxRetained per root and
-  // is swept by each subsequent publish's GC. Knobs are JVM system
-  // properties (SnapshotDir is session-free code; suites run
-  // sequentially in the test JVM).
+  // deleted first) WHILE the root filesystem is past `capPressurePct`
+  // used. The cap deferring to grace under normal disk is deliberate:
+  // an already-built DataFrame (a serving layer holding a resolved
+  // frame across requests) survives a BURST of >maxRetained publishes
+  // for the full grace window — the one-retry stale-read guard in
+  // AnnIndex/IvfIndex only covers construction-time resolution, so a
+  // cap that beat grace unconditionally could reap a frame's base
+  // mid-collect with no retry (r12 advice). Under genuine disk
+  // pressure the cap wins — availability of the WRITER (not ENOSPC)
+  // beats an in-flight reader's grace. An in-flight reader that
+  // resolved the old pointer moments before a flip (the ANN serving
+  // soak's compaction race) finishes against intact files instead of
+  // erroring; debris is bounded by grace-window-per-publish-rate under
+  // normal disk and by maxRetained under pressure, swept by each
+  // subsequent publish's GC. Knobs are JVM system properties
+  // (SnapshotDir is session-free code; suites run sequentially in the
+  // test JVM).
 
   private[fs] def retainGraceMs: Long =
     sys.props.get("graft.snap.retainGraceMs").flatMap(_.toLongOption).getOrElse(120000L)
   private[fs] def maxRetained: Int =
     sys.props.get("graft.snap.maxRetained").flatMap(_.toIntOption).getOrElse(2)
+  // used% at/above which the maxRetained cap overrides the grace
+  // window; 0 = cap always binds (pre-r13 semantics), >100 = never
+  private[fs] def capPressurePct: Int =
+    sys.props.get("graft.snap.capPressurePct").flatMap(_.toIntOption).getOrElse(75)
+
+  /** df-style used fraction (used/(used+avail)) of the fs holding
+    * `root` — matches the figure the probes record; usable/total would
+    * overstate on thin-provisioned roots. Unreadable → 100 (treat an
+    * unprobeable disk as pressured: degrade toward deletion, not
+    * toward unbounded debris). */
+  private def usedPct(root: String): Int = {
+    val f = new java.io.File(root)
+    val used = f.getTotalSpace - f.getFreeSpace
+    val denom = used + f.getUsableSpace
+    if (denom <= 0) 100 else (used * 100 / denom).toInt
+  }
 
   private def ledgerFile(root: String) = Paths.get(s"$root/.retired")
 
@@ -74,9 +100,18 @@ object SnapshotDir {
       now: Long = System.currentTimeMillis()): Unit = {
     val entries = retiredLedger(root)
     if (entries.isEmpty) return
+    // the count cap binds only under disk pressure (see the retention
+    // block above); within grace and under normal disk, a publish
+    // burst must not reap a reader's resolved base
+    val capBinds =
+      entries.length > maxRetained && usedPct(root) >= capPressurePct
     val cut = entries.length - maxRetained
+    // inclusive: grace 0 must mean delete-at-flip even when GC runs in
+    // the retirement's own millisecond (it no longer rides the cap,
+    // which defers to grace under normal disk)
     val (drop, keep) = entries.zipWithIndex.partition { case ((name, t), i) =>
-      (now - t) > retainGraceMs || i < cut || !Files.exists(Paths.get(s"$root/$name"))
+      (now - t) >= retainGraceMs || (capBinds && i < cut) ||
+        !Files.exists(Paths.get(s"$root/$name"))
     }
     drop.foreach { case ((name, _), _) =>
       // per-entry guard: an undeletable dir is dropped from the ledger
@@ -110,14 +145,24 @@ object SnapshotDir {
     false
   }
 
+  // process-lifetime count of stale-read retries that FIRED — a retry
+  // that silently masks rising churn (doubling probe latency during
+  // compaction flips) must be visible in soak artifacts, not only in
+  // failure counts
+  private val staleRetriesFired = new java.util.concurrent.atomic.AtomicLong(0)
+  def staleRetryCount: Long = staleRetriesFired.get()
+
   /** Run `body` — which must RE-RESOLVE the snapshot pointer on each
     * attempt — retrying ONCE iff the failure looks like a retired-
     * snapshot read. The one-retry bound keeps a genuinely missing root
-    * loud (the second failure propagates). */
+    * loud (the second failure propagates). Fired retries are counted
+    * in [[staleRetryCount]]. */
   def retryingStaleRead[T](body: => T): T =
     try body
     catch {
-      case scala.util.control.NonFatal(e) if isStaleSnapshotRead(e) => body
+      case scala.util.control.NonFatal(e) if isStaleSnapshotRead(e) =>
+        staleRetriesFired.incrementAndGet()
+        body
     }
 
   /** Resolve the published snapshot directory, if any. */

@@ -70,8 +70,10 @@ class SnapshotRetentionSpec extends SparkSpec {
     assert(SnapshotDir.load(spark, root, schema).count() == 3)
   }
 
-  test("debris is bounded by maxRetained however many publishes land") {
+  test("under disk pressure, debris is bounded by maxRetained however many publishes land") {
+    // capPressurePct=0 forces the pressured branch deterministically
     withProps("graft.snap.maxRetained" -> "2",
+        "graft.snap.capPressurePct" -> "0",
         "graft.snap.retainGraceMs" -> "3600000") {
       val root = Files.createTempDirectory("graft-retain2").toString
       (0 until 6).foreach(i => SnapshotDir.publish(df(s"g$i", 2), root))
@@ -85,6 +87,32 @@ class SnapshotRetentionSpec extends SparkSpec {
       // and retirement order is honored: the retained two are the
       // most recent predecessors
       assert(ledger.map(_._2) == ledger.map(_._2).sorted)
+    }
+  }
+
+  test("under normal disk, the cap defers to grace: a publish burst cannot reap a reader's resolved base") {
+    // capPressurePct=101 (usedPct ≤ 100) pins the unpressured branch:
+    // within the grace window a burst of >maxRetained publishes keeps
+    // every retired snapshot readable — the r12 soak race where an
+    // already-built frame's base was reaped mid-collect with no retry
+    withProps("graft.snap.maxRetained" -> "2",
+        "graft.snap.capPressurePct" -> "101",
+        "graft.snap.retainGraceMs" -> "3600000") {
+      val root = Files.createTempDirectory("graft-retain-burst").toString
+      SnapshotDir.publish(df("base", 4), root)
+      val resolved = SnapshotDir.currentDir(root).get
+      val reader = spark.read.parquet(resolved) // built once, held across the burst
+      (0 until 5).foreach(i => SnapshotDir.publish(df(s"burst$i", 2), root))
+      assert(SnapshotDir.retiredLedger(root).length == 5, "grace must retain the full burst")
+      assert(reader.count() == 4, "resolved base reaped inside grace")
+      // grace expiry still reaps them all: rewrite the ledger as if
+      // retirement happened 2h ago, then GC
+      val aged = SnapshotDir.retiredLedger(root)
+        .map { case (n, t) => s"$n=${t - 7200000L}" }.mkString("\n")
+      Files.writeString(Paths.get(s"$root/.retired"), aged)
+      SnapshotDir.gcRetired(root)
+      assert(SnapshotDir.retiredLedger(root).isEmpty, "expired entries must GC")
+      assert(snapDirs(root).size == 1, snapDirs(root).toString)
     }
   }
 
