@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.util.LongAccumulator
+
+import graft.fs.SnapshotDir
+
+/** Persisted DECODE-SIGNATURE store for the multimodal operators.
+  *
+  * [[Multimodal.videoDedup]]/[[Multimodal.audioDedup]] re-decode the
+  * full corpus on every pass; decode CPU is linear and partition-local
+  * (measured across two decades: 11.2 → 104.8 → 1294.7 s for video at
+  * 50K → 500K → 5M media docs), so repeated corpus passes over a
+  * mostly-unchanged corpus pay the full decode again each time. This
+  * store persists the per-PAYLOAD signature (the exact decode-level
+  * identity the dedups group by) in a [[SnapshotDir]] snapshot keyed
+  * by payload md5 — the same atomic manifest-pointer protocol the IVF
+  * index uses — so a repeat pass decodes NOTHING and an incremental
+  * pass decodes only payloads the store has never seen.
+  *
+  * Scale shape (the part that must survive 100 TB):
+  *  - payload BYTES never shuffle: keying (md5) is a scalar projection
+  *    inside the scan partition, the unknown-key anti-join moves only
+  *    (doc_id, 32-char key) rows, and the decode pass filters
+  *    partition-locally through a Bloom filter of the unknown keys —
+  *    the payload column goes scan → decode in place, exactly like the
+  *    uncached operators;
+  *  - Bloom false positives DECODE a few extra already-known payloads
+  *    (cache-semantics safe, never wrong): the assembly join takes
+  *    signatures from the merged store, so an extra decode is wasted
+  *    work bounded by fpp, not a correctness event;
+  *  - corrupt payloads persist as valid=false rows, so they are
+  *    decoded once, not once per pass;
+  *  - duplicate payloads share a key: the store is O(distinct
+  *    payloads), and the assembly join fans one signature row back out
+  *    to every doc that carries those bytes.
+  */
+object MediaSigStore {
+
+  /** Payloads decoded by the most recent [[cachedSigRows]] call (its
+    * accumulator value after the store publish) — the probe/spec
+    * evidence that a warm pass decodes 0 and an incremental pass
+    * decodes only the delta. -1 before any call. */
+  @volatile private[graft] var lastDecoded: Long = -1L
+
+  private[graft] val audioStoreSchema = StructType(Seq(
+    StructField("pkey", StringType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sum_abs", LongType, nullable = false),
+    StructField("peak_amp", LongType, nullable = false),
+    StructField("weighted", LongType, nullable = false),
+    StructField("valid", BooleanType, nullable = false)))
+
+  private[graft] val videoStoreSchema = StructType(Seq(
+    StructField("pkey", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("pix_hash", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("valid", BooleanType, nullable = false)))
+
+  /** Per-doc signature rows for `media` (doc_id, payload), decoding
+    * only payloads absent from the store at `root` and folding fresh
+    * signatures back into it (one snapshot publish per call with any
+    * unseen payloads; none when fully warm).
+    *
+    * `decode` maps (doc_id, payload, pkey) rows to `storeSchema` rows
+    * (pkey, sig..., valid), bumping the accumulator once per decoded
+    * payload; it MUST emit a row per input (invalid → valid=false).
+    * Returns (doc_id, sig..., valid) — one row per media row whose
+    * payload has a store entry (= every row, post-merge). */
+  private[graft] def cachedSigRows(spark: SparkSession, media: DataFrame,
+      root: String, storeSchema: StructType)(
+      decode: (DataFrame, LongAccumulator) => DataFrame): DataFrame = {
+    val hadStore = SnapshotDir.exists(root)
+    val store = SnapshotDir.load(spark, root, storeSchema)
+    val keyed = media.select(col("doc_id"), col("payload"),
+      md5(col("payload")).as("pkey"))
+    val docKeys = keyed.select("doc_id", "pkey")
+    val unknown = docKeys.select("pkey").distinct()
+      .join(store.select("pkey"), Seq("pkey"), "left_anti")
+    val nUnknown = unknown.count()
+    val acc = spark.sparkContext.longAccumulator("graft.mm.sig.decoded")
+    if (nUnknown > 0) {
+      val toDecode =
+        if (!hadStore) keyed // cold store: everything is unknown
+        else {
+          // partition-local membership probe: payloads stay in place,
+          // FPs only over-decode (fpp-bounded), never mis-assign
+          val bf = unknown.stat.bloomFilter("pkey",
+            math.max(nUnknown, 1000L), 0.01)
+          val bfB = spark.sparkContext.broadcast(bf)
+          val mightBeUnknown = udf((k: String) => bfB.value.mightContainString(k))
+          keyed.filter(mightBeUnknown(col("pkey")))
+        }
+      // duplicate payloads decode once per carrier row (same cost as
+      // the uncached operator) but persist once per distinct payload
+      val fresh = decode(toDecode, acc).dropDuplicates("pkey")
+      SnapshotDir.publish(store.unionByName(fresh).dropDuplicates("pkey"), root)
+    }
+    lastDecoded = acc.value
+    val sigs = SnapshotDir.load(spark, root, storeSchema)
+    docKeys.join(sigs, Seq("pkey")).drop("pkey")
+  }
+}

@@ -865,28 +865,67 @@ object Multimodal {
     * Scale shape: decode is partition-local (payload bytes never
     * shuffle); only the 5-long signature row enters the group-by,
     * which partial-combines map-side like any exact-dedup aggregate. */
-  def audioDedup(spark: SparkSession, audio: DataFrame): DataFrame = {
-    import spark.implicits._
-    audio.select("doc_id", "payload").as[(Long, Array[Byte])]
-      .mapPartitions { batch =>
-        batch.flatMap { case (docId, payload) =>
-          AudioCodec.decode(payload).collect { case (_, ss) if ss.nonEmpty =>
-            var sumAbs = 0L; var peak = 0L; var weighted = 0L
-            var i = 0
-            while (i < ss.length) {
-              val a = math.abs(ss(i).toLong)
-              sumAbs += a; weighted += (i + 1) * a
-              if (a > peak) peak = a
-              i += 1
-            }
-            (docId, ss.length.toLong, sumAbs, peak, weighted)
-          }
-        }
+  /** Exact PCM signature of one WAV payload: (n_samples, Σ|s|,
+    * max|s|, Σ(i+1)·|s|); None for corrupt/empty payloads. The
+    * per-payload core shared by [[audioDedup]] and the persisted
+    * signature store ([[audioDedupCached]]). */
+  private[graft] def audioSig(payload: Array[Byte]): Option[(Long, Long, Long, Long)] =
+    AudioCodec.decode(payload).collect { case (_, ss) if ss.nonEmpty =>
+      var sumAbs = 0L; var peak = 0L; var weighted = 0L
+      var i = 0
+      while (i < ss.length) {
+        val a = math.abs(ss(i).toLong)
+        sumAbs += a; weighted += (i + 1) * a
+        if (a > peak) peak = a
+        i += 1
       }
-      .toDF("doc_id", "n_samples", "sum_abs", "peak_amp", "weighted")
+      (ss.length.toLong, sumAbs, peak, weighted)
+    }
+
+  private def groupAudioSigs(sigs: DataFrame): DataFrame =
+    sigs
       .groupBy("n_samples", "sum_abs", "peak_amp", "weighted")
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_doc_id")
+
+  def audioDedup(spark: SparkSession, audio: DataFrame): DataFrame = {
+    import spark.implicits._
+    groupAudioSigs(audio.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (docId, payload) =>
+          audioSig(payload).map { case (n, sumAbs, peak, weighted) =>
+            (docId, n, sumAbs, peak, weighted)
+          }
+        }
+      }
+      .toDF("doc_id", "n_samples", "sum_abs", "peak_amp", "weighted"))
+  }
+
+  /** [[audioDedup]] with a persisted decode cache: per-payload PCM
+    * signatures live in a [[graft.fs.SnapshotDir]] store keyed by
+    * payload md5, and only UNSEEN payloads are decoded — see
+    * [[MediaSigStore]]. Decisions are identical to [[audioDedup]] by
+    * construction (same signature, same grouping). */
+  def audioDedupCached(spark: SparkSession, audio: DataFrame,
+      storeRoot: String): DataFrame = {
+    import spark.implicits._
+    val sigs = MediaSigStore.cachedSigRows(spark, audio, storeRoot,
+      MediaSigStore.audioStoreSchema) { (toDecode, acc) =>
+      toDecode.select("pkey", "payload").as[(String, Array[Byte])]
+        .mapPartitions { batch =>
+          batch.map { case (pkey, payload) =>
+            acc.add(1)
+            audioSig(payload) match {
+              case Some((n, sumAbs, peak, weighted)) =>
+                (pkey, n, sumAbs, peak, weighted, true)
+              case None => (pkey, 0L, 0L, 0L, 0L, false)
+            }
+          }
+        }
+        .toDF("pkey", "n_samples", "sum_abs", "peak_amp", "weighted", "valid")
+    }
+    groupAudioSigs(sigs.filter(col("valid"))
+      .select("doc_id", "n_samples", "sum_abs", "peak_amp", "weighted"))
   }
 
   /** REAL audio decode + feature stage: AudioSystem reads each WAV's
@@ -995,52 +1034,91 @@ object Multimodal {
     * Scale shape: decode is partition-local (payload bytes never
     * shuffle); only the 6-long signature row enters the group-by,
     * which partial-combines map-side like any exact-dedup aggregate. */
-  def videoDedup(spark: SparkSession, video: DataFrame): DataFrame = {
-    import spark.implicits._
-    video.select("doc_id", "payload").as[(Long, Array[Byte])]
-      .mapPartitions { batch =>
-        batch.flatMap { case (docId, payload) =>
-          VideoCodec.decode(payload).flatMap { info =>
-            // position-sensitive 64-bit polynomial hash over the full
-            // decoded pixel stream (frame boundaries folded in). The
-            // first cut used integer SUMS — and the sf1 gate caught 5
-            // cross-doc collisions: the generator's pixel pattern is
-            // LINEAR mod 256, and over full 256-byte cycles
-            // Σ((c + 7i) mod 256) is independent of c, so sums are
-            // systematically shift-invariant, not content-invariant.
-            // A polynomial hash keys on every byte AND its position;
-            // equality ⟺ pixel-stream identity up to ~2^-64.
-            var h = 1469598103934665603L // FNV offset basis
-            var nBytes = 0L; var ok = true
-            var f = 0
-            while (ok && f < info.frameChunks.length) {
-              val (off, len) = info.frameChunks(f)
-              VideoCodec.decodeFrameChunk(payload, off, len) match {
-                case Some(px) =>
-                  h = h * 1099511628211L + px.length // frame boundary
-                  var i = 0
-                  while (i < px.length) {
-                    h = (h ^ (px(i) & 0xFF).toLong) * 1099511628211L
-                    i += 1
-                  }
-                  nBytes += px.length
-                case None => ok = false
-              }
-              f += 1
+  /** Exact frame-pixel signature of one AVI payload: (width, height,
+    * n_frames, pix_hash, n_bytes) where pix_hash is a
+    * position-sensitive 64-bit polynomial hash over the full decoded
+    * pixel stream (frame boundaries folded in). The first cut used
+    * integer SUMS — and the sf1 gate caught 5 cross-doc collisions:
+    * the generator's pixel pattern is LINEAR mod 256, and over full
+    * 256-byte cycles Σ((c + 7i) mod 256) is independent of c, so sums
+    * are systematically shift-invariant, not content-invariant. A
+    * polynomial hash keys on every byte AND its position; equality ⟺
+    * pixel-stream identity up to ~2^-64. None for corrupt payloads.
+    * The per-payload core shared by [[videoDedup]] and the persisted
+    * signature store ([[videoDedupCached]]). */
+  private[graft] def videoSig(payload: Array[Byte]): Option[(Int, Int, Long, Long, Long)] =
+    VideoCodec.decode(payload).flatMap { info =>
+      var h = 1469598103934665603L // FNV offset basis
+      var nBytes = 0L; var ok = true
+      var f = 0
+      while (ok && f < info.frameChunks.length) {
+        val (off, len) = info.frameChunks(f)
+        VideoCodec.decodeFrameChunk(payload, off, len) match {
+          case Some(px) =>
+            h = h * 1099511628211L + px.length // frame boundary
+            var i = 0
+            while (i < px.length) {
+              h = (h ^ (px(i) & 0xFF).toLong) * 1099511628211L
+              i += 1
             }
-            if (ok && info.frameChunks.nonEmpty)
-              Some((docId, info.width, info.height,
-                info.frameChunks.length.toLong, h, nBytes))
-            else None
-          }
+            nBytes += px.length
+          case None => ok = false
         }
+        f += 1
       }
-      .toDF("doc_id", "width", "height", "n_frames", "pix_hash", "n_bytes")
+      if (ok && info.frameChunks.nonEmpty)
+        Some((info.width, info.height, info.frameChunks.length.toLong, h, nBytes))
+      else None
+    }
+
+  private def groupVideoSigs(sigs: DataFrame): DataFrame =
+    sigs
       .groupBy("width", "height", "n_frames", "pix_hash", "n_bytes")
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .select(col("width"), col("height"), col("n_frames"),
         col("keep_doc_id"), col("n_copies"))
       .orderBy("keep_doc_id")
+
+  def videoDedup(spark: SparkSession, video: DataFrame): DataFrame = {
+    import spark.implicits._
+    groupVideoSigs(video.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (docId, payload) =>
+          videoSig(payload).map { case (w, hh, nf, ph, nb) =>
+            (docId, w, hh, nf, ph, nb)
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_frames", "pix_hash", "n_bytes"))
+  }
+
+  /** [[videoDedup]] with a persisted decode cache — the decade lever:
+    * at 5M media docs one full MJPEG decode pass costs ~22 min on 32
+    * threads and [[videoDedup]] re-pays it EVERY run; with per-payload
+    * signatures persisted in a [[graft.fs.SnapshotDir]] store keyed by
+    * payload md5 (same snapshot protocol as the IVF index), a repeat
+    * pass decodes nothing and an incremental pass decodes only unseen
+    * payloads. Decisions are identical to [[videoDedup]] by
+    * construction (same signature, same grouping). */
+  def videoDedupCached(spark: SparkSession, video: DataFrame,
+      storeRoot: String): DataFrame = {
+    import spark.implicits._
+    val sigs = MediaSigStore.cachedSigRows(spark, video, storeRoot,
+      MediaSigStore.videoStoreSchema) { (toDecode, acc) =>
+      toDecode.select("pkey", "payload").as[(String, Array[Byte])]
+        .mapPartitions { batch =>
+          batch.map { case (pkey, payload) =>
+            acc.add(1)
+            videoSig(payload) match {
+              case Some((w, hh, nf, ph, nb)) => (pkey, w, hh, nf, ph, nb, true)
+              case None => (pkey, 0, 0, 0L, 0L, 0L, false)
+            }
+          }
+        }
+        .toDF("pkey", "width", "height", "n_frames", "pix_hash", "n_bytes", "valid")
+    }
+    groupVideoSigs(sigs.filter(col("valid"))
+      .select("doc_id", "width", "height", "n_frames", "pix_hash", "n_bytes"))
   }
 
   /** The REAL multimodal corpus: every document carries an actual

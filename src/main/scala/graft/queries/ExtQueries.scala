@@ -234,6 +234,27 @@ object ExtQueries {
     "mm_video_dedup" -> ((s, d) =>
       Multimodal.videoDedup(s,
         Multimodal.videoTableWithContainerVariants(s, Tables.documents(s, d)))),
+    // The persisted-signature variants: the first call populates the
+    // md5-keyed decode store (eager inside construction), the RETURNED
+    // frame is the WARM pass — every signature served from the
+    // snapshot, zero decodes — so the oracle gates the cache-hit path
+    // end to end against the same decode-level decisions.
+    "mm_audio_dedup_cached" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_mm_sig_a_${System.nanoTime()}"
+      val table = graft.operators.OpCaches.trackCheckpoint(
+        Multimodal.audioTableWithContainerVariants(s, Tables.documents(s, d))
+          .localCheckpoint())
+      Multimodal.audioDedupCached(s, table, root).queryExecution.toRdd.count() // cold: populate
+      Multimodal.audioDedupCached(s, table, root) // warm: served from store
+    }),
+    "mm_video_dedup_cached" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_mm_sig_v_${System.nanoTime()}"
+      val table = graft.operators.OpCaches.trackCheckpoint(
+        Multimodal.videoTableWithContainerVariants(s, Tables.documents(s, d))
+          .localCheckpoint())
+      Multimodal.videoDedupCached(s, table, root).queryExecution.toRdd.count() // cold: populate
+      Multimodal.videoDedupCached(s, table, root) // warm: served from store
+    }),
     // Percent-of-total via an unbounded window: event-type share of
     // all events (double division of exact integer counts — bit-
     // identical across engines, unlike decimal/decimal division).
@@ -752,6 +773,40 @@ object ExtQueries {
         |FROM sig GROUP BY 1, 2, 3, 4
         |ORDER BY keep_doc_id""".stripMargin,
     "mm_video_dedup" ->
+      """WITH v AS (SELECT doc_id, length(text) AS tl FROM documents
+        |  WHERE doc_id % 3 = 2),
+        |p AS (SELECT doc_id, 8 + tl % 25 AS w, 6 + (tl * 7) % 19 AS h,
+        |    4 + tl % 13 AS nf FROM v)
+        |SELECT CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(nf AS BIGINT) AS n_frames, MIN(doc_id) AS keep_doc_id,
+        |  CAST(COUNT(*) + SUM(CASE WHEN doc_id % 15 = 2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_copies
+        |FROM p GROUP BY doc_id % 256, w, h, nf
+        |ORDER BY keep_doc_id""".stripMargin,
+    // the cached variants serve the SAME decode-level decisions from
+    // the persisted signature store — identical oracles by contract
+    "mm_audio_dedup_cached" ->
+      """WITH a AS (SELECT doc_id, length(text) AS tl FROM documents WHERE doc_id % 3 = 1),
+        |ids AS (
+        |  SELECT doc_id, doc_id AS pattern_id, tl FROM a
+        |  UNION ALL
+        |  SELECT (doc_id | 1099511627776), doc_id, tl FROM a WHERE doc_id % 30 = 1),
+        |p AS (SELECT doc_id, pattern_id, 256 + tl % 200 AS n FROM ids),
+        |s AS (SELECT doc_id, n,
+        |        list_transform(generate_series(0, n - 1),
+        |          i -> abs(((pattern_id * 31 + i * 7) % 2048 - 1024) * 16)) AS amps
+        |      FROM p),
+        |sig AS (SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |        CAST(list_sum(amps) AS BIGINT) AS sum_abs,
+        |        CAST(list_max(amps) AS BIGINT) AS peak_amp,
+        |        CAST(list_sum(list_transform(generate_series(1, n),
+        |          i -> i * amps[i])) AS BIGINT) AS weighted
+        |      FROM s)
+        |SELECT n_samples, sum_abs, peak_amp, weighted,
+        |  MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+        |FROM sig GROUP BY 1, 2, 3, 4
+        |ORDER BY keep_doc_id""".stripMargin,
+    "mm_video_dedup_cached" ->
       """WITH v AS (SELECT doc_id, length(text) AS tl FROM documents
         |  WHERE doc_id % 3 = 2),
         |p AS (SELECT doc_id, 8 + tl % 25 AS w, 6 + (tl * 7) % 19 AS h,
