@@ -91,8 +91,15 @@ object MmCacheProbe {
     // payloads are genuinely new), then the incremental pass
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
     val nAppend = math.max(1L, docs.count() / 10)
+    // appended ids must land on the video residue (doc_id % 3 == 2,
+    // Multimodal.scala:207) or the append writes ZERO media rows and
+    // the incremental pass is vacuously "fast" — the first run of this
+    // probe did exactly that (media_rows_after == media_rows,
+    // decoded == 0). Align the base to the next id > maxId with
+    // residue 2, then stride by 3 so EVERY appended doc is a video doc.
+    val base = maxId + 1 + ((2 - (maxId + 1) % 3) + 3) % 3
     val appended = spark.range(nAppend)
-      .select((col("id") * 3 + 2 + maxId + 1).as("doc_id"), // % 3 == 2 not guaranteed; table filter handles it
+      .select((col("id") * 3 + base).as("doc_id"),
         concat(lit("appended media doc "),
           col("id").cast("string"),
           lit(" with deterministic padding text for encode params")).as("text"),
@@ -102,8 +109,15 @@ object MmCacheProbe {
       .write.mode("append").parquet(mediaDir)
     val media2 = spark.read.parquet(mediaDir)
     val nMedia2 = media2.count()
+    require(nMedia2 > nMedia,
+      s"append produced no new media rows ($nMedia -> $nMedia2); the incremental step would be vacuous")
     val (fIncr, secIncr) = step("incr", MediaSigStore.lastDecoded)(
       Multimodal.videoDedupCached(spark, media2, storeRoot))
+    val decodedIncr = MediaSigStore.lastDecoded
+    // delta-only: more than zero (the append is real), at most the new
+    // rows plus bloom-FP slack (FPs over-decode already-cached payloads)
+    require(decodedIncr > 0 && decodedIncr <= (nMedia2 - nMedia) * 2,
+      s"incremental pass decoded $decodedIncr of ${nMedia2 - nMedia} new rows — not delta-only")
     val (fPlain2, secPlain2) = step("plain_after_append", -1L)(
       Multimodal.videoDedup(spark, media2))
     require(fIncr == fPlain2,
