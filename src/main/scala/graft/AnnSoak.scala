@@ -40,18 +40,40 @@ object AnnSoak {
   }
   private def duMb(p: String): Long = duBytes(p) >> 20
 
+  /** The deterministic vector for (id, round): pseudo-random residue
+    * pattern keyed by (vec, dim, round) — no RNG, replayable anywhere
+    * (plain Scala arithmetic, same values on driver or executor). */
+  private def vecFor(id: Long, round: Int): Array[Float] =
+    Array.tabulate(64) { d =>
+      (((id * 2654435761L + d * 40503L + round * 97L) % 1000) / 500.0f - 1.0f)
+    }
+
   /** Deterministic append batch r: `perBatch` 64-dim vectors in the
-    * same value range as the shipped embeddings (pseudo-random residue
-    * pattern keyed by (round, vec, dim) — no RNG, replayable). */
+    * same value range as the shipped embeddings. DISTRIBUTED generation
+    * (spark.range + typed map): the 100M-vector soak appends ~10⁸ rows
+    * in total, which must never materialize as a driver-side Seq. */
   private def batch(spark: SparkSession, round: Int, baseId: Long,
       perBatch: Int): DataFrame = {
     import spark.implicits._
-    (0 until perBatch).map { i =>
-      val id = baseId + round.toLong * perBatch + i
-      (id, Array.tabulate(64) { d =>
-        (((id * 2654435761L + d * 40503L + round * 97L) % 1000) / 500.0f - 1.0f)
-      })
-    }.toDF("vec_id", "embedding")
+    val (r, b, pb) = (round, baseId, perBatch)
+    spark.range(pb.toLong)
+      .map(i => (b + r.toLong * pb + i, vecFor(b + r.toLong * pb + i, r)))
+      .toDF("vec_id", "embedding")
+  }
+
+  /** Every appended row through `throughRound`, as ONE range scan —
+    * the ground-truth corpus for recall checks (a per-round union
+    * chain would stack `throughRound` plan nodes at decade scale). */
+  private def appendedThrough(spark: SparkSession, throughRound: Int,
+      baseId: Long, perBatch: Int): DataFrame = {
+    import spark.implicits._
+    val (b, pb) = (baseId, perBatch)
+    spark.range((throughRound + 1).toLong * pb)
+      .map { i =>
+        val r = (i / pb).toInt
+        (b + i, vecFor(b + i, r))
+      }
+      .toDF("vec_id", "embedding")
   }
 
   def main(args: Array[String]): Unit = {
@@ -79,13 +101,19 @@ object AnnSoak {
     val perBatch = sys.env.getOrElse("GRAFT_ANN_PER_BATCH", "1000").toInt
     val nCentroids = sys.env.getOrElse("GRAFT_ANN_CENTROIDS", "16").toInt
     val numBuckets = sys.env.getOrElse("GRAFT_ANN_BUCKETS", "16").toInt
+    val nProbe = sys.env.getOrElse("GRAFT_ANN_NPROBE", "4").toInt
+    // quantized mode: int8 cells payload (scale in snapshot meta) —
+    // ~1/6 the index bytes, the layout that makes the 100M-vector
+    // decade fit a single box's scratch at all
+    val quantized = sys.env.getOrElse("GRAFT_ANN_QUANT", "0") != "0"
+    val recallEvery = sys.env.getOrElse("GRAFT_ANN_RECALL_EVERY", "30").toInt
     val seed = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")
     val seedMax = seed.agg(max(col("vec_id"))).head().getLong(0)
     val nSeed = seed.count()
     val appendBase = seedMax + 1L
     IvfIndex.build(seed, root, nCentroids = nCentroids, iters = 2,
-      numBuckets = numBuckets)
+      numBuckets = numBuckets, quantized = quantized)
 
     // fixed query set: 24 held-out vectors from the same generator
     val queries = batch(spark, round = 999999, appendBase + 100000000L, 24)
@@ -111,7 +139,7 @@ object AnnSoak {
           val inCompact0 = compacting.get()
           val tp = System.nanoTime()
           try {
-            val n = IvfIndex.topk(spark, root, queries, k = 10, nProbe = 4).count()
+            val n = IvfIndex.topk(spark, root, queries, k = 10, nProbe = nProbe).count()
             val ms = (System.nanoTime() - tp) / 1000000L
             (if (inCompact0 || compacting.get()) latCompactMs else latSteadyMs).add(ms)
             if (n > 0) okProbes.incrementAndGet() else emptyProbes.incrementAndGet()
@@ -135,10 +163,10 @@ object AnnSoak {
     }
 
     // ---- ground truth for the recall contract ---------------------
-    // the corpus is regenerable: seed ∪ appended batches so far
+    // the corpus is regenerable: seed ∪ appended rows so far (one
+    // range scan, not a union chain — see appendedThrough)
     def corpus(throughRound: Int): DataFrame =
-      (0 to throughRound).foldLeft(seed)((acc, r) =>
-        acc.unionByName(batch(spark, r, appendBase, perBatch)))
+      seed.unionByName(appendedThrough(spark, throughRound, appendBase, perBatch))
     def recallAt(throughRound: Int): Double = {
       val c = graft.operators.Similarity.prepared(corpus(throughRound))
         .select(col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn"))
@@ -153,7 +181,7 @@ object AnnSoak {
             (col("qn") * col("cn"))).as("cosine"))
         .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
         .select("query_id", "cand_id")
-      val ivf = IvfIndex.topk(spark, root, queries, k = 10, nProbe = 4)
+      val ivf = IvfIndex.topk(spark, root, queries, k = 10, nProbe = nProbe)
         .select("query_id", "cand_id")
       val hit = brute.join(ivf, Seq("query_id", "cand_id"), "left_semi").count()
       hit.toDouble / (24 * 10).toDouble
@@ -182,7 +210,7 @@ object AnnSoak {
         s""""lat_steady":{"n":$nS,"p50_ms":$p50S,"p99_ms":$p99S},""" +
         s""""lat_compact":{"n":$nC,"p50_ms":$p50C,"p99_ms":$p99C},""" +
         s""""stale_retries":${graft.fs.SnapshotDir.staleRetryCount}}""")
-      if (r % 30 == 29) {
+      if (r % recallEvery == recallEvery - 1) {
         // quiescent recall checkpoint (no append/compact in flight)
         val rec = recallAt(r)
         recallMin = math.min(recallMin, rec)
@@ -196,7 +224,8 @@ object AnnSoak {
     recallMin = math.min(recallMin, rec)
     val (nS, p50S, p99S) = latStats(latSteadyMs)
     val (nC, p50C, p99C) = latStats(latCompactMs)
-    emit(s"""{"summary":true,"rounds":$nRounds,""" +
+    emit(s"""{"summary":true,"rounds":$nRounds,"quantized":$quantized,""" +
+      s""""n_centroids":$nCentroids,"n_probe":$nProbe,"per_batch":$perBatch,""" +
       s""""wall_sec":${r2((System.nanoTime() - t0) / 1e9)},""" +
       s""""rss_max_mb":$rssMax,"index_max_mb":$diskMax,""" +
       s""""probes_ok":${okProbes.get()},"probes_failed":${failedProbes.get()},""" +

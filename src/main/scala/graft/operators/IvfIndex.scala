@@ -41,6 +41,38 @@ object IvfIndex {
     StructField("nrm", DoubleType),
     StructField("cell", IntegerType)))
 
+  /** Quantized-payload layout: int8 codes + code norm instead of the
+    * double vector — ~64 B/vector of payload vs 512 (the FAISS IVF+SQ8
+    * trade, [[Similarity.quantized]]). The symmetric scale lives in
+    * snapshot meta (`quant_scale`) next to the centroids: one number,
+    * fixed at build time, re-applied bit-identically at append and
+    * probe time. At 100 TB this is the difference between an index
+    * that fits the cluster's disks and one that doesn't. */
+  private val cellsSchemaQ = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("q", ArrayType(ByteType)),
+    StructField("qn", DoubleType),
+    StructField("cell", IntegerType)))
+
+  private def isQuantized(meta: Map[String, String]): Boolean =
+    meta.contains("quant_scale")
+  private def schemaOf(meta: Map[String, String]): StructType =
+    if (isQuantized(meta)) cellsSchemaQ else cellsSchema
+
+  /** The quantized cells projection: codes under `scale`, code norm,
+    * cell from the FULL-precision vector (assignment quality is the
+    * recall-limiting stage — it gets the exact coordinates; only the
+    * stored payload is quantized, as in [[Ivf.topkIvfQuantized]]). */
+  private def quantCells(emb: DataFrame, centroids: Seq[Array[Double]],
+      scale: Double): DataFrame =
+    Similarity.prepared(emb)
+      .select(col("vec_id"), col("v"))
+      .withColumn("cell", Ivf.assign(centroids))
+      .withColumn("q", Similarity.quantCodes(col("v"), lit(scale)))
+      .withColumn("qn", graft.functions.VectorOps.norm(
+        graft.functions.VectorOps.toDouble(col("q"))))
+      .select("vec_id", "q", "qn", "cell")
+
   private[operators] def encode(cs: Seq[Array[Double]]): String =
     cs.map(_.mkString(",")).mkString(";")
   private[operators] def decode(s: String): Seq[Array[Double]] =
@@ -57,18 +89,29 @@ object IvfIndex {
     * directories. */
   def build(emb: DataFrame, root: String, nCentroids: Int = 16,
       iters: Int = 2, numBuckets: Int = 16,
-      extraMeta: Map[String, String] = Map.empty): Unit = {
+      extraMeta: Map[String, String] = Map.empty,
+      quantized: Boolean = false): Unit = {
     val prevMark = SnapshotDir.currentDir(s"$root/cells")
       .map(d => watermark(SnapshotDir.metaAt(d))).getOrElse(-1L)
     val retireThrough =
       (prevMark +: DeltaDirs.list(s"$root/cells").map(_._1)).max
     val centroids = Ivf.trainCentroids(emb, nCentroids, iters)
-    val cells = Similarity.prepared(emb)
-      .select(col("vec_id"), col("v"), col("nrm"))
-      .withColumn("cell", Ivf.assign(centroids))
+    val (cells, quantMeta) =
+      if (quantized) {
+        // corpus max |coordinate|: one exact, order-independent number
+        // (0 → 1.0 so an all-zero corpus quantizes to zeros, not NaN)
+        val s0 = Similarity.quantScale(emb).head().getDouble(0)
+        val scale = if (s0 > 0.0d) s0 else 1.0d
+        (quantCells(emb, centroids, scale),
+          Map("quant_scale" -> scale.toString))
+      } else
+        (Similarity.prepared(emb)
+          .select(col("vec_id"), col("v"), col("nrm"))
+          .withColumn("cell", Ivf.assign(centroids)),
+          Map.empty[String, String])
     SnapshotDir.publishBucketed(cells, s"$root/cells",
       bucketCol = "cell", numBuckets = numBuckets,
-      meta = Map("centroids" -> encode(centroids)) ++ extraMeta ++
+      meta = Map("centroids" -> encode(centroids)) ++ quantMeta ++ extraMeta ++
         (if (retireThrough >= 0L)
            Map("compacted_through" -> retireThrough.toString)
          else Map.empty))
@@ -88,11 +131,11 @@ object IvfIndex {
     * build-format version. One narrow aggregate — far cheaper than
     * the `iters` full k-means passes + republish it can save. */
   private def buildFingerprint(emb: DataFrame, nCentroids: Int, iters: Int,
-      numBuckets: Int): String = {
+      numBuckets: Int, quantized: Boolean): String = {
     val r = emb.agg(count(lit(1)),
       expr("bit_xor(xxhash64(vec_id, embedding))")).head()
     s"$BuildFormat:${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}:" +
-      s"$nCentroids:$iters:$numBuckets"
+      s"$nCentroids:$iters:$numBuckets:q=$quantized"
   }
 
   /** Idempotent [[build]] — the "train once, probe many" production
@@ -109,8 +152,8 @@ object IvfIndex {
     * ran. Training is deterministic, so a skipped republish would
     * have been bit-identical to the existing one. */
   def buildIfAbsent(emb: DataFrame, root: String, nCentroids: Int = 16,
-      iters: Int = 2, numBuckets: Int = 16): Boolean = {
-    val fp = buildFingerprint(emb, nCentroids, iters, numBuckets)
+      iters: Int = 2, numBuckets: Int = 16, quantized: Boolean = false): Boolean = {
+    val fp = buildFingerprint(emb, nCentroids, iters, numBuckets, quantized)
     // staleness is a manifest question: the live cells base must carry
     // this exact build_fp AND no live (unfolded) delta rows may exist —
     // both read from the same IndexManifest walk the operator view shows
@@ -120,7 +163,8 @@ object IvfIndex {
         e.meta.get("build_fp").contains(fp)) &&
         !rows.exists(e => e.entry == "delta" && e.live)
     if (!unchanged)
-      build(emb, root, nCentroids, iters, numBuckets, Map("build_fp" -> fp))
+      build(emb, root, nCentroids, iters, numBuckets, Map("build_fp" -> fp),
+        quantized)
     !unchanged
   }
 
@@ -174,10 +218,18 @@ object IvfIndex {
     if (seq.isDefined && (chosen <= mark || existing.exists(_._1 == chosen)))
       return chosen // replay of a published (possibly compacted) batch
     val tmp = java.nio.file.Paths.get(s"$root/cells/delta-tmp-${java.util.UUID.randomUUID()}")
-    Similarity.prepared(emb)
-      .select(col("vec_id"), col("v"), col("nrm"))
-      .withColumn("cell", Ivf.assign(centroids))
-      .write.mode("overwrite").parquet(tmp.toString)
+    // the delta inherits the base's layout: quantized bases quantize the
+    // arrivals under the STORED scale (like the frozen centroids, the
+    // scale never moves on append — drift is a rebuild question, watched
+    // by the same recall contract)
+    val rows =
+      if (isQuantized(meta))
+        quantCells(emb, centroids, meta("quant_scale").toDouble)
+      else
+        Similarity.prepared(emb)
+          .select(col("vec_id"), col("v"), col("nrm"))
+          .withColumn("cell", Ivf.assign(centroids))
+    rows.write.mode("overwrite").parquet(tmp.toString)
     java.nio.file.Files.move(tmp, tmp.resolveSibling(s"delta-$chosen"),
       StandardCopyOption.ATOMIC_MOVE)
     chosen
@@ -217,12 +269,14 @@ object IvfIndex {
       catch { case scala.util.control.NonFatal(_) => () }
     }
     if (live.isEmpty) return
-    val all = SnapshotDir.readAt(spark, cellsDir, cellsSchema)
-      .unionByName(spark.read.schema(cellsSchema).parquet(live.map(_._2): _*))
+    val schema = schemaOf(meta)
+    val all = SnapshotDir.readAt(spark, cellsDir, schema)
+      .unionByName(spark.read.schema(schema).parquet(live.map(_._2): _*))
     SnapshotDir.publishBucketed(all, s"$root/cells",
       bucketCol = "cell", numBuckets = buckets,
       meta = Map("centroids" -> centroidsOf(meta, cellsDir),
-        "compacted_through" -> live.map(_._1).max.toString))
+        "compacted_through" -> live.map(_._1).max.toString) ++
+        meta.get("quant_scale").map("quant_scale" -> _))
   }
 
   /** Approximate top-k neighbors for each row of `queries`
@@ -252,18 +306,33 @@ object IvfIndex {
     val meta = SnapshotDir.metaAt(cellsDir)
     val centroids = decode(centroidsOf(meta, cellsDir))
     val mark = watermark(meta)
-    val base = SnapshotDir.readAt(spark, cellsDir, cellsSchema)
+    val quant = isQuantized(meta)
+    val schema = schemaOf(meta)
+    val base = SnapshotDir.readAt(spark, cellsDir, schema)
     val liveDeltas = DeltaDirs.live(s"$root/cells", mark)
     val corpusParts =
       if (liveDeltas.isEmpty) Seq(base)
-      else Seq(base, spark.read.schema(cellsSchema).parquet(liveDeltas: _*))
+      else Seq(base, spark.read.schema(schema).parquet(liveDeltas: _*))
 
-    val q = Similarity.prepared(
+    // cell SELECTION always runs on the full-precision query vector
+    // (the coarse quantizer is the recall-limiting stage); RANKING runs
+    // in whatever space the index stores — int8 codes under the meta
+    // scale for a quantized base (both sides quantized, the symmetric
+    // scale cancels in the cosine, integer-exact arithmetic as in
+    // [[Ivf.topkIvfQuantized]]), the exact vectors otherwise.
+    val q0 = Similarity.prepared(
         queries.select(col("query_id").as("vec_id"), col("embedding")))
       .select(col("vec_id").as("query_id"), col("v"), col("nrm").as("qn"))
+    val q =
+      if (quant) {
+        val scale = meta("quant_scale").toDouble
+        q0.withColumn("rv",
+            VectorOps.toDouble(Similarity.quantCodes(col("v"), lit(scale))))
+          .withColumn("rn", VectorOps.norm(col("rv")))
+      } else q0.withColumn("rv", col("v")).withColumn("rn", col("qn"))
     val cellScores = array(centroids.map(c => Ivf.score(col("v"), c)): _*)
     val qCells = q
-      .select(col("query_id"), col("v").as("qv"), col("qn"),
+      .select(col("query_id"), col("rv").as("qv"), col("rn").as("qn"),
         posexplode(cellScores).as(Seq("cell", "cscore")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cscore").desc, col("cell"))))
@@ -272,9 +341,15 @@ object IvfIndex {
 
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))
     corpusParts.map { part =>
+      val cand =
+        if (quant)
+          part.select(col("vec_id").as("cand_id"),
+            VectorOps.toDouble(col("q")).as("cv"), col("qn").as("cn"), col("cell"))
+        else
+          part.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+            col("nrm").as("cn"), col("cell"))
       broadcast(qCells)
-        .join(part.select(col("vec_id").as("cand_id"), col("v").as("cv"),
-          col("nrm").as("cn"), col("cell")), "cell")
+        .join(cand, "cell")
         .filter(col("query_id") =!= col("cand_id"))
         .select(col("query_id"), col("cand_id"),
           (VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))

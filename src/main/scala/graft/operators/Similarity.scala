@@ -663,7 +663,14 @@ object Similarity {
 
   /** int8 code array for a double-array column under `scale`. */
   private[operators] def quantCodes(v: Column): Column =
-    transform(v, x => round(x / col("scale") * 127.0d, 0).cast("tinyint"))
+    quantCodes(v, col("scale"))
+
+  /** [[quantCodes]] with an explicit scale column — for consumers that
+    * carry the scale OUTSIDE the frame (the persisted quantized IVF
+    * index stores it in snapshot meta and re-applies it as a literal
+    * at append/probe time). */
+  private[operators] def quantCodes(v: Column, scale: Column): Column =
+    transform(v, x => round(x / scale * 127.0d, 0).cast("tinyint"))
 
   def quantized(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))

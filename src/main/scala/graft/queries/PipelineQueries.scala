@@ -326,6 +326,23 @@ object PipelineQueries {
       recallContract(e, graft.operators.IvfIndex.topk(s, root, queries, k = 5, nProbe = 4)
         .select(col("query_id"), col("cand_id")))
     }),
+    // The QUANTIZED persisted index (int8 cells payload, scale in
+    // snapshot meta — the FAISS IVF+SQ8 deployment at ~1/6 the index
+    // bytes) under the same contract: cell selection is unchanged (the
+    // recall-limiting stage sees full precision), ranking runs on the
+    // stored codes, integer-exact. Same bound as ss_topk_ivfq_recall —
+    // the persisted path composes the identical stages.
+    "ss_topk_ivfq_index_recall" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val root = s"${sys.props("java.io.tmpdir")}/graft-ivfq8-${math.abs(d.hashCode)}"
+      val e = emb(s, d)
+      graft.operators.IvfIndex.buildIfAbsent(e, root, nCentroids = 16, iters = 2,
+        quantized = true)
+      val queries = e.filter(graft.operators.Similarity.isQuery(50L))
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      recallContract(e, graft.operators.IvfIndex.topk(s, root, queries, k = 5, nProbe = 4)
+        .select(col("query_id"), col("cand_id")))
+    }),
     // Embedding-quality outlier scoring: cosine to the label's
     // QUANTIZED centroid direction (integer sums — exact, order-
     // independent, so the distributed aggregate hash-matches the
@@ -1100,6 +1117,10 @@ object PipelineQueries {
         |FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000)""".stripMargin,
     // identical contract for the persisted-index path
     "ss_topk_ivf_index_recall" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS mean_recall_ok
+        |FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000)""".stripMargin,
+    // identical contract for the QUANTIZED persisted-index path
+    "ss_topk_ivfq_index_recall" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS mean_recall_ok
         |FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000)""".stripMargin,
     "ta_token_stats" ->

@@ -1,0 +1,162 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.{CorpusOps, ScratchGuard}
+
+/** Decade-scale run of the STREAMING decontamination twin — the r12
+  * verdict's item 6: [[DecontamStream]] replays
+  * [[CorpusOps.decontaminatedKeepAgainstIndex]] per ingest batch, and
+  * the operator's statelessness makes the streamed keep-set provably
+  * batching-independent, but that equivalence had only been exercised
+  * at spec scale. This probe runs it on a ScaleUp directory at 10M+
+  * train docs and row-diffs the streamed output against the batch twin
+  * over the SAME corpus union:
+  *
+  *  1. split docs by id residue: a tiny test side (the benchmark
+  *     suite — benchmarks are small by definition, so its inverted
+  *     index broadcasts) and a train stripe of 10M+ docs;
+  *  2. build the test-gram index ONCE ([[CorpusOps.testIndex]],
+  *     5-grams) and localCheckpoint it — the once-per-benchmark-release
+  *     artifact a continuous pipeline holds;
+  *  3. stage the train stripe as `nBatches` parquet drops and run
+  *     [[DecontamStream.start]] to AvailableNow after each drop — the
+  *     daily-ingest shape, shared checkpoint carrying batch ids
+  *     forward;
+  *  4. verify: run the BATCH operator over the whole train stripe at
+  *     once and row-diff keep-sets (`twin_only` / `stream_only` must
+  *     both be 0);
+  *  5. emit one JSON line per phase (wall, kept counts, scratch
+  *     high-water).
+  *
+  * Usage: runMain graft.streaming.DecontamDecadeProbe <dataDir>
+  *   <workDir> [nBatches]
+  * Env: GRAFT_DDP_TRAIN_MODS (how many of the 10 id-residue stripes
+  *   form the train side, default 2 — 20M docs on an sf2000 dir),
+  *   GRAFT_DDP_TEST_MOD (test side = doc_id % 10000 == this, default
+  *   7 — ~0.01% of the corpus, benchmark-suite sized).
+  */
+object DecontamDecadeProbe {
+  def main(args: Array[String]): Unit = {
+    val dataDir = args.headOption.getOrElse("target/sf2000")
+    val workDir = new java.io.File(args.lift(1).getOrElse("target/streams/ddp"))
+      .getAbsolutePath
+    val nBatches = args.lift(2).map(_.toInt).getOrElse(5)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = graft.GraftSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_PROBE_SHUFFLE", cpus))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val staging = s"$workDir/staging"
+    val outDir = s"$workDir/kept"
+    val ckpt = s"$workDir/ckpt"
+    graft.fs.SnapshotDir.deleteRecursively(java.nio.file.Paths.get(workDir))
+
+    def emit(fields: (String, String)*): Unit = {
+      println(fields.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}"))
+      System.out.flush()
+    }
+    def q(s: String) = "\"" + s + "\""
+    def r2(v: Double): String = (math.rint(v * 100) / 100).toString
+    @volatile var peakScratch = 0L
+    val sampler = new Thread(() => {
+      while (true) {
+        peakScratch = math.max(peakScratch, ScratchGuard.usage(spark))
+        Thread.sleep(5000)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val nTrainMods = sys.env.getOrElse("GRAFT_DDP_TRAIN_MODS", "2").toInt
+    val testMod = sys.env.getOrElse("GRAFT_DDP_TEST_MOD", "7").toInt
+    val docs = spark.read.parquet(s"$dataDir/documents.parquet")
+    // test side: a benchmark-suite-sized slice; train side: whole id
+    // stripes EXCLUDING the test residue (a doc must not be its own
+    // contamination source)
+    val isTest = col("doc_id") % 10000 === testMod
+    val testDocs = docs.filter(isTest)
+    val trainDocs = docs.filter(col("doc_id") % 10 < nTrainMods && !isTest)
+      .withColumn("batch", expr(s"pmod(doc_id div 10, $nBatches)"))
+    val nTest = testDocs.count()
+    val nTrain = trainDocs.count()
+    emit("phase" -> q("split"), "n_test" -> nTest.toString,
+      "n_train" -> nTrain.toString, "n_batches" -> nBatches.toString)
+
+    // the once-per-benchmark-release artifact: 5-gram inverted index of
+    // the test suite, pinned for the whole run
+    val (testInv, tIdx) = timed {
+      val t = CorpusOps.testIndex(testDocs, n = 5).localCheckpoint()
+      t.count()
+      t
+    }
+    graft.operators.OpCaches.releaseAll()
+    emit("phase" -> q("test_index"), "wall_sec" -> r2(tIdx),
+      "n_entries" -> testInv.count().toString,
+      "scratch_peak_gb" -> r2(peakScratch / 1e9))
+
+    // ingest series: stage a drop, drain the stream to AvailableNow,
+    // repeat — each batch pays O(its own shingles) against the
+    // broadcast index; nothing carries over (stateless by design)
+    var tStream = 0.0
+    (0 until nBatches).foreach { b =>
+      val (_, tStage) = timed {
+        trainDocs.filter(col("batch") === b)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .coalesce(4).write.mode("append").parquet(staging)
+      }
+      val (_, tRun) = timed {
+        val query = DecontamStream.start(
+          DecontamStream.readDocs(spark, staging),
+          testInv, outDir, ckpt, n = 5, minOverlap = 3L,
+          trigger = Trigger.AvailableNow())
+        query.awaitTermination()
+      }
+      tStream += tRun
+      graft.operators.OpCaches.releaseAll()
+      emit("phase" -> q("ingest"), "drop" -> b.toString,
+        "stage_sec" -> r2(tStage), "run_sec" -> r2(tRun),
+        "scratch_peak_gb" -> r2(peakScratch / 1e9))
+    }
+    val streamedKeep = spark.read.parquet(outDir).select("doc_id")
+    val nKeptStream = streamedKeep.count()
+    emit("phase" -> q("stream"), "wall_sec" -> r2(tStream),
+      "kept" -> nKeptStream.toString,
+      "dropped" -> (nTrain - nKeptStream).toString,
+      "scratch_peak_gb" -> r2(peakScratch / 1e9))
+
+    // batch twin over the SAME union, single pass — keep-sets must be
+    // row-identical (statelessness means batching cannot matter)
+    val (twinKeep, tTwin) = timed {
+      val t = CorpusOps.decontaminatedKeepAgainstIndex(
+        trainDocs.drop("batch"), testInv, n = 5, minOverlap = 3L)
+        .select("doc_id").localCheckpoint()
+      t.count()
+      t
+    }
+    val twinOnly = twinKeep.except(streamedKeep).count()
+    val streamOnly = streamedKeep.except(twinKeep).count()
+    emit("phase" -> q("verify"), "twin_wall_sec" -> r2(tTwin),
+      "twin_kept" -> twinKeep.count().toString,
+      "twin_only" -> twinOnly.toString, "stream_only" -> streamOnly.toString,
+      "ok" -> (twinOnly == 0 && streamOnly == 0).toString)
+    if (twinOnly != 0 || streamOnly != 0)
+      throw new IllegalStateException(
+        s"decontam twin mismatch: twin_only=$twinOnly stream_only=$streamOnly")
+
+    emit("phase" -> q("done"), "scratch_peak_gb" -> r2(peakScratch / 1e9))
+    spark.stop()
+  }
+}

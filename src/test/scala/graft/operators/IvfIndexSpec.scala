@@ -147,6 +147,60 @@ class IvfIndexSpec extends SparkSpec {
     assert(IvfIndex.topk(spark, root, queries, k = 3, nProbe = 2).count() > 0)
   }
 
+  test("quantized index: topk == recomputed topkIvfQuantized; append inherits the stored scale; compact preserves") {
+    import graft.fs.SnapshotDir
+    val root = Files.createTempDirectory("graft-ivfq").toString
+    IvfIndex.build(emb, root, nCentroids = 8, iters = 2, numBuckets = 4,
+      quantized = true)
+    val meta = SnapshotDir.metaAt(SnapshotDir.currentDir(s"$root/cells").get)
+    assert(meta.contains("quant_scale"), "quantized build must record its scale")
+    val queries = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val fromIndex = IvfIndex.topk(spark, root, queries, k = 5, nProbe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // training AND the symmetric scale are deterministic, the ranking
+    // arithmetic is the same integer-exact expression — bit-identical
+    // to the in-memory composition, like the full-precision pair above
+    val direct = Ivf.topkIvfQuantized(emb, queryMod = 20L, k = 5,
+        nCentroids = 8, nProbe = 3, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    OpCaches.releaseAll()
+    assert(fromIndex == direct, s"index=${fromIndex.size} direct=${direct.size}")
+    assert(fromIndex.nonEmpty)
+
+    // append quantizes arrivals under the BASE's stored scale and the
+    // frozen centroids; base+delta answers == the same rows folded in
+    val rootA = Files.createTempDirectory("graft-ivfq-app").toString
+    IvfIndex.build(emb.filter(col("vec_id") < 90), rootA,
+      nCentroids = 8, iters = 2, numBuckets = 4, quantized = true)
+    val scaleA = SnapshotDir.metaAt(
+      SnapshotDir.currentDir(s"$rootA/cells").get)("quant_scale")
+    IvfIndex.append(emb.filter(col("vec_id") >= 90), rootA)
+    val appended = IvfIndex.topk(spark, rootA, queries, k = 5, nProbe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(appended.exists { case (_, cand, _, _) => cand >= 90 },
+      "appended vectors never surfaced as candidates")
+    IvfIndex.compact(spark, rootA)
+    val metaC = SnapshotDir.metaAt(SnapshotDir.currentDir(s"$rootA/cells").get)
+    assert(metaC.get("quant_scale").contains(scaleA),
+      "compact must carry quant_scale forward unchanged")
+    val compacted = IvfIndex.topk(spark, rootA, queries, k = 5, nProbe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(compacted == appended)
+    OpCaches.releaseAll()
+  }
+
+  test("buildIfAbsent distinguishes quantized from full-precision builds") {
+    val root = Files.createTempDirectory("graft-ivfq-ifa").toString
+    assert(IvfIndex.buildIfAbsent(emb, root, nCentroids = 4, iters = 1,
+      numBuckets = 4, quantized = true))
+    assert(!IvfIndex.buildIfAbsent(emb, root, nCentroids = 4, iters = 1,
+      numBuckets = 4, quantized = true))
+    // the SAME corpus requested un-quantized is a different artifact
+    assert(IvfIndex.buildIfAbsent(emb, root, nCentroids = 4, iters = 1,
+      numBuckets = 4, quantized = false))
+  }
+
   test("buildIfAbsent: trains once per content fingerprint, rebuilds on change") {
     val root = Files.createTempDirectory("graft-ivfifa").toString
     // first call trains; identical second call skips
