@@ -668,9 +668,16 @@ object Similarity {
   /** [[quantCodes]] with an explicit scale column — for consumers that
     * carry the scale OUTSIDE the frame (the persisted quantized IVF
     * index stores it in snapshot meta and re-applies it as a literal
-    * at append/probe time). */
+    * at append/probe time). SATURATING: a frozen scale can meet later
+    * coordinates beyond the build-time max (appended batches, query
+    * vectors), which must clamp to ±127 — standard SQ8 semantics —
+    * not overflow the tinyint cast (ANSI mode throws; legacy mode
+    * would silently wrap, which is worse). The in-frame overload needs
+    * no clamp: its scale IS the frame's max, codes can't exceed 127. */
   private[operators] def quantCodes(v: Column, scale: Column): Column =
-    transform(v, x => round(x / scale * 127.0d, 0).cast("tinyint"))
+    transform(v, x =>
+      least(greatest(round(x / scale * 127.0d, 0), lit(-127.0d)), lit(127.0d))
+        .cast("tinyint"))
 
   def quantized(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))

@@ -190,6 +190,22 @@ class IvfIndexSpec extends SparkSpec {
     OpCaches.releaseAll()
   }
 
+  test("quantized append saturates coordinates beyond the stored scale") {
+    val root = Files.createTempDirectory("graft-ivfq-sat").toString
+    IvfIndex.build(emb.filter(col("vec_id") < 90), root,
+      nCentroids = 4, iters = 1, numBuckets = 4, quantized = true)
+    // arrivals 5× outside the build-time range: codes must clamp to
+    // ±127 (ANSI would otherwise abort the append with CAST_OVERFLOW)
+    val big = emb.filter(col("vec_id") >= 90)
+      .withColumn("embedding", transform(col("embedding"), x => x * lit(5.0f)))
+    IvfIndex.append(big, root)
+    val queries = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val res = IvfIndex.topk(spark, root, queries, k = 5, nProbe = 4).collect()
+    assert(res.nonEmpty && res.forall(r => !r.getDouble(2).isNaN))
+    OpCaches.releaseAll()
+  }
+
   test("buildIfAbsent distinguishes quantized from full-precision builds") {
     val root = Files.createTempDirectory("graft-ivfq-ifa").toString
     assert(IvfIndex.buildIfAbsent(emb, root, nCentroids = 4, iters = 1,
