@@ -82,23 +82,37 @@ object DecontamDecadeProbe {
 
     val nTrainMods = sys.env.getOrElse("GRAFT_DDP_TRAIN_MODS", "2").toInt
     val testMod = sys.env.getOrElse("GRAFT_DDP_TEST_MOD", "7").toInt
+    // test-side density: test = doc_id % testDen == testMod. The corpus
+    // dup-pair density is ~2.4% of docs, so a 0.01% test slice (den
+    // 10000) statistically never hits a cross-split pair and dropped=0
+    // leaves the drop path untested — den 1000 (0.1%, benchmark-suite
+    // sized at 100K docs for a 100M corpus) yields hundreds of drops
+    val testDen = sys.env.getOrElse("GRAFT_DDP_TEST_DEN", "1000").toInt
+    // gram size / overlap floor: production decontamination wants LONG
+    // grams (n=5+), but the ScaleUp corpus's near-dup families share
+    // 3-gram spans far more often — the decade run drops to n=3 so the
+    // DROP path is actually exercised at scale (a dropped=0 run would
+    // leave the stream/twin diff vacuously agreeing on keep-everything)
+    val gramN = sys.env.getOrElse("GRAFT_DDP_N", "5").toInt
+    val minOverlap = sys.env.getOrElse("GRAFT_DDP_MIN_OVERLAP", "3").toLong
     val docs = spark.read.parquet(s"$dataDir/documents.parquet")
     // test side: a benchmark-suite-sized slice; train side: whole id
     // stripes EXCLUDING the test residue (a doc must not be its own
     // contamination source)
-    val isTest = col("doc_id") % 10000 === testMod
+    val isTest = col("doc_id") % testDen === testMod
     val testDocs = docs.filter(isTest)
     val trainDocs = docs.filter(col("doc_id") % 10 < nTrainMods && !isTest)
       .withColumn("batch", expr(s"pmod(doc_id div 10, $nBatches)"))
     val nTest = testDocs.count()
     val nTrain = trainDocs.count()
     emit("phase" -> q("split"), "n_test" -> nTest.toString,
+      "gram_n" -> gramN.toString, "min_overlap" -> minOverlap.toString,
       "n_train" -> nTrain.toString, "n_batches" -> nBatches.toString)
 
     // the once-per-benchmark-release artifact: 5-gram inverted index of
     // the test suite, pinned for the whole run
     val (testInv, tIdx) = timed {
-      val t = CorpusOps.testIndex(testDocs, n = 5).localCheckpoint()
+      val t = CorpusOps.testIndex(testDocs, n = gramN).localCheckpoint()
       t.count()
       t
     }
@@ -120,7 +134,7 @@ object DecontamDecadeProbe {
       val (_, tRun) = timed {
         val query = DecontamStream.start(
           DecontamStream.readDocs(spark, staging),
-          testInv, outDir, ckpt, n = 5, minOverlap = 3L,
+          testInv, outDir, ckpt, n = gramN, minOverlap = minOverlap,
           trigger = Trigger.AvailableNow())
         query.awaitTermination()
       }
@@ -141,7 +155,7 @@ object DecontamDecadeProbe {
     // row-identical (statelessness means batching cannot matter)
     val (twinKeep, tTwin) = timed {
       val t = CorpusOps.decontaminatedKeepAgainstIndex(
-        trainDocs.drop("batch"), testInv, n = 5, minOverlap = 3L)
+        trainDocs.drop("batch"), testInv, n = gramN, minOverlap = minOverlap)
         .select("doc_id").localCheckpoint()
       t.count()
       t
