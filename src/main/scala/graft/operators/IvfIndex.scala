@@ -2,7 +2,7 @@ package graft.operators
 
 import java.nio.file.StandardCopyOption
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -43,32 +43,48 @@ object IvfIndex {
 
   /** Quantized-payload layout: int8 codes + code norm instead of the
     * double vector — ~64 B/vector of payload vs 512 (the FAISS IVF+SQ8
-    * trade, [[Similarity.quantized]]). The symmetric scale lives in
-    * snapshot meta (`quant_scale`) next to the centroids: one number,
-    * fixed at build time, re-applied bit-identically at append and
-    * probe time. At 100 TB this is the difference between an index
-    * that fits the cluster's disks and one that doesn't. */
+    * trade). The scale is PER VECTOR (each vector's own max |coord|):
+    * cosine is scale-invariant per side, so a per-vector scale cancels
+    * exactly in the ranking — every vector uses the full int8 range
+    * (a corpus-global scale leaves small vectors ~5 effective bits),
+    * and there is NO frozen-scale drift class: the first 100M-vector
+    * soak froze the seed corpus's global max (0.577) and the appended
+    * distribution (±1.0) saturated every code, collapsing recall to
+    * 0.0 — with per-vector scales an appended batch can never be
+    * mis-scaled by history. The scale itself is not stored: only the
+    * codes and their norm ever enter the cosine. At 100 TB this is
+    * the difference between an index that fits the cluster's disks
+    * and one that doesn't. */
   private val cellsSchemaQ = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("q", ArrayType(ByteType)),
     StructField("qn", DoubleType),
     StructField("cell", IntegerType)))
 
+  /** Meta marker for the quantized layout (value records the scheme). */
+  private val QuantKey = "quant"
+  private val QuantScheme = "sq8-pervec"
+
   private def isQuantized(meta: Map[String, String]): Boolean =
-    meta.contains("quant_scale")
+    meta.contains(QuantKey)
   private def schemaOf(meta: Map[String, String]): StructType =
     if (isQuantized(meta)) cellsSchemaQ else cellsSchema
 
-  /** The quantized cells projection: codes under `scale`, code norm,
+  /** A vector's own quantization scale: max |coordinate|, floored so an
+    * all-zero vector quantizes to zeros instead of NaN. */
+  private def perVecScale(v: Column): Column =
+    greatest(aggregate(v, lit(0.0d), (acc, x) => greatest(acc, abs(x))),
+      lit(Double.MinPositiveValue))
+
+  /** The quantized cells projection: per-vector codes + code norm,
     * cell from the FULL-precision vector (assignment quality is the
     * recall-limiting stage — it gets the exact coordinates; only the
-    * stored payload is quantized, as in [[Ivf.topkIvfQuantized]]). */
-  private def quantCells(emb: DataFrame, centroids: Seq[Array[Double]],
-      scale: Double): DataFrame =
+    * stored payload is quantized). */
+  private def quantCells(emb: DataFrame, centroids: Seq[Array[Double]]): DataFrame =
     Similarity.prepared(emb)
       .select(col("vec_id"), col("v"))
       .withColumn("cell", Ivf.assign(centroids))
-      .withColumn("q", Similarity.quantCodes(col("v"), lit(scale)))
+      .withColumn("q", Similarity.quantCodes(col("v"), perVecScale(col("v"))))
       .withColumn("qn", graft.functions.VectorOps.norm(
         graft.functions.VectorOps.toDouble(col("q"))))
       .select("vec_id", "q", "qn", "cell")
@@ -97,14 +113,9 @@ object IvfIndex {
       (prevMark +: DeltaDirs.list(s"$root/cells").map(_._1)).max
     val centroids = Ivf.trainCentroids(emb, nCentroids, iters)
     val (cells, quantMeta) =
-      if (quantized) {
-        // corpus max |coordinate|: one exact, order-independent number
-        // (0 → 1.0 so an all-zero corpus quantizes to zeros, not NaN)
-        val s0 = Similarity.quantScale(emb).head().getDouble(0)
-        val scale = if (s0 > 0.0d) s0 else 1.0d
-        (quantCells(emb, centroids, scale),
-          Map("quant_scale" -> scale.toString))
-      } else
+      if (quantized)
+        (quantCells(emb, centroids), Map(QuantKey -> QuantScheme))
+      else
         (Similarity.prepared(emb)
           .select(col("vec_id"), col("v"), col("nrm"))
           .withColumn("cell", Ivf.assign(centroids)),
@@ -120,7 +131,7 @@ object IvfIndex {
   /** Bumped whenever the build pipeline's OUTPUT could change for the
     * same inputs (training, assignment, snapshot layout) — a persisted
     * index built by older code must not satisfy [[buildIfAbsent]]. */
-  private val BuildFormat = "ivf-v1"
+  private val BuildFormat = "ivf-v2" // v2: quantized layout switched to per-vector SQ8
 
   /** Content fingerprint of a build request: corpus row count, an
     * order-independent XOR over (vec_id, embedding) row hashes
@@ -218,13 +229,13 @@ object IvfIndex {
     if (seq.isDefined && (chosen <= mark || existing.exists(_._1 == chosen)))
       return chosen // replay of a published (possibly compacted) batch
     val tmp = java.nio.file.Paths.get(s"$root/cells/delta-tmp-${java.util.UUID.randomUUID()}")
-    // the delta inherits the base's layout: quantized bases quantize the
-    // arrivals under the STORED scale (like the frozen centroids, the
-    // scale never moves on append — drift is a rebuild question, watched
-    // by the same recall contract)
+    // the delta inherits the base's layout: per-vector scales mean an
+    // appended batch quantizes against ITSELF — unlike the frozen
+    // centroids (assignment drift stays a rebuild question watched by
+    // the recall contract), quantization fidelity cannot drift
     val rows =
       if (isQuantized(meta))
-        quantCells(emb, centroids, meta("quant_scale").toDouble)
+        quantCells(emb, centroids)
       else
         Similarity.prepared(emb)
           .select(col("vec_id"), col("v"), col("nrm"))
@@ -276,7 +287,7 @@ object IvfIndex {
       bucketCol = "cell", numBuckets = buckets,
       meta = Map("centroids" -> centroidsOf(meta, cellsDir),
         "compacted_through" -> live.map(_._1).max.toString) ++
-        meta.get("quant_scale").map("quant_scale" -> _))
+        meta.get(QuantKey).map(QuantKey -> _))
   }
 
   /** Approximate top-k neighbors for each row of `queries`
@@ -316,20 +327,19 @@ object IvfIndex {
 
     // cell SELECTION always runs on the full-precision query vector
     // (the coarse quantizer is the recall-limiting stage); RANKING runs
-    // in whatever space the index stores — int8 codes under the meta
-    // scale for a quantized base (both sides quantized, the symmetric
-    // scale cancels in the cosine, integer-exact arithmetic as in
-    // [[Ivf.topkIvfQuantized]]), the exact vectors otherwise.
+    // in whatever space the index stores — per-vector int8 codes for a
+    // quantized base (each side's scale cancels in its own norm, so
+    // the quantized cosine tracks the exact one at int8 precision),
+    // the exact vectors otherwise.
     val q0 = Similarity.prepared(
         queries.select(col("query_id").as("vec_id"), col("embedding")))
       .select(col("vec_id").as("query_id"), col("v"), col("nrm").as("qn"))
     val q =
-      if (quant) {
-        val scale = meta("quant_scale").toDouble
+      if (quant)
         q0.withColumn("rv",
-            VectorOps.toDouble(Similarity.quantCodes(col("v"), lit(scale))))
+            VectorOps.toDouble(Similarity.quantCodes(col("v"), perVecScale(col("v")))))
           .withColumn("rn", VectorOps.norm(col("rv")))
-      } else q0.withColumn("rv", col("v")).withColumn("rn", col("qn"))
+      else q0.withColumn("rv", col("v")).withColumn("rn", col("qn"))
     val cellScores = array(centroids.map(c => Ivf.score(col("v"), c)): _*)
     val qCells = q
       .select(col("query_id"), col("rv").as("qv"), col("rn").as("qn"),

@@ -147,55 +147,59 @@ class IvfIndexSpec extends SparkSpec {
     assert(IvfIndex.topk(spark, root, queries, k = 3, nProbe = 2).count() > 0)
   }
 
-  test("quantized index: topk == recomputed topkIvfQuantized; append inherits the stored scale; compact preserves") {
+  test("quantized index: deterministic, ranks like the exact index, survives append+compact") {
     import graft.fs.SnapshotDir
     val root = Files.createTempDirectory("graft-ivfq").toString
+    val rootExact = Files.createTempDirectory("graft-ivfq-ref").toString
     IvfIndex.build(emb, root, nCentroids = 8, iters = 2, numBuckets = 4,
       quantized = true)
     val meta = SnapshotDir.metaAt(SnapshotDir.currentDir(s"$root/cells").get)
-    assert(meta.contains("quant_scale"), "quantized build must record its scale")
+    assert(meta.get("quant").contains("sq8-pervec"),
+      "quantized build must record its layout scheme")
     val queries = emb.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("query_id"), col("embedding"))
-    val fromIndex = IvfIndex.topk(spark, root, queries, k = 5, nProbe = 3).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
-    // training AND the symmetric scale are deterministic, the ranking
-    // arithmetic is the same integer-exact expression — bit-identical
-    // to the in-memory composition, like the full-precision pair above
-    val direct = Ivf.topkIvfQuantized(emb, queryMod = 20L, k = 5,
-        nCentroids = 8, nProbe = 3, iters = 2).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    def ids(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q1 = IvfIndex.topk(spark, root, queries, k = 5, nProbe = 3).collect()
+    // deterministic: an identical probe returns identical rows
+    val q2 = IvfIndex.topk(spark, root, queries, k = 5, nProbe = 3).collect()
+    assert(ids(q1) == ids(q2) && q1.nonEmpty)
+    // same training → same cells → same candidate set as the exact
+    // index; per-vector int8 ranking may flip near-ties only — top-5
+    // agreement must stay high (int8 relative precision ~1/127)
+    IvfIndex.build(emb, rootExact, nCentroids = 8, iters = 2, numBuckets = 4)
+    val exact = ids(IvfIndex.topk(spark, rootExact, queries, k = 5, nProbe = 3).collect())
+    val agree = ids(q1).intersect(exact).size.toDouble / exact.size
+    assert(agree >= 0.8, s"quantized/exact top-5 agreement $agree")
     OpCaches.releaseAll()
-    assert(fromIndex == direct, s"index=${fromIndex.size} direct=${direct.size}")
-    assert(fromIndex.nonEmpty)
 
-    // append quantizes arrivals under the BASE's stored scale and the
-    // frozen centroids; base+delta answers == the same rows folded in
+    // append quantizes arrivals against THEMSELVES (per-vector scales)
+    // under the frozen centroids; compact folds and preserves answers
     val rootA = Files.createTempDirectory("graft-ivfq-app").toString
     IvfIndex.build(emb.filter(col("vec_id") < 90), rootA,
       nCentroids = 8, iters = 2, numBuckets = 4, quantized = true)
-    val scaleA = SnapshotDir.metaAt(
-      SnapshotDir.currentDir(s"$rootA/cells").get)("quant_scale")
     IvfIndex.append(emb.filter(col("vec_id") >= 90), rootA)
-    val appended = IvfIndex.topk(spark, rootA, queries, k = 5, nProbe = 3).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
-    assert(appended.exists { case (_, cand, _, _) => cand >= 90 },
+    val appended = ids(IvfIndex.topk(spark, rootA, queries, k = 5, nProbe = 3).collect())
+    assert(appended.exists { case (_, cand) => cand >= 90 },
       "appended vectors never surfaced as candidates")
     IvfIndex.compact(spark, rootA)
     val metaC = SnapshotDir.metaAt(SnapshotDir.currentDir(s"$rootA/cells").get)
-    assert(metaC.get("quant_scale").contains(scaleA),
-      "compact must carry quant_scale forward unchanged")
-    val compacted = IvfIndex.topk(spark, rootA, queries, k = 5, nProbe = 3).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(metaC.get("quant").contains("sq8-pervec"),
+      "compact must carry the quant layout marker forward")
+    val compacted = ids(IvfIndex.topk(spark, rootA, queries, k = 5, nProbe = 3).collect())
     assert(compacted == appended)
     OpCaches.releaseAll()
   }
 
-  test("quantized append saturates coordinates beyond the stored scale") {
+  test("quantized append of out-of-distribution magnitudes stays well-ranked") {
     val root = Files.createTempDirectory("graft-ivfq-sat").toString
     IvfIndex.build(emb.filter(col("vec_id") < 90), root,
       nCentroids = 4, iters = 1, numBuckets = 4, quantized = true)
-    // arrivals 5× outside the build-time range: codes must clamp to
-    // ±127 (ANSI would otherwise abort the append with CAST_OVERFLOW)
+    // arrivals 5× the build-time magnitude: per-vector scales quantize
+    // them against themselves (the frozen-GLOBAL-scale design saturated
+    // every code here and collapsed decade recall to 0.0 — the failure
+    // this layout removes); cosine is magnitude-invariant so ranking
+    // is unaffected
     val big = emb.filter(col("vec_id") >= 90)
       .withColumn("embedding", transform(col("embedding"), x => x * lit(5.0f)))
     IvfIndex.append(big, root)
