@@ -232,7 +232,6 @@ object AnnSoak {
         s""""lat_steady":{"n":$nS,"p50_ms":$p50S,"p99_ms":$p99S},""" +
         s""""lat_compact":{"n":$nC,"p50_ms":$p50C,"p99_ms":$p99C},""" +
         s""""stale_retries":${graft.fs.SnapshotDir.staleRetryCount},""" +
-      s""""probe_retries":${probeRetries.get()},""" +
         s""""probe_retries":${probeRetries.get()}}""")
       if (r % recallEvery == recallEvery - 1) {
         // quiescent recall checkpoint (no append/compact in flight)
