@@ -129,6 +129,14 @@ class IvfIndexSpec extends SparkSpec {
     val plan = IvfIndex.topk(spark, root, queries, k = 3, nProbe = 2)
       .queryExecution.executedPlan.toString
     assert(plan.contains("Bucketed: true"), plan)
+    // the quantized layout publishes through the same bucketed path —
+    // its probe must read pre-partitioned too
+    val rootQ = Files.createTempDirectory("graft-ivfidx2q").toString
+    IvfIndex.build(emb, rootQ, nCentroids = 4, iters = 1, numBuckets = 4,
+      quantized = true)
+    val planQ = IvfIndex.topk(spark, rootQ, queries, k = 3, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(planQ.contains("Bucketed: true"), planQ)
 
     // by construction: a broadcast probe against the bucketed cells
     // table must shuffle NOTHING (the corpus side reads pre-partitioned,
