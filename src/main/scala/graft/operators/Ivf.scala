@@ -86,7 +86,44 @@ object Ivf {
     * SF — train EXACTLY as before and the oracle rows are untouched.
     * Recall quality is covered by the ss_topk_ivf_* contract rows and
     * the AnnSoak recall floor, not by centroid identity. */
-  private[operators] def trainOnPrepared(e: DataFrame, nCentroids: Int, iters: Int): Seq[Array[Double]] = {
+  /** Conf-gated (`graft.cores.share`) memo of the DETERMINISTIC
+    * training result: one k-means run per (corpus plan, nCentroids,
+    * iters) per snapshot pass — the exact shape of the OpCaches.shared
+    * cores it sits beside (the persisted index stores centroids in
+    * snapshot meta for the same train-once reason). Training is
+    * deterministic (decimal-exact means, seedless stride sample), so a
+    * hit is value-identical. Staleness defense follows
+    * [[Dedup.listingFingerprint]]: canonicalization alone would treat
+    * a corpus overwritten at the same path as sameResult. Bounded LRU. */
+  private val trainMemo = scala.collection.mutable.LinkedHashMap.empty[
+    String,
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Seq[Array[Double]])]
+
+  private[operators] def trainOnPrepared(e: DataFrame, nCentroids: Int,
+      iters: Int): Seq[Array[Double]] = {
+    val share =
+      try e.sparkSession.conf.get("graft.cores.share", "false") == "true"
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!share) return trainUnmemoized(e, nCentroids, iters)
+    val plan = e.queryExecution.analyzed.canonicalized
+    val key = s"${plan.semanticHash()}:$nCentroids:$iters:" +
+      Dedup.listingFingerprint(e.queryExecution.analyzed)
+    // lookup and insert under the lock; the training jobs run outside
+    // it (a concurrent same-key trainer just trains twice, identically)
+    val hit = trainMemo.synchronized {
+      trainMemo.get(key).collect { case (p, cs) if p.sameResult(plan) => cs }
+    }
+    hit.getOrElse {
+      val cs = trainUnmemoized(e, nCentroids, iters)
+      trainMemo.synchronized {
+        if (trainMemo.size >= 32) trainMemo.remove(trainMemo.head._1)
+        trainMemo += key -> (plan, cs)
+      }
+      cs
+    }
+  }
+
+  private def trainUnmemoized(e: DataFrame, nCentroids: Int, iters: Int): Seq[Array[Double]] = {
     val maxTrain = e.sparkSession.conf.getOption("graft.ivf.maxTrainRows")
       .flatMap(_.toLongOption).getOrElse(1L << 18)
     val n = e.count()
@@ -244,8 +281,14 @@ object Ivf {
     * ss_quantize_recall's own 0.8 bound on the same data). */
   def topkIvfQuantized(emb: DataFrame, queryMod: Long = 50L, k: Int = 5,
       nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
-    val prep = OpCaches.shared("ivf.prep2")(
-      Similarity.prepared(emb).select(col("vec_id"), col("v")))
+    // ride the SAME "ivf.prep3" core as topkIvf/recallCurve instead of
+    // a separate (vec_id, v) cache: one prepared-corpus artifact per
+    // snapshot instead of two near-identical ones, and the training
+    // input below is plan-identical to the plain path's — so the
+    // conf-gated training memo serves both from one k-means run
+    val prep3 = OpCaches.shared("ivf.prep3")(
+      Similarity.prepared(emb).select(col("vec_id"), col("v"), col("nrm")))
+    val prep = prep3.select(col("vec_id"), col("v"))
     val centroids = trainOnPrepared(prep, nCentroids, iters)
     // one pass attaches BOTH the cell id and the int8 codes
     val e = OpCaches.shared("ivf.quantAssigned")(

@@ -76,30 +76,38 @@ object MediaSigStore {
       root: String, storeSchema: StructType)(
       decode: (DataFrame, LongAccumulator) => DataFrame): DataFrame = {
     val hadStore = SnapshotDir.exists(root)
-    val store = SnapshotDir.load(spark, root, storeSchema)
     val keyed = media.select(col("doc_id"), col("payload"),
       md5(col("payload")).as("pkey"))
     val docKeys = keyed.select("doc_id", "pkey")
-    val unknown = docKeys.select("pkey").distinct()
-      .join(store.select("pkey"), Seq("pkey"), "left_anti")
-    val nUnknown = unknown.count()
     val acc = spark.sparkContext.longAccumulator("graft.mm.sig.decoded")
-    if (nUnknown > 0) {
-      val toDecode =
-        if (!hadStore) keyed // cold store: everything is unknown
-        else {
-          // partition-local membership probe: payloads stay in place,
-          // FPs only over-decode (fpp-bounded), never mis-assign
-          val bf = unknown.stat.bloomFilter("pkey",
-            math.max(nUnknown, 1000L), 0.01)
-          val bfB = spark.sparkContext.broadcast(bf)
-          val mightBeUnknown = udf((k: String) => bfB.value.mightContainString(k))
-          keyed.filter(mightBeUnknown(col("pkey")))
-        }
-      // duplicate payloads decode once per carrier row (same cost as
-      // the uncached operator) but persist once per distinct payload
-      val fresh = decode(toDecode, acc).dropDuplicates("pkey")
-      SnapshotDir.publish(store.unionByName(fresh).dropDuplicates("pkey"), root)
+    if (!hadStore) {
+      // COLD store: everything is unknown by definition — the
+      // unknown-key scan (a full md5 pass + distinct + anti-join
+      // against an empty frame) and the union+second dropDuplicates
+      // against the empty store are pure overhead, one full corpus
+      // pass and one signature shuffle each. Decode directly and
+      // publish the distinct signatures as the first snapshot.
+      // (Publishing for an EMPTY corpus too is deliberate: an empty
+      // store snapshot is valid and keeps this branch action-free.)
+      SnapshotDir.publish(decode(keyed, acc).dropDuplicates("pkey"), root)
+    } else {
+      val store = SnapshotDir.load(spark, root, storeSchema)
+      val unknown = docKeys.select("pkey").distinct()
+        .join(store.select("pkey"), Seq("pkey"), "left_anti")
+      val nUnknown = unknown.count()
+      if (nUnknown > 0) {
+        // partition-local membership probe: payloads stay in place,
+        // FPs only over-decode (fpp-bounded), never mis-assign
+        val bf = unknown.stat.bloomFilter("pkey",
+          math.max(nUnknown, 1000L), 0.01)
+        val bfB = spark.sparkContext.broadcast(bf)
+        val mightBeUnknown = udf((k: String) => bfB.value.mightContainString(k))
+        val toDecode = keyed.filter(mightBeUnknown(col("pkey")))
+        // duplicate payloads decode once per carrier row (same cost as
+        // the uncached operator) but persist once per distinct payload
+        val fresh = decode(toDecode, acc).dropDuplicates("pkey")
+        SnapshotDir.publish(store.unionByName(fresh).dropDuplicates("pkey"), root)
+      }
     }
     lastDecoded = acc.value
     val sigs = SnapshotDir.load(spark, root, storeSchema)

@@ -150,7 +150,13 @@ object Similarity {
     * consumed by aggregating callers ([[cosineHistogram]]). */
   private[graft] def cosinePairsBlockedRaw(emb: DataFrame, threshold: Double,
       blocks: Int = 16): DataFrame =
-    cosinePairsBlockedPrepared(prepared(emb), threshold, blocks)
+    // the exact ≥ threshold pair set is near-dup-rate-sized (tiny next
+    // to the n²/B comparison that produces it) and consumed by several
+    // report rows over one snapshot (histogram, coverage contract,
+    // semantic-pair rollups) — share the result so the block-pair
+    // comparison runs once per (corpus, threshold) per pass
+    OpCaches.shared("sim.blockedPairs")(
+      cosinePairsBlockedPrepared(prepared(emb), threshold, blocks))
 
   /** The block-pair join over an ALREADY-[[prepared]] frame — lets
     * [[cosinePairsLsh]]'s dispatch fall through to the exact path on

@@ -506,8 +506,15 @@ object PipelineQueries {
   private def recallContract(corpus: DataFrame, ann: DataFrame,
       bound: Double = 0.4): DataFrame = {
     import org.apache.spark.sql.functions._
-    val brute = Similarity.topkBrute(corpus, queryMod = 50L, k = 5)
-      .select(col("query_id"), col("cand_id"))
+    // the exact ground truth is one artifact per (corpus, query set),
+    // consumed by every recall row AND by two plan branches below —
+    // share it under the same key/plan as Ivf.recallCurve's baseline
+    // so the five contract rows and the curve ride ONE brute pass
+    // (value-neutral: sameResult-guarded; isolated mode degrades to a
+    // per-query cache released after the row's action)
+    val brute = graft.operators.OpCaches.shared("ivf.brute")(
+      Similarity.topkBrute(corpus, queryMod = 50L, k = 5)
+        .select(col("query_id"), col("cand_id")))
     val hits = brute.join(ann, Seq("query_id", "cand_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
     brute.groupBy("query_id").agg(count(lit(1)).as("n_brute"))
