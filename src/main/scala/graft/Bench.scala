@@ -44,6 +44,12 @@ object Bench {
       // deletion can be isolated from the harness's untimed GC slots
       .config("spark.cleaner.periodicGC.interval",
         sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "5min"))
+      // startup-only like periodicGC (see GraftSession.startupConfs):
+      // 159 queries × ~8 codegen units thrash the default 100-entry
+      // compilation cache, so pass B re-compiles every unit pass A
+      // already compiled. Env-overridable for A/B attribution runs.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2000"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -84,8 +84,19 @@ object GraftSession {
     *    on an idle-ish heap cost tens of ms. Harness `System.gc()`
     *    calls in Verify/Bench remain only to keep TIMED windows clean;
     *    this conf is the production fix. */
+  /**  - `spark.sql.codegen.cache.maxEntries=2000`: the whole-stage
+    *    codegen compilation cache is keyed by generated source and
+    *    holds 100 entries by default — a session that serves a report
+    *    pass or API surface of 150+ distinct queries (each compiling
+    *    several codegen units) thrashes it completely, so every
+    *    re-execution re-pays Janino compilation (~50-150 ms per unit)
+    *    that a long-lived production session should pay once. 2000
+    *    entries covers ~150 queries × ~8 units with headroom; compiled
+    *    classes are small (the cache is weak-ref'd class objects), so
+    *    the footprint is metaspace-bounded and scale-independent. */
   private val startupConfs: Seq[(String, String)] = Seq(
-    "spark.cleaner.periodicGC.interval" -> "5min")
+    "spark.cleaner.periodicGC.interval" -> "5min",
+    "spark.sql.codegen.cache.maxEntries" -> "2000")
 
   /** A builder with the graft extensions and scale defaults wired;
     * callers add master/appName and `getOrCreate()`. */

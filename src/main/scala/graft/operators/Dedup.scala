@@ -211,8 +211,7 @@ object Dedup {
     * shuffles longs, not n-gram strings. */
   private def pairCounts(docs: DataFrame, n: Int,
       maxDocFreq: Option[Long]): (DataFrame, DataFrame) = {
-    val sh = OpCaches.shared("dd.hashedShingles")(
-      withHashedShingles(docs, n).select(col("doc_id"), col("shingles")))
+    val sh = hashedShingleTable(docs, n)
     val invAll = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     // when capped, similarity is computed IN the capped shingle space —
     // sizes must come from the filtered index or it would be
@@ -520,10 +519,23 @@ object Dedup {
     * an 8-byte bucket/join key, and the persisted artifact is ~3-4×
     * smaller than the string form. */
   def shingleIndex(docs: DataFrame, n: Int = 3): DataFrame =
-    withHashedShingles(docs, n)
-      .select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"),
+    shingleIndexFrom(withHashedShingles(docs, n))
+
+  /** [[shingleIndex]] over an already-shingled (doc_id, shingles)
+    * table — lets callers derive several index slices (delta/corpus
+    * splits) from ONE shared shingle pass instead of re-tokenizing
+    * per slice (per-doc shingling commutes with doc_id filters). */
+  def shingleIndexFrom(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"),
         explode(col("shingles")).as("shingle"))
       .select("shingle", "doc_id", "n_sh")
+
+  /** The snapshot-shared hashed-shingle table (the "dd.hashedShingles"
+    * core every set-similarity operator rides), exposed for composite
+    * callers that slice it (incremental delta probes). */
+  def hashedShingleTable(docs: DataFrame, n: Int = 3): DataFrame =
+    OpCaches.shared("dd.hashedShingles")(
+      withHashedShingles(docs, n).select(col("doc_id"), col("shingles")))
 
   /** Cross-SOURCE near-duplication matrix: the [[jaccardPairs]] pair
     * set rolled up by (source, source) — which crawl/provider pairs
@@ -1019,8 +1031,7 @@ object Dedup {
     if (groups == 1) {
       // the shingle-set table feeds the index AND the per-doc sizes —
       // cache the tokenize+shingle pass (released by OpCaches.releaseAll)
-      val sh = OpCaches.shared("dd.hashedShingles")(
-        withHashedShingles(docs, n).select(col("doc_id"), col("shingles")))
+      val sh = hashedShingleTable(docs, n)
       val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
       val shared = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2L).select("shingle")
@@ -1248,12 +1259,16 @@ object Dedup {
           GraftSqlBridge.expression(col("tokmd5"))))
       })
 
-  /** Per-doc SimHash signatures (the reusable corpus artifact).
-    * Sort-first ([[orderedSpread]]): the signature fold runs once, in
-    * parallel, after the explicit range exchange, instead of also in
-    * a downstream sort's sampling pass. */
+  /** Per-doc SimHash signatures (the reusable corpus artifact) — the
+    * SAME shared core [[simhashPairs]] joins on (identical plan →
+    * identical key), so one md5-per-token signature pass per snapshot
+    * serves both the signature table and the pair report; values are
+    * per-doc deterministic and the presentation sort pins the same
+    * doc_id output order the previous sort-first form produced. */
   def simhash(docs: DataFrame): DataFrame =
-    withSimhash(orderedSpread(docs, "doc_id")).select(col("doc_id"), col("simhash"))
+    OpCaches.shared("dd.simhash")(
+        withSimhash(docs).select(col("doc_id"), col("simhash")))
+      .orderBy("doc_id")
 
   /** SimHash near-dup pairs with hamming ≤ maxHamming (≤ 3), blocked
     * by the four 8-bit signature chunks: any pair within hamming 3

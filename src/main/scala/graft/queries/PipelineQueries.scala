@@ -181,9 +181,14 @@ object PipelineQueries {
     "dd_delta_pairs" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val all = docs(s, d)
-      val delta = all.filter(col("doc_id") % 10 === 0)
-      val corpus = all.filter(col("doc_id") % 10 =!= 0)
-      Dedup.deltaPairs(delta, Dedup.shingleIndex(corpus, n = 3), n = 3, threshold = 0.5)
+      // both index slices come from the ONE shared shingle core
+      // (per-doc shingling commutes with the doc_id split) instead of
+      // two separate tokenize+shingle passes over the filtered scans
+      val sh = Dedup.hashedShingleTable(all, n = 3)
+      Dedup.deltaPairsFromIndex(
+        Dedup.shingleIndexFrom(sh.filter(col("doc_id") % 10 === 0)),
+        Dedup.shingleIndexFrom(sh.filter(col("doc_id") % 10 =!= 0)),
+        threshold = 0.5)
     }),
     // The 100 TB shape of the same probe: both sides shingled into ONE
     // capped space (hot set at df > 5, published alongside the index),
