@@ -37,7 +37,11 @@ object CorpusOps {
     * longs, not n-gram strings (identical overlap counts modulo
     * 64-bit collisions, immaterial at 5-grams). */
   private def inverted(docs: DataFrame, n: Int): DataFrame =
-    Dedup.withHashedShingles(docs, n)
+    // the shared shingle core (keyed by plan, so the 5-gram table here
+    // never collides with dedup's 3-gram entry): one tokenize+shingle
+    // pass serves the contamination/decontamination/coverage rows of a
+    // report pass instead of one per row
+    Dedup.hashedShingleTable(docs, n)
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
 
   /** Benchmark decontamination: (train, test) document pairs sharing
