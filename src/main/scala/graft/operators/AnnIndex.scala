@@ -54,7 +54,16 @@ object AnnIndex {
   def build(emb: DataFrame, root: String, tables: Int = 16, bits: Int = 5,
       seed: Long = 42L, numBuckets: Int = 16): Unit = {
     val planes = LshPlanes.planesFor(tables, bits, seed)
-    val vectors = Similarity.prepared(emb).select("vec_id", "v", "nrm")
+    // the build's two inputs are EXACTLY the artifacts the per-query
+    // LSH/IVF rows already compute per snapshot ([[Similarity.topkLsh]]'s
+    // `sim.prep3` prepared vectors and `sim.lshBuckets` bucket base) —
+    // ride the shared cores so an index build inside a report pass
+    // reuses them instead of re-preparing the corpus (a plan built with
+    // DIFFERENT planes misses the `sameResult` guard and computes its
+    // own). The publishes below still write every byte per build — the
+    // sharing removes recompute, not the index write.
+    val vectors = OpCaches.shared("sim.prep3")(
+      Similarity.prepared(emb).select("vec_id", "v", "nrm"))
     SnapshotDir.publishBucketed(vectors, s"$root/vectors",
       bucketCol = "vec_id", numBuckets = numBuckets)
     // just the snapshot NAME (currentDir returns the full path): the
@@ -63,8 +72,9 @@ object AnnIndex {
       SnapshotDir.currentDir(s"$root/vectors")
         .getOrElse(sys.error(s"vectors publish left no snapshot at $root")))
       .getFileName.toString
-    val buckets = emb.select(col("vec_id"),
-        posexplode(LshPlanes.keysCol(col("embedding"), planes)).as(Seq("tbl", "bkey")))
+    val buckets = OpCaches.shared("sim.lshBuckets")(
+        emb.select(col("vec_id"),
+          posexplode(LshPlanes.keysCol(col("embedding"), planes)).as(Seq("tbl", "bkey"))))
       .select(col("vec_id"),
         concat(col("tbl").cast("string"), lit(":"), col("bkey")).as("tb"))
     SnapshotDir.publishBucketed(buckets, s"$root/buckets",

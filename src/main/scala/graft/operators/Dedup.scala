@@ -289,8 +289,17 @@ object Dedup {
       struct(lit(b).as("band"),
         md5(concat_ws("|", (b * r until (b + 1) * r).map(i => col(s"mh$i")): _*)).as("bkey"))
     }
-    val buckets = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+    val buckets0 = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    // the band table is the LSH index artifact both sides of the
+    // candidate self-join consume — uncached, each side re-evaluates
+    // the k-md5-per-shingle signature pass (the plan's two
+    // graft_minhashes nodes were exactly that: the row's dominant
+    // cost, paid twice per action). Same once-per-snapshot shape as
+    // [[Similarity.topkLsh]]'s `sim.lshBuckets` core; lean mode keeps
+    // the streaming plan (the signature table is O(docs·k) strings —
+    // small — but lean exists to pin nothing corpus-shaped).
+    val buckets = if (lean) buckets0 else OpCaches.shared("dd.lshBands")(buckets0)
     val cand0 = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -497,7 +506,11 @@ object Dedup {
     def estShPlan = withShingles(docs, n).select(col("doc_id"), col("shingles"))
     val sh = if (estLean) estShPlan
       else OpCaches.shared("dd.stringShingles")(estShPlan)
-    val sig = sh.select(col("doc_id"), mh.as("mh"))
+    // the 24-hash signature table joins BOTH pair sides below —
+    // uncached it evaluates the md5-per-shingle signature pass twice
+    // per action (same double-eval the lsh band table had)
+    val sig0 = sh.select(col("doc_id"), mh.as("mh"))
+    val sig = if (estLean) sig0 else OpCaches.shared("dd.minhashSig")(sig0)
     val pairs = jaccardPairs(docs, n, threshold)
     pairs
       .join(sig.toDF("doc_a", "mh_a"), "doc_a")

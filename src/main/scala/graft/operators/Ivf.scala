@@ -163,7 +163,7 @@ object Ivf {
     // ONE prepared (vec_id, v, nrm) table shared by training and query
     // (tracked: the returned plan still reads it — OpCaches.releaseAll()
     // is the caller's post-action cleanup)
-    val prep = OpCaches.shared("ivf.prep3")(
+    val prep = OpCaches.shared("sim.prep3")(
       Similarity.prepared(emb).select(col("vec_id"), col("v"), col("nrm")))
     val centroids = trainOnPrepared(prep.select("vec_id", "v"), nCentroids, iters)
     val e = prep.withColumn("cell", assign(centroids))
@@ -213,7 +213,7 @@ object Ivf {
       iters: Int = 2): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val prep = OpCaches.shared("ivf.prep3")(
+    val prep = OpCaches.shared("sim.prep3")(
       Similarity.prepared(emb).select(col("vec_id"), col("v"), col("nrm")))
     val centroids = trainOnPrepared(prep.select("vec_id", "v"), nCentroids, iters)
     val e = OpCaches.shared("ivf.assigned")(prep.withColumn("cell", assign(centroids)))
@@ -281,12 +281,13 @@ object Ivf {
     * ss_quantize_recall's own 0.8 bound on the same data). */
   def topkIvfQuantized(emb: DataFrame, queryMod: Long = 50L, k: Int = 5,
       nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
-    // ride the SAME "ivf.prep3" core as topkIvf/recallCurve instead of
+    // ride the SAME "sim.prep3" core as topkIvf/recallCurve (and, since
+    // the keys were unified, topkLsh and the AnnIndex build) instead of
     // a separate (vec_id, v) cache: one prepared-corpus artifact per
     // snapshot instead of two near-identical ones, and the training
     // input below is plan-identical to the plain path's — so the
     // conf-gated training memo serves both from one k-means run
-    val prep3 = OpCaches.shared("ivf.prep3")(
+    val prep3 = OpCaches.shared("sim.prep3")(
       Similarity.prepared(emb).select(col("vec_id"), col("v"), col("nrm")))
     val prep = prep3.select(col("vec_id"), col("v"))
     val centroids = trainOnPrepared(prep, nCentroids, iters)

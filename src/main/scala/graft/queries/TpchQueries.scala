@@ -231,10 +231,21 @@ object TpchQueries {
     * never duplicated (a plain inner join would overcount orders with
     * several late lines and force a distinct). */
   def q4LateOrders(spark: SparkSession, dir: String): DataFrame =
+    // EXISTS(l: l_shipdate > o_orderdate + 60d) ⟺ the order's MAX
+    // shipdate clears the cutoff — aggregate lineitem to one
+    // (l_orderkey, max(l_shipdate)) row per order BEFORE the join
+    // (guide §2.3: aggregate before you shuffle/broadcast). The
+    // semi-join side shrinks from every lineitem to one row per
+    // order (~4× fewer rows), the partial aggregate combines
+    // map-side, and the semi-join itself is unchanged in result:
+    // max > cutoff ⟺ some shipdate > cutoff (l_shipdate is
+    // non-null by schema; a group's max is null only if the group
+    // is empty, which a groupBy can't emit).
     Tables.orders(spark, dir)
-      .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate"),
+      .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+          .groupBy("l_orderkey").agg(max(col("l_shipdate")).as("l_max_ship")),
         col("l_orderkey") === col("o_orderkey") &&
-          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          col("l_max_ship") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
         "left_semi")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"))
